@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Num._
+
+/** Group B — relational query surface (SURVEY.md §2.3).
+  *
+  * The reference (`/root/reference/src/parquet_stream_writer/writer.py`)
+  * has no query surface of its own; its correctness contract is "a
+  * standard engine can query what it wrote" (`tests/tests.py:45-47`).
+  * These queries exercise that contract with pure Spark built-ins so
+  * Catalyst handles pushdown/pruning/join-strategy selection.
+  *
+  * Scale notes (100 TB stance):
+  *  - dimension tables (region/nation/customer/part/supplier) are tiny
+  *    relative to fact tables at every TPC-H-ish scale → explicit
+  *    `broadcast()` hints keep the fact-table joins shuffle-free;
+  *  - aggregates are partial+final (map-side combine) automatically;
+  *  - every filter is a plain column predicate so it pushes into the
+  *    parquet scan (verified via .explain PushedFilters);
+  *  - decimal aggregation (see [[Num]]) keeps results deterministic
+  *    regardless of task/partition ordering.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-side filter, 2-key hash agg. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc  = (dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+      .cast(DecimalType(18, 4)) // exact: 2-dec × 2-dec has ≤4 decimals
+    val charge = (disc * (lit(1) + dec($"l_tax")))
+      .cast(DecimalType(18, 6)) // exact: ≤4-dec × 2-dec has ≤6 decimals
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Multi-way equi-join: orders ⋈ customer ⋈ nation, revenue per
+    * nation, top-10. customer/nation broadcast (shuffle-free at scale).
+    */
+  def joinOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"revenue".desc, $"n_name")
+      .limit(10)
+  }
+
+  val joinOrdersSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name
+      |LIMIT 10""".stripMargin
+
+  /** Semi/anti joins: customers with vs without orders, one tagged DF. */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit("has_orders").as("tag"))
+    val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", lit("no_orders").as("tag"))
+    semi.unionAll(anti).orderBy($"c_custkey", $"tag")
+  }
+
+  val semiAntiSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey, 'has_orders' AS tag FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |) ORDER BY c_custkey, tag""".stripMargin
+
+  /** Window function: top-2 orders per customer by total price.
+    * Deterministic tiebreak on o_orderkey. Partition-local sort only —
+    * no global sort until the final presentation ORDER BY.
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Set operations over part slices: UNION (distinct), INTERSECT, EXCEPT. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir, "part")
+    val small = p.filter($"p_size" < 25).select($"p_partkey", $"p_brand")
+    val pricey = p.filter($"p_retailprice" > 1200.0).select($"p_partkey", $"p_brand")
+    small.union(pricey).distinct()
+      .except(small.intersect(pricey))
+      .orderBy($"p_partkey", $"p_brand")
+  }
+
+  val setOpsSql: String =
+    """(SELECT p_partkey, p_brand FROM part WHERE p_size < 25
+      | UNION
+      | SELECT p_partkey, p_brand FROM part WHERE p_retailprice > 1200.0)
+      |EXCEPT
+      |(SELECT p_partkey, p_brand FROM part WHERE p_size < 25
+      | INTERSECT
+      | SELECT p_partkey, p_brand FROM part WHERE p_retailprice > 1200.0)
+      |ORDER BY p_partkey, p_brand""".stripMargin
+
+  /** Event-time tumbling windows (1 h) per event type. Uses Spark's
+    * `window()` operator; oracle expresses the same bucketing with
+    * date_trunc. The events `ts` is ns in parquet — Spark truncates to
+    * µs, which is invisible at 1-hour granularity.
+    */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val eventsTumblingSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Scalar string/math function battery over part. */
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .select(
+        $"p_partkey",
+        upper(substring($"p_name", 1, 8)).as("name8"),
+        length($"p_name").as("name_len"),
+        ($"p_partkey" % 7).as("key_mod7"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        regexp_replace($"p_type", "a", "_").as("type_sub"),
+        abs($"p_size" - 25).as("size_dist"),
+        (dec($"p_retailprice") * 2).cast("double").as("double_price"))
+      .orderBy($"p_partkey")
+  }
+
+  val scalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  UPPER(SUBSTRING(p_name, 1, 8)) AS name8,
+      |  LENGTH(p_name) AS name_len,
+      |  p_partkey % 7 AS key_mod7,
+      |  CONCAT(p_brand, '#', p_type) AS brand_type,
+      |  REGEXP_REPLACE(p_type, 'a', '_', 'g') AS type_sub,
+      |  ABS(p_size - 25) AS size_dist,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 2 AS DOUBLE) AS double_price
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time function battery over orders. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"),
+        date_add($"o_orderdate".cast("date"), 30).as("due_date"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INT) AS y,
+      |  CAST(MONTH(o_orderdate) AS INT) AS m,
+      |  CAST(DAY(o_orderdate) AS INT) AS d,
+      |  CAST(QUARTER(o_orderdate) AS INT) AS q,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Rollup (grouping sets) over orders: per (status, priority), per
+    * status, and grand total. GROUPING() disambiguates NULL group keys.
+    */
+  def rollupOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  val rollupOrdersSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Global top-k: most expensive lineitems (sort + limit → Spark
+    * TakeOrderedAndProject, no full global sort at scale).
+    */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(25)
+  }
+
+  val topKSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 25""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> pricingSummary _,
+    "q_join_orders"     -> joinOrders _,
+    "q_semi_anti"       -> semiAnti _,
+    "q_window_rank"     -> windowRank _,
+    "q_setops"          -> setOps _,
+    "q_events_tumbling" -> eventsTumbling _,
+    "q_scalar_funcs"    -> scalarFuncs _,
+    "q_date_funcs"      -> dateFuncs _,
+    "q_rollup"          -> rollupOrders _,
+    "q_topk"            -> topK _)
+
+  val oracle: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_join_orders"     -> joinOrdersSql,
+    "q_semi_anti"       -> semiAntiSql,
+    "q_window_rank"     -> windowRankSql,
+    "q_setops"          -> setOpsSql,
+    "q_events_tumbling" -> eventsTumblingSql,
+    "q_scalar_funcs"    -> scalarFuncsSql,
+    "q_date_funcs"      -> dateFuncsSql,
+    "q_rollup"          -> rollupOrdersSql,
+    "q_topk"            -> topKSql)
+}
