@@ -1,0 +1,554 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group C — LLM-training-data pipeline operators (SURVEY.md §2.3),
+  * over the `documents` and `embeddings` tables.
+  *
+  * Design constraints shared by every query here:
+  *  - **Deterministic across engines**: the driver hash-compares our
+  *    parquet output against DuckDB. All hashing goes through md5 (same
+  *    bytes→hex in both engines), all floating point follows an
+  *    identical left-associated expression tree (IEEE ops on identical
+  *    operands are bit-identical), and integer/decimal arithmetic is
+  *    exact. No engine-seeded primitives (no MinHashLSH from MLlib).
+  *  - **Scale-first shapes**: dedup is hash-groupBy (shuffle on hash,
+  *    map-side partial agg); near-dup avoids the O(n²) cross join via
+  *    inverted-index self-joins (shingle → candidate pairs), banded
+  *    MinHash LSH, or blocking keys (simhash bands, IVF cells) — the
+  *    same patterns that hold on 1000 executors at 100 TB.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------- text
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct word 3-gram shingles of `text`.
+    * Size guard: `sequence(0, size-3)` needs size ≥ 3 (Spark's sequence
+    * steps backwards when stop < start).
+    */
+  private def shingleCol(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id, s — exploded distinct shingles (the inverted-index input). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(shingleCol($"text")).as("s"))
+  }
+
+  private val shinglesSql =
+    """SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(w) >= 3""".stripMargin
+
+  /** Exact dedup by normalized-text hash: hash-groupBy, keep min id.
+    * At 100 TB this is one shuffle on a well-distributed key (md5) with
+    * map-side partial aggregation — the canonical exact-dedup plan.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy(md5(lower(trim($"text")).cast("binary")).as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy($"h")
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 via an
+    * inverted shingle index (no O(n²) cross join): explode distinct
+    * shingles, self-join on shingle to count intersections, derive
+    * |A∪B| = |A|+|B|−|A∩B|. The self-join shuffles on the shingle key —
+    * at scale, frequent shingles are the skew risk; the standard
+    * mitigation (drop shingles with document frequency above a cap)
+    * keeps the join bounded.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("na"), $"a_id" === $"na.doc_id")
+      .join(sizes.as("nb"), $"b_id" === $"nb.doc_id")
+      .select($"a_id", $"b_id",
+        ($"c" / ($"na.n" + $"nb.n" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.10)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
+       |FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id
+       |WHERE c / (na.n + nb.n - c) >= 0.10
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash signature (k=8 hash functions) per document.
+    * hash_i(shingle) := md5('<i>|' || shingle); min over shingles of a
+    * uniformly-distributed fixed-width hex string is a valid min-hash,
+    * and md5 is bit-identical across engines (unlike seeded MLlib
+    * MinHashLSH). One groupBy = one shuffle; signature is 8 small aggs.
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = (0 until 8)
+      .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
+    shingles(s, dir)
+      .groupBy($"doc_id")
+      .agg(sigs.head, sigs.tail: _*)
+  }
+
+  private val minhashSigsSql: String = {
+    val aggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+    s"""SELECT doc_id, $aggs FROM ($shinglesSql) GROUP BY doc_id"""
+  }
+
+  /** Banded MinHash LSH near-dup: 4 bands × 2 rows; candidate pairs
+    * share ≥ 1 band; candidates verified with exact Jaccard ≥ 0.10.
+    * The band join is the scalable step — shuffle on band value, no
+    * all-pairs compare; exact verification touches candidates only.
+    * The oracle mirrors the full pipeline (LSH recall is part of the
+    * operator's semantics).
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSigs(s, dir).cache()
+    val bands = (0 until 4).map { b =>
+      sig.select($"doc_id",
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band"),
+        lit(b).as("band_idx"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.band_idx" === $"y.band_idx" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sh.as("sb"), $"b_id" === $"sb.doc_id" && $"sa.s" === $"sb.s")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("na"), $"a_id" === $"na.doc_id")
+      .join(sizes.as("nb"), $"b_id" === $"nb.doc_id")
+      .select($"a_id", $"b_id", ($"c" / ($"na.n" + $"nb.n" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.10)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val minhashLshSql: String = {
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS ($minhashSigsSql),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_idx = y.band_idx AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a_id, b_id, COUNT(*) AS c
+       |  FROM cand JOIN sh sa ON a_id = sa.doc_id
+       |            JOIN sh sb ON b_id = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
+       |FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id
+       |WHERE c / (na.n + nb.n - c) >= 0.10
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  private val SIMHASH_BITS = 32
+
+  /** 32-bit frequency-weighted SimHash per document: every token votes
+    * ±1 on each of 32 bit positions drawn from md5(token); bit j of the
+    * fingerprint is set iff the vote sum is positive. One explode + one
+    * groupBy — a single shuffle at any scale.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", explode(words($"text")).as("t"))
+      .withColumn("h", md5($"t".cast("binary")))
+    // hex digit k of md5, as 0..15
+    def hexDigit(k: Int): Column =
+      instr(lit("0123456789abcdef"), substring($"h", k + 1, 1)) - 1
+    // bit j: bit (j%4) of hex digit (j/4)
+    def bit(j: Int): Column = floor(hexDigit(j / 4) / (1 << (j % 4))) % 2
+    val votes = (0 until SIMHASH_BITS).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
+    tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        (0 until SIMHASH_BITS)
+          .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val simhashSql: String = {
+    def hexDigit(k: Int) = s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+    def bit(j: Int) = s"(CAST(floor(${hexDigit(j / 4)} / ${1 << (j % 4)}) AS BIGINT) % 2)"
+    val votes = (0 until SIMHASH_BITS).map(j => s"sum(${bit(j)} * 2 - 1) AS v$j").mkString(", ")
+    val fp = (0 until SIMHASH_BITS)
+      .map(j => s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .reduce((a, b) => s"$a + $b")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3) via band blocking: split the
+    * 32-bit fingerprint into 4 bands of 8 bits; by pigeonhole, hamming
+    * ≤ 3 ⟹ at least one band identical, so joining on band equality is
+    * exact (no recall loss) and avoids the O(n²) compare. The oracle
+    * states the semantic result with a plain cross join — same rows.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = simhash(s, dir).cache()
+    val bands = (0 until 4).map { b =>
+      fp.select($"doc_id", $"simhash",
+        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("band"),
+        lit(b).as("band_idx"))
+    }.reduce(_ unionAll _)
+    bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.band_idx" === $"y.band_idx" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH fp AS (${simhashSql.replace("ORDER BY doc_id", "")})
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------- text analysis
+
+  /** Language ID by marker-token counts (n-gram heuristic): pure
+    * per-row higher-order functions — no shuffle, fully codegen'd.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    def score(marker: String): Column =
+      size(filter(w, x => x === marker)).cast("long")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        score("the").as("s_en"), score("der").as("s_de"),
+        score("el").as("s_es"), score("le").as("s_fr"))
+      .withColumn("pred_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" > 0, "de")
+          .when($"s_es" >= $"s_fr" && $"s_es" > 0, "es")
+          .when($"s_fr" > 0, "fr")
+          .otherwise("unknown"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    def score(m: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$m'))"
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  ${score("the")} AS s_en, ${score("der")} AS s_de,
+       |  ${score("el")} AS s_es, ${score("le")} AS s_fr,
+       |  CASE
+       |    WHEN ${score("the")} >= ${score("der")} AND ${score("the")} >= ${score("el")}
+       |         AND ${score("the")} >= ${score("le")} AND ${score("the")} > 0 THEN 'en'
+       |    WHEN ${score("der")} >= ${score("el")} AND ${score("der")} >= ${score("le")}
+       |         AND ${score("der")} > 0 THEN 'de'
+       |    WHEN ${score("el")} >= ${score("le")} AND ${score("el")} > 0 THEN 'es'
+       |    WHEN ${score("le")} > 0 THEN 'fr'
+       |    ELSE 'unknown' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-document quality score from length/stopword/token statistics.
+    * All double arithmetic is per-row with a fixed expression order —
+    * bit-identical across engines.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    val nTok = size(w).cast("long")
+    val nChars = length($"text").cast("long")
+    val stop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val avgTokLen = (nChars - nTok + 1).cast("double") / nTok
+    val stopRatio = stop.cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 64.0, lit(1.0))
+    Tables(s, dir, "documents")
+      .select($"doc_id", nTok.as("n_tokens"), nChars.as("n_chars_calc"),
+        stop.as("n_stopwords"),
+        (stopRatio * 0.5 + least(avgTokLen / 8.0, lit(1.0)) * 0.3 + lenScore * 0.2)
+          .as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val nChars = "CAST(length(text) AS BIGINT)"
+    val stop = "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT)"
+    s"""SELECT doc_id, $nTok AS n_tokens, $nChars AS n_chars_calc,
+       |  $stop AS n_stopwords,
+       |  (CAST($stop AS DOUBLE) / $nTok) * 0.5
+       |    + least((CAST($nChars - $nTok + 1 AS DOUBLE) / $nTok) / 8.0, 1.0) * 0.3
+       |    + least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.2 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + a deterministic BPE-ish
+    * estimate (¼ of characters, the standard LLM heuristic).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_calc"),
+        size(words($"text")).cast("long").as("n_ws_tokens"),
+        expr("(length(text) + 3) div 4").as("bpe_est"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  (length(text) + 3) // 4 AS bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over characters
+    * (seed 7, base 31, mod 1e9+7) via a sequential higher-order fold —
+    * per-row, no shuffle, deterministic.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        aggregate(split($"text", ""), lit(7L),
+          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus stats per (lang, source): counts + exact char sums. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val textStatsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ----------------------------------------------------------- embeddings
+
+  private val DIM = 64
+
+  /** Sequential dot product via the native [[graft.functions.DotProduct]]
+    * expression (codegen'd loop; an explicit 64-term expression tree
+    * overflows janino and falls out of whole-stage codegen). Evaluation
+    * order matches the oracle's left-associated SQL sum chain, so
+    * doubles are bit-identical.
+    */
+  private def dot(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot(s, a, b)
+
+  private def dotSql(a: String, b: String): String =
+    (1 to DIM).map(i =>
+        s"CAST(list_extract($a, $i) AS DOUBLE) * CAST(list_extract($b, $i) AS DOUBLE)")
+      .reduce((x, y) => s"$x + $y")
+
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    dot(s, a, b) / (sqrt(dot(s, a, a)) * sqrt(dot(s, b, b)))
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Brute-force cosine top-k (k=10) against the query vector
+    * (vec_id = 0): broadcast the 1-row query side, single scan, top-k
+    * via sort+limit (Spark plans TakeOrderedAndProject — per-partition
+    * heaps, no global sort). This is the exact baseline an ANN variant
+    * is measured against.
+    */
+  def simSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"label".as("q_label"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label", cosine(s, $"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val simSearchSql: String =
+    s"""SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos
+       |FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** IVF-style ANN: the coarse quantizer is the `label` column (a
+    * cluster assignment); probe only the query's cell. At scale this is
+    * the partition-pruning path — data bucketed/partitioned by cell id
+    * means the scan touches one cell, not the corpus.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"label".as("q_label"))
+    e.join(broadcast(q), $"label" === $"q_label")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label", cosine(s, $"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annIvfSql: String =
+    s"""SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos
+       |FROM embeddings,
+       |  (SELECT embedding AS qv, label AS q_label FROM embeddings WHERE vec_id = 0)
+       |WHERE vec_id <> 0 AND label = q_label
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** LSH-bucketed ANN: bucket = 8 sign bits of the first 8 dimensions
+    * (a fixed, engine-agnostic set of separating hyperplanes); probe
+    * the query's bucket only. Same pruning story as IVF with a
+    * data-independent quantizer.
+    */
+  private def signBucket(v: Column): Column =
+    (1 to 8).map(i =>
+        when(element_at(v, i) >= 0.0f, lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def signBucketSql(v: String): String =
+    (1 to 8).map(i =>
+        s"CASE WHEN list_extract($v, $i) >= 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE 0 END")
+      .reduce((a, b) => s"$a + $b")
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("bucket", signBucket($"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"bucket".as("q_bucket"))
+    e.join(broadcast(q), $"bucket" === $"q_bucket")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"bucket", cosine(s, $"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |    ${signBucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT vec_id, label, bucket, ${cosineSql("embedding", "qv")} AS cos
+       |FROM e, (SELECT embedding AS qv, bucket AS q_bucket FROM e WHERE vec_id = 0)
+       |WHERE vec_id <> 0 AND bucket = q_bucket
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.40, blocked by the
+    * label cell (the scalable all-pairs mitigation — compare within
+    * blocks, not across the corpus).
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), $"a.label".as("label"),
+        cosine(s, $"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" >= 0.40)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val embedNearDupSql: String =
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+       |  ${cosineSql("a.embedding", "b.embedding")} AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.40
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_exact_dedup"    -> exactDedup _,
+    "x_ngram_jaccard"  -> ngramJaccard _,
+    "x_minhash_lsh"    -> minhashLsh _,
+    "x_simhash"        -> simhash _,
+    "x_simhash_pairs"  -> simhashPairs _,
+    "x_lang_id"        -> langId _,
+    "x_quality_score"  -> qualityScore _,
+    "x_token_count"    -> tokenCount _,
+    "x_fingerprint"    -> fingerprint _,
+    "x_text_stats"     -> textStats _,
+    "x_sim_search"     -> simSearch _,
+    "x_ann_ivf"        -> annIvf _,
+    "x_ann_lsh"        -> annLsh _,
+    "x_embed_near_dup" -> embedNearDup _)
+
+  val oracle: Map[String, String] = Map(
+    "x_exact_dedup"    -> exactDedupSql,
+    "x_ngram_jaccard"  -> ngramJaccardSql,
+    "x_minhash_lsh"    -> minhashLshSql,
+    "x_simhash"        -> simhashSql,
+    "x_simhash_pairs"  -> simhashPairsSql,
+    "x_lang_id"        -> langIdSql,
+    "x_quality_score"  -> qualityScoreSql,
+    "x_token_count"    -> tokenCountSql,
+    "x_fingerprint"    -> fingerprintSql,
+    "x_text_stats"     -> textStatsSql,
+    "x_sim_search"     -> simSearchSql,
+    "x_ann_ivf"        -> annIvfSql,
+    "x_ann_lsh"        -> annLshSql,
+    "x_embed_near_dup" -> embedNearDupSql)
+}
