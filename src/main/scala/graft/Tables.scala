@@ -22,14 +22,18 @@ object Tables {
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's
     * vectorized reader rejects. Read it as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to µs —
-    * integer `div`, not `/`, because 2024-epoch nanos exceed 2^53 and
-    * would lose precision through a double. The µs value matches
-    * DuckDB's native ns timestamp at every granularity ≥ 1 µs.
+    * (`spark.sql.legacy.parquet.nanosAsLong`, a session-wide conf that
+    * has no per-read option — [[Sessions.builder]] sets it at session
+    * construction, never mid-query) and floor-divide to µs — integer
+    * `div`, not `/`, because 2024-epoch nanos exceed 2^53 and would
+    * lose precision through a double. The µs value matches DuckDB's
+    * native ns timestamp at every granularity ≥ 1 µs.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(use graft.Sessions.builder) to read events.ts TIMESTAMP(NANOS)")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -380,7 +380,7 @@ object Pipeline {
   }
 
   val textStatsSql: String =
-    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
