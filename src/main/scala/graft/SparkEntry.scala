@@ -17,10 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Pipeline.queries
+    graft.queries.Parity.queries ++
+      graft.queries.Relational.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.Pipeline.oracle
+    graft.queries.Parity.oracle ++
+      graft.queries.Relational.oracle ++
+      graft.queries.Pipeline.oracle
 }
