@@ -25,6 +25,7 @@ object Bench {
           failed ::= name
           false
         }
+      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse or memory pressure
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

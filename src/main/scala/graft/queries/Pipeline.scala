@@ -51,6 +51,40 @@ object Pipeline {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
+  /** Document-frequency cap for shingle self-joins: a shingle present
+    * in more than this many documents is boilerplate (template text,
+    * stop-phrases) and is dropped from the index BEFORE any join. This
+    * bounds the self-join fan-out per key at cap²/2 rows — without it,
+    * one ubiquitous shingle in 1M docs yields 10¹² join rows at 100 TB.
+    * The cap is part of the operator's semantics: sizes and
+    * intersections both use the filtered shingle universe, and the
+    * DuckDB oracle applies the identical filter.
+    */
+  private val SHINGLE_DF_CAP = 100
+
+  /** Shingles whose document frequency is within the cap — the
+    * inverted index actually joined. Costs one extra groupBy on the
+    * same key the join shuffles on (map-side partial agg).
+    */
+  private def keptShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cache the explode: it feeds both the DF-count aggregation and the
+    // index itself (Spark's cache manager dedupes the plan across
+    // queries in one session). The count uses groupBy (map-side
+    // partial agg), not a window, so the ubiquitous-shingle partition
+    // never concentrates on one task.
+    val sh = shingles(s, dir).cache()
+    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= SHINGLE_DF_CAP)
+      .select($"s")
+    sh.join(rare, "s").select($"doc_id", $"s")
+  }
+
+  private val keptShinglesSql: String =
+    s"""SELECT doc_id, s FROM ($shinglesSql)
+       |WHERE s IN (SELECT s FROM ($shinglesSql) GROUP BY s
+       |            HAVING COUNT(*) <= $SHINGLE_DF_CAP)""".stripMargin
+
   /** Exact dedup by normalized-text hash: hash-groupBy, keep min id.
     * At 100 TB this is one shuffle on a well-distributed key (md5) with
     * map-side partial aggregation — the canonical exact-dedup plan.
@@ -70,14 +104,14 @@ object Pipeline {
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 via an
     * inverted shingle index (no O(n²) cross join): explode distinct
     * shingles, self-join on shingle to count intersections, derive
-    * |A∪B| = |A|+|B|−|A∩B|. The self-join shuffles on the shingle key —
-    * at scale, frequent shingles are the skew risk; the standard
-    * mitigation (drop shingles with document frequency above a cap)
-    * keeps the join bounded.
+    * |A∪B| = |A|+|B|−|A∩B|. The self-join shuffles on the shingle
+    * key; the [[SHINGLE_DF_CAP]] document-frequency filter bounds the
+    * per-key fan-out so one boilerplate shingle can't degenerate the
+    * join toward all-pairs.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
+    val sh = keptShingles(s, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -93,7 +127,7 @@ object Pipeline {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS ($keptShinglesSql),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
@@ -110,18 +144,9 @@ object Pipeline {
     * and md5 is bit-identical across engines (unlike seeded MLlib
     * MinHashLSH). One groupBy = one shuffle; signature is 8 small aggs.
     */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigs = (0 until 8)
-      .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
-    shingles(s, dir)
-      .groupBy($"doc_id")
-      .agg(sigs.head, sigs.tail: _*)
-  }
-
   private val minhashSigsSql: String = {
     val aggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    s"""SELECT doc_id, $aggs FROM ($shinglesSql) GROUP BY doc_id"""
+    s"""SELECT doc_id, $aggs FROM ($keptShinglesSql) GROUP BY doc_id"""
   }
 
   /** Banded MinHash LSH near-dup: 4 bands × 2 rows; candidate pairs
@@ -133,7 +158,15 @@ object Pipeline {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhashSigs(s, dir).cache()
+    // ONE shingle index scan feeds signatures, sizes, and exact
+    // verification — cached so the explode+DF-cap subtree runs once.
+    val sh = keptShingles(s, dir).cache()
+    val sigAggs = (0 until 8)
+      .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
+    // cache: the 4 band projections × 2 self-join sides would
+    // otherwise recompute the signature aggregation 8 times. One row
+    // per doc — always cacheable, at any corpus size.
+    val sig = sh.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*).cache()
     val bands = (0 until 4).map { b =>
       sig.select($"doc_id",
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band"),
@@ -144,7 +177,6 @@ object Pipeline {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
 
-    val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), $"a_id" === $"sa.doc_id")
@@ -162,7 +194,7 @@ object Pipeline {
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS ($keptShinglesSql),
        |sig AS ($minhashSigsSql),
        |bands AS (
        |  $bandSelects),
@@ -184,23 +216,31 @@ object Pipeline {
 
   // ------------------------------------------------------------- simhash
 
-  private val SIMHASH_BITS = 32
+  private val SIMHASH_BITS = 64
 
-  /** 32-bit frequency-weighted SimHash per document: every token votes
-    * ±1 on each of 32 bit positions drawn from md5(token); bit j of the
+  /** 64-bit frequency-weighted SimHash per document: every token votes
+    * ±1 on each of 64 bit positions drawn from md5(token); bit j of the
     * fingerprint is set iff the vote sum is positive. One explode + one
     * groupBy — a single shuffle at any scale.
+    *
+    * Bit extraction goes through two `conv(hex8, 16, 10)` integer
+    * parses + shift/mask per token (not per-hex-digit string ops —
+    * ~8× less expression work per token), and 64 bits (not 32) so the
+    * pair join below can block on 16-bit bands.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // conv() yields the 32-bit halves as non-negative longs; bit j of
+    // the 128-bit md5 prefix, j=0 the least-significant bit of `lo`.
     val tok = Tables(s, dir, "documents")
       .select($"doc_id", explode(words($"text")).as("t"))
       .withColumn("h", md5($"t".cast("binary")))
-    // hex digit k of md5, as 0..15
-    def hexDigit(k: Int): Column =
-      instr(lit("0123456789abcdef"), substring($"h", k + 1, 1)) - 1
-    // bit j: bit (j%4) of hex digit (j/4)
-    def bit(j: Int): Column = floor(hexDigit(j / 4) / (1 << (j % 4))) % 2
+      .withColumn("hi", conv(substring($"h", 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring($"h", 9, 8), 16, 10).cast("long"))
+    def bit(j: Int): Column = {
+      val half = if (j < 32) $"lo" else $"hi"
+      shiftright(half, j % 32).bitwiseAND(lit(1L))
+    }
     val votes = (0 until SIMHASH_BITS).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
     tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id",
@@ -211,30 +251,41 @@ object Pipeline {
   }
 
   val simhashSql: String = {
-    def hexDigit(k: Int) = s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-    def bit(j: Int) = s"(CAST(floor(${hexDigit(j / 4)} / ${1 << (j % 4)}) AS BIGINT) % 2)"
+    def bit(j: Int) = {
+      val half = if (j < 32) "lo" else "hi"
+      s"(($half >> ${j % 32}) & 1)"
+    }
     val votes = (0 until SIMHASH_BITS).map(j => s"sum(${bit(j)} * 2 - 1) AS v$j").mkString(", ")
     val fp = (0 until SIMHASH_BITS)
       .map(j => s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .reduce((a, b) => s"$a + $b")
     s"""WITH tok AS (
        |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
-       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+       |halves AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(h, 1, 8))::BIGINT AS hi,
+       |    ('0x' || substr(h, 9, 8))::BIGINT AS lo
+       |  FROM tok),
+       |v AS (SELECT doc_id, $votes FROM halves GROUP BY doc_id)
        |SELECT doc_id, $fp AS simhash FROM v ORDER BY doc_id""".stripMargin
   }
 
   /** SimHash near-dup pairs (hamming ≤ 3) via band blocking: split the
-    * 32-bit fingerprint into 4 bands of 8 bits; by pigeonhole, hamming
-    * ≤ 3 ⟹ at least one band identical, so joining on band equality is
-    * exact (no recall loss) and avoids the O(n²) compare. The oracle
-    * states the semantic result with a plain cross join — same rows.
+    * 64-bit fingerprint into 4 bands of 16 bits; by pigeonhole,
+    * hamming ≤ 3 ⟹ at least one band identical, so joining on band
+    * equality is exact (no recall loss) and avoids the O(n²) compare.
+    * 16-bit bands give 65 536 join keys per band index — at N docs the
+    * expected candidate set is ~4·N²/65 536, vs N²/2 for a cross join
+    * (and vs only 256 keys for 8-bit bands, which degenerates
+    * quadratically ~256× sooner). The oracle states the semantic
+    * result with a plain self join — same rows.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fp = simhash(s, dir).cache()
     val bands = (0 until 4).map { b =>
       fp.select($"doc_id", $"simhash",
-        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("band"),
+        shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL)).as("band"),
         lit(b).as("band_idx"))
     }.reduce(_ unionAll _)
     bands.as("x").join(bands.as("y"),

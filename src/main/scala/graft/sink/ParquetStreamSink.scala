@@ -106,11 +106,18 @@ final class ParquetStreamSink(
   }
 
   /** Ingest local rows (the reference's dict-of-lists path,
-    * `writer.py:210-212`): validated against the schema through the
-    * same cast machinery.
+    * `writer.py:210-212`): rows whose runtime types already match the
+    * schema are buffered directly (the cast would be the identity);
+    * anything else goes through the full cast machinery, where
+    * widening succeeds and invalid values raise. The fast path
+    * matters because a caller streaming many small batches would
+    * otherwise pay a Catalyst analysis per call.
     */
-  def writeRows(rows: Seq[Row]): Unit =
-    writeBatch(spark.createDataFrame(rows.asJava, schema))
+  def writeRows(rows: Seq[Row]): Unit = {
+    ensureOpen()
+    if (rows.forall(RowConformance.conforms(_, schema))) addRows(rows.toArray)
+    else writeBatch(spark.createDataFrame(rows.asJava, schema))
+  }
 
   private def addRows(rows: Array[Row]): Unit = {
     buffer += rows
