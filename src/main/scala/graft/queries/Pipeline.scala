@@ -435,6 +435,55 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // -------------------------------------------------------- sessionization
+
+  /** Event sessionization (30-minute inactivity gap) via
+    * gaps-and-islands: lag to detect session starts, running sum to
+    * number sessions, one aggregate per session. Two window passes and
+    * one groupBy, all partitioned by `user_id` — a single shuffle key
+    * end-to-end, so the plan reuses one exchange at any scale. The
+    * streaming twin with identical semantics is
+    * [[graft.streaming.Sessionize]] (`flatMapGroupsWithState`).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts")
+    val gapUs = 30L * 60 * 1000000
+    Tables(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        Num.dsum($"value").as("sum_value"))
+      .drop("sess")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e)),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ----------------------------------------------------------- embeddings
 
   private val DIM = 64
@@ -581,6 +630,7 @@ object Pipeline {
     "x_quality_score"  -> qualityScore _,
     "x_token_count"    -> tokenCount _,
     "x_fingerprint"    -> fingerprint _,
+    "x_sessionize"     -> sessionize _,
     "x_text_stats"     -> textStats _,
     "x_sim_search"     -> simSearch _,
     "x_ann_ivf"        -> annIvf _,
@@ -597,6 +647,7 @@ object Pipeline {
     "x_quality_score"  -> qualityScoreSql,
     "x_token_count"    -> tokenCountSql,
     "x_fingerprint"    -> fingerprintSql,
+    "x_sessionize"     -> sessionizeSql,
     "x_text_stats"     -> textStatsSql,
     "x_sim_search"     -> simSearchSql,
     "x_ann_ivf"        -> annIvfSql,

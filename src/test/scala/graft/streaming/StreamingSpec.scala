@@ -1,0 +1,178 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structured Streaming coverage: the distributed shard sink driven by
+  * `foreachBatch`, watermarked event-time windows, and stateful
+  * sessionization (`flatMapGroupsWithState`) checked against the batch
+  * gaps-and-islands logic on identical data.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  private lazy val spark = TestSpark.spark
+
+  private var tmp: Path = _
+  override def beforeEach(): Unit = { tmp = Files.createTempDirectory("graft-streaming") }
+  override def afterEach(): Unit = {
+    import java.util.Comparator
+    if (Files.exists(tmp))
+      Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+  }
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("StreamingShardSink: foreachBatch micro-batches become sized, indexed shards") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("value", StringType)))
+    val rowBytes = 8 + (100 + 4) // ColumnarSize of one (Long, 100-char) row
+    val out = tmp.resolve("stream-shards")
+    val sink = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = rowBytes * 10L, filePrefix = Some("ev"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.addBatch(df, id))
+      .start()
+    try {
+      mem.addData((0L until 25L).map(i => (i, "x" * 100)): _*)
+      q.processAllAvailable()
+      mem.addData((25L until 40L).map(i => (i, "x" * 100)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val files = Files.list(out).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+    // manifest == directory contents, names are the contiguous sequence
+    assert(sink.writtenFiles.map(_.getFileName.toString).sorted ==
+      files.map(_.getFileName.toString))
+    assert(files.map(_.getFileName.toString) ==
+      files.indices.map(i => s"ev-$i.parquet"))
+    // every row arrived exactly once
+    val back = spark.read.schema(schema).parquet(out.toString)
+    assert(back.count() == 40L)
+    assert(back.select($"id").as[Long].collect().sorted.toSeq == (0L until 40L))
+    // shards respect the ~10-row cap
+    files.foreach { f =>
+      assert(spark.read.parquet(f.toString).count() <= 10L)
+    }
+  }
+
+  test("watermarked tumbling window finalizes once the watermark passes") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("start"), $"n", $"total")
+
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_agg")
+      .option("checkpointLocation", tmp.resolve("ckpt2").toString)
+      .start()
+    try {
+      mem.addData((ts(1), 1.0), (ts(7), 2.0), (ts(14), 4.0)) // all in [10:00, 10:15)
+      q.processAllAvailable()
+      // nothing final yet: watermark = 10:14 - 10min = 10:04 < 10:15
+      assert(spark.table("win_agg").count() == 0L)
+
+      mem.addData((ts(40), 8.0)) // watermark → 10:30, closes [10:00, 10:15)
+      q.processAllAvailable()
+      val fin = spark.table("win_agg").collect()
+      assert(fin.length == 1)
+      assert(fin(0).getAs[Timestamp]("start") == ts(0))
+      assert(fin(0).getAs[Long]("n") == 3L)
+      assert(fin(0).getAs[Double]("total") == 7.0)
+
+      // a late event behind the watermark is dropped, not re-opened
+      mem.addData((ts(5), 100.0))
+      q.processAllAvailable()
+      assert(spark.table("win_agg").count() == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization matches batch gaps-and-islands semantics") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      mem.toDS().withWatermark("ts", "0 seconds").as[Sessionize.Event],
+      gapSeconds = 30 * 60)
+
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .option("checkpointLocation", tmp.resolve("ckpt3").toString)
+      .start()
+    try {
+      // user 1: two sessions (gap 45 min); user 2: one session
+      mem.addData(
+        Sessionize.Event(1L, ts(0), 1.0),
+        Sessionize.Event(1L, ts(10), 2.0),
+        Sessionize.Event(2L, ts(5), 5.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(1L, ts(55), 4.0)) // 45-min gap → new session
+      q.processAllAvailable()
+      // push the watermark far ahead so every open session times out
+      mem.addData(Sessionize.Event(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, Timestamp.valueOf("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions").as[Sessionize.Session].collect()
+        .filter(_.user_id != 99L)
+        .sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(got.map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value)).toSeq == Seq(
+        (1L, ts(0), ts(10), 2L, 3.0),
+        (1L, ts(55), ts(55), 1L, 4.0),
+        (2L, ts(5), ts(5), 1L, 5.0)))
+
+      // same answer as the batch gaps-and-islands pipeline on the same rows
+      val batchRows = Seq(
+        (1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 5.0), (1L, ts(55), 4.0))
+      val batch = batchRows.toDF("user_id", "ts", "value")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val sess = batch
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_sess", when($"prev".isNull ||
+          unix_micros($"ts") - unix_micros($"prev") > 30L * 60 * 1000000, 1L).otherwise(0L))
+        .withColumn("sess", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+        .drop("sess")
+        .orderBy($"user_id", $"session_start")
+        .collect()
+      assert(sess.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSeq ==
+        got.map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value)).toSeq)
+    } finally q.stop()
+  }
+}
