@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Parity.queries ++
       graft.queries.Relational.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracle ++
       graft.queries.Relational.oracle ++
-      graft.queries.Pipeline.oracle
+      graft.queries.Pipeline.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

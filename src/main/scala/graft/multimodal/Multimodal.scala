@@ -1,0 +1,198 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal columns: image/audio/video treated as opaque `binary`
+  * payloads with typed metadata, processed by a typed
+  * partition-iterator pipeline (`Dataset.mapPartitions` — Spark's
+  * Scala-side analog of `mapInPandas`: one decoder instance per
+  * partition, rows streamed through in batches, schema declared by
+  * case-class encoders).
+  *
+  * THE DECODE STEP IS A STUB: this container has no image/audio
+  * codecs, so [[decodeStub]] stands in for the real
+  * decoder — it derives dimensions/rates/checksums deterministically
+  * from the payload bytes. Everything AROUND it is the real
+  * production plumbing: binary columns through scans and shuffles,
+  * magic-byte sniffing on byte slices, per-partition batch iteration,
+  * typed encoders, frame-slice explosion. Swapping `decodeStub` for a
+  * JNI/javacpp decoder changes no schema, partitioning, or plan
+  * shape.
+  *
+  * Assets are synthesized deterministically from the `documents`
+  * fixture (payload = 5-byte magic header ++ text bytes, kind by
+  * doc_id mod 3) so every operator stays DuckDB-oracle-checkable.
+  */
+object Multimodal {
+
+  final case class MediaAsset(
+      asset_id: Long, kind: String, payload: Array[Byte])
+
+  /** One decoded asset: image dims, audio rate/duration, video frame
+    * count, content checksum, plus a deterministic 32×32 "resize"
+    * fingerprint for images.
+    */
+  final case class DecodedMedia(
+      asset_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int,
+      sample_rate: Int, duration_ms: Long,
+      n_frames: Long, checksum: String,
+      resized_checksum: String)
+
+  private val Magic = Map("image" -> "IMG89", "audio" -> "RIFF!", "video" -> "MPEG4")
+
+  /** Deterministic asset table over `documents`: binary payload with a
+    * sniffable magic header, kind by `doc_id % 3`.
+    */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kind = element_at(lit(Array("image", "audio", "video")), ($"doc_id" % 3).cast("int") + 1)
+    Tables(s, dir, "documents")
+      .select($"doc_id".as("asset_id"), kind.as("kind"), $"text")
+      .withColumn("magic",
+        element_at(map(Magic.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), $"kind"))
+      .select($"asset_id", $"kind",
+        concat($"magic", $"text").cast("binary").as("payload"))
+  }
+
+  /** `kind` CASE + payload prefix in the oracle's VARCHAR domain
+    * (payloads are ASCII by construction, so byte and char slicing
+    * coincide — asserted by the md5 checks matching).
+    */
+  private val kindSql =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  private val payloadSql =
+    "(CASE doc_id % 3 WHEN 0 THEN 'IMG89' WHEN 1 THEN 'RIFF!' ELSE 'MPEG4' END || text)"
+
+  // ------------------------------------------------------------ operators
+
+  /** Metadata + magic-byte sniffing: pure expressions over the binary
+    * column (byte slice → string compare), no decode needed. The
+    * sniffed kind must agree with the declared one.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val magic = substring($"payload", 1, 5).cast("string")
+    assets(s, dir)
+      .select($"asset_id", $"kind",
+        when(magic === Magic("image"), "image")
+          .when(magic === Magic("audio"), "audio")
+          .when(magic === Magic("video"), "video")
+          .otherwise("unknown").as("sniffed_kind"),
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("payload_md5"))
+      .orderBy($"asset_id")
+  }
+
+  val mediaMetaSql: String =
+    s"""SELECT doc_id AS asset_id, $kindSql AS kind,
+       |  CASE substr($payloadSql, 1, 5)
+       |    WHEN 'IMG89' THEN 'image' WHEN 'RIFF!' THEN 'audio'
+       |    WHEN 'MPEG4' THEN 'video' ELSE 'unknown' END AS sniffed_kind,
+       |  CAST(length($payloadSql) AS BIGINT) AS n_bytes,
+       |  md5($payloadSql) AS payload_md5
+       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** STUB decoder — deterministic stand-in for a real image/audio/
+    * video codec. Dimensions, rates and frame counts derive from the
+    * byte length; checksums are md5 so the DuckDB oracle can verify
+    * byte-exact plumbing. A real deployment replaces ONLY this
+    * function (e.g. with a JNI decoder), keeping the signature
+    * `MediaAsset => DecodedMedia`.
+    */
+  def decodeStub(a: MediaAsset): DecodedMedia = {
+    val n = a.payload.length.toLong
+    val md = MessageDigest.getInstance("MD5")
+    val checksum = md.digest(a.payload).map("%02x".format(_)).mkString
+    val (w, h) = a.kind match {
+      case "image" => (16 + (n % 64).toInt, 16 + ((n * 7) % 64).toInt)
+      case _       => (0, 0)
+    }
+    val rate = a.kind match {
+      case "audio" => 8000 + ((n % 3) * 4000).toInt
+      case _       => 0
+    }
+    val durationMs = if (rate > 0) n * 1000L / rate else 0L
+    val frames = a.kind match {
+      case "video" => (n + 255L) / 256L
+      case _       => 1L
+    }
+    val resized =
+      if (a.kind == "image")
+        MessageDigest.getInstance("MD5")
+          .digest((checksum + "|32x32").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      else ""
+    DecodedMedia(a.asset_id, a.kind, n, w, h, rate, durationMs, frames, checksum, resized)
+  }
+
+  /** Decode / feature-extract / resize through the typed
+    * partition-iterator pipeline. The plan shape is what matters for
+    * 100 TB: a scan → one narrow mapPartitions (no shuffle, one
+    * decoder per partition) → sort only for the oracle's total order.
+    */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val assetEnc = Encoders.product[MediaAsset]
+    implicit val decodedEnc = Encoders.product[DecodedMedia]
+    assets(s, dir).as[MediaAsset]
+      .mapPartitions(iter => iter.map(decodeStub))
+      .toDF()
+      .orderBy("asset_id")
+  }
+
+  val mediaDecodeSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, $kindSql AS kind, $payloadSql AS p FROM documents)
+       |SELECT asset_id, kind, CAST(length(p) AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN kind = 'image' THEN 16 + length(p) % 64 ELSE 0 END AS INT) AS width,
+       |  CAST(CASE WHEN kind = 'image' THEN 16 + (length(p) * 7) % 64 ELSE 0 END AS INT) AS height,
+       |  CAST(CASE WHEN kind = 'audio' THEN 8000 + (length(p) % 3) * 4000 ELSE 0 END AS INT) AS sample_rate,
+       |  CAST(CASE WHEN kind = 'audio'
+       |    THEN length(p) * 1000 // (8000 + (length(p) % 3) * 4000)
+       |    ELSE 0 END AS BIGINT) AS duration_ms,
+       |  CAST(CASE WHEN kind = 'video' THEN (length(p) + 255) // 256 ELSE 1 END AS BIGINT) AS n_frames,
+       |  md5(p) AS checksum,
+       |  CASE WHEN kind = 'image' THEN md5(md5(p) || '|32x32') ELSE '' END AS resized_checksum
+       |FROM a ORDER BY asset_id""".stripMargin
+
+  /** Frame sampling for video payloads: every 4th 256-byte slice,
+    * checksummed. Byte slicing + explode — narrow until the final
+    * oracle sort; at scale the explode fans out within partitions,
+    * no shuffle.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .filter($"kind" === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), ((length($"payload") + 255) / 256).cast("long") - 1L, lit(4L))))
+      .select($"asset_id", $"frame_idx",
+        md5(expr("substring(payload, cast(frame_idx * 256 + 1 as int), 256)")).as("frame_md5"))
+      .orderBy($"asset_id", $"frame_idx")
+  }
+
+  val frameSampleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, $payloadSql AS p FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT asset_id, p, unnest(range(0, (length(p) + 255) // 256, 4)) AS frame_idx
+       |  FROM a)
+       |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  md5(substr(p, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+       |FROM f ORDER BY asset_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_media_meta"   -> mediaMeta _,
+    "x_media_decode" -> mediaDecode _,
+    "x_frame_sample" -> frameSample _)
+
+  val oracle: Map[String, String] = Map(
+    "x_media_meta"   -> mediaMetaSql,
+    "x_media_decode" -> mediaDecodeSql,
+    "x_frame_sample" -> frameSampleSql)
+}
