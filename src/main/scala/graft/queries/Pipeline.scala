@@ -435,6 +435,93 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ----------------------------------------------------- asof / sampling
+
+  /** As-of join composed from existing operators (SURVEY §2.2
+    * preference (a)): each `purchase` event matched to the same
+    * user's most recent `click` at-or-before it. One window over
+    * (user_id, ts, event_id) — a running `last(..., ignoreNulls)`
+    * carries the click forward, so no join materializes at all: this
+    * beats an actual range/asof join at scale (single shuffle on
+    * user_id, no per-row probe).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("last_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"), $"last_click_id", $"last_click_ts")
+      .orderBy($"purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS last_click_ts
+      |  FROM e)
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |  last_click_id, last_click_ts
+      |FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
+  /** Deterministic hash sampling (the reproducible-pipeline form of
+    * stratified sampling): bucket = first 4 hex digits of
+    * md5(doc_id), keep bucket % 100 < 10. Engine-agnostic (md5, not a
+    * seeded RNG), stable under reruns and repartitioning, and a pure
+    * per-row filter — pushes down to a scan-side predicate at scale.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .filter($"bucket" < 10)
+      .select($"doc_id", $"lang", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val hashSampleSql: String =
+    """SELECT doc_id, lang, source,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
+  /** Cardinality sketch: HyperLogLog++ distinct-token estimate per
+    * language next to the exact count. Sketches are engine-specific,
+    * so this query has NO DuckDB oracle (driver records the weaker
+    * rows-only check); the exact column is there to eyeball sketch
+    * error. At 100 TB the HLL path aggregates a fixed-size sketch
+    * per partition — no distinct shuffle explosion.
+    */
+  def tokenSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang", explode(words($"text")).as("t"))
+      .groupBy($"lang")
+      .agg(
+        approx_count_distinct($"t", rsd = 0.02).as("approx_distinct_tokens"),
+        countDistinct($"t").as("exact_distinct_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy($"lang")
+  }
+
   // -------------------------------------------------------- sessionization
 
   /** Event sessionization (30-minute inactivity gap) via
@@ -630,6 +717,9 @@ object Pipeline {
     "x_quality_score"  -> qualityScore _,
     "x_token_count"    -> tokenCount _,
     "x_fingerprint"    -> fingerprint _,
+    "x_asof_join"      -> asofJoin _,
+    "x_hash_sample"    -> hashSample _,
+    "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_text_stats"     -> textStats _,
     "x_sim_search"     -> simSearch _,
@@ -647,6 +737,9 @@ object Pipeline {
     "x_quality_score"  -> qualityScoreSql,
     "x_token_count"    -> tokenCountSql,
     "x_fingerprint"    -> fingerprintSql,
+    "x_asof_join"      -> asofJoinSql,
+    "x_hash_sample"    -> hashSampleSql,
+    // x_token_sketch: no oracle — HLL sketches are engine-specific
     "x_sessionize"     -> sessionizeSql,
     "x_text_stats"     -> textStatsSql,
     "x_sim_search"     -> simSearchSql,
