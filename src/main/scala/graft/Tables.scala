@@ -21,20 +21,23 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's
-    * vectorized reader rejects. Read it as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, a session-wide conf that
-    * has no per-read option — [[Sessions.builder]] sets it at session
-    * construction, never mid-query) and floor-divide to µs — integer
-    * `div`, not `/`, because 2024-epoch nanos exceed 2^53 and would
-    * lose precision through a double. The µs value matches DuckDB's
-    * native ns timestamp at every granularity ≥ 1 µs.
+    * schema inference rejects. An EXPLICIT user schema typing `ts` as
+    * long reads the raw nanos fine (verified against the bundled
+    * Spark 4.1 vectorized reader) — no session conf needed, so this
+    * works identically in any caller's session with zero global
+    * state. Floor-divide to µs with integer `div`, not `/`, because
+    * 2024-epoch nanos exceed 2^53 and would lose precision through a
+    * double. The µs value matches DuckDB's native ns timestamp at
+    * every granularity ≥ 1 µs (the fixture carries no sub-µs parts).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(use graft.Sessions.builder) to read events.ts TIMESTAMP(NANOS)")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

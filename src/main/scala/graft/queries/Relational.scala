@@ -266,7 +266,56 @@ object Relational {
       |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
       |LIMIT 25""".stripMargin
 
+  /** Full cube over part (brand × ptype): all four grouping-set
+    * combinations; GROUPING() flags disambiguate genuine NULLs from
+    * subtotal rows.
+    */
+  def cubeParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .cube($"p_brand", $"p_type")
+      .agg(
+        // grouping() is only valid inside the cube's aggregate list
+        grouping($"p_brand").cast("long").as("g_brand"),
+        grouping($"p_type").cast("long").as("g_ptype"),
+        count(lit(1)).as("n"), Num.dsum($"p_retailprice").as("total_price"))
+      .select(
+        coalesce($"p_brand", lit("ALL")).as("brand"),
+        coalesce($"p_type", lit("ALL")).as("ptype"),
+        $"g_brand", $"g_ptype", $"n", $"total_price")
+      .orderBy($"brand", $"ptype", $"g_brand", $"g_ptype")
+  }
+
+  val cubePartsSql: String =
+    """SELECT COALESCE(p_brand, 'ALL') AS brand,
+      |  COALESCE(p_type, 'ALL') AS ptype,
+      |  CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+      |  CAST(GROUPING(p_type) AS BIGINT) AS g_ptype,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM part
+      |GROUP BY CUBE (p_brand, p_type)
+      |ORDER BY brand, ptype, g_brand, g_ptype""".stripMargin
+
+  /** JSON scalar functions over the events `props` column. */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        ((get_json_object($"props", "$.k").cast("long") % 10) === 0).as("k_mod10"))
+      .orderBy($"event_id")
+  }
+
+  val jsonFuncsSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0 AS k_mod10
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube"            -> cubeParts _,
+    "q_json_funcs"      -> jsonFuncs _,
     "q_pricing_summary" -> pricingSummary _,
     "q_join_orders"     -> joinOrders _,
     "q_semi_anti"       -> semiAnti _,
@@ -279,6 +328,8 @@ object Relational {
     "q_topk"            -> topK _)
 
   val oracle: Map[String, String] = Map(
+    "q_cube"            -> cubePartsSql,
+    "q_json_funcs"      -> jsonFuncsSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_join_orders"     -> joinOrdersSql,
     "q_semi_anti"       -> semiAntiSql,
