@@ -80,6 +80,18 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** Function descriptions for [[graft.GraftExtensions]]
+    * (`spark.sql.extensions`-based injection). */
+  def injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+
   /** Idempotently registers graft's native expressions with the session
     * function registry (also usable from SQL as `graft_dot(a, b)`).
     */

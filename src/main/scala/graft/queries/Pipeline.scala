@@ -26,23 +26,26 @@ object Pipeline {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word 3-gram shingles of `text`.
-    * Size guard: `sequence(0, size-3)` needs size ≥ 3 (Spark's sequence
-    * steps backwards when stop < start).
+  /** Distinct word 3-gram shingles of a MATERIALIZED token-array
+    * column. The tokens must be a bound attribute, not an inline
+    * `split(...)`: expressions inside a `transform` lambda are
+    * re-evaluated per element, so an inlined split costs
+    * O(positions × tokens) string splitting per document (measured 2-6×
+    * slower at sf0.1). Size guard: `sequence(0, size-3)` needs size ≥ 3
+    * (Spark's sequence steps backwards when stop < start).
     */
-  private def shingleCol(text: Column): Column = {
-    val w = words(text)
+  private def shingleCol(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", slice(w, i + 1, lit(3))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** doc_id, s — exploded distinct shingles (the inverted-index input). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id", explode(shingleCol($"text")).as("s"))
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(shingleCol($"w")).as("s"))
   }
 
   private val shinglesSql =
@@ -313,10 +316,12 @@ object Pipeline {
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words($"text")
+    // materialize the token array once: four marker filters over an
+    // inline split() would re-split the text four times per row
     def score(marker: String): Column =
-      size(filter(w, x => x === marker)).cast("long")
+      size(filter($"w", x => x === marker)).cast("long")
     Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", words($"text").as("w"))
       .select($"doc_id", $"lang".as("labeled_lang"),
         score("the").as("s_en"), score("der").as("s_de"),
         score("el").as("s_es"), score("le").as("s_fr"))
@@ -351,14 +356,15 @@ object Pipeline {
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words($"text")
-    val nTok = size(w).cast("long")
+    // tokens materialized once (see langId note)
+    val nTok = size($"w").cast("long")
     val nChars = length($"text").cast("long")
-    val stop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val stop = size(filter($"w", x => x === "the" || x === "a")).cast("long")
     val avgTokLen = (nChars - nTok + 1).cast("double") / nTok
     val stopRatio = stop.cast("double") / nTok
     val lenScore = least(nTok.cast("double") / 64.0, lit(1.0))
     Tables(s, dir, "documents")
+      .select($"doc_id", $"text", words($"text").as("w"))
       .select($"doc_id", nTok.as("n_tokens"), nChars.as("n_chars_calc"),
         stop.as("n_stopwords"),
         (stopRatio * 0.5 + least(avgTokLen / 8.0, lit(1.0)) * 0.3 + lenScore * 0.2)

@@ -119,6 +119,21 @@ final class ParquetStreamSink(
     else writeBatch(spark.createDataFrame(rows.asJava, schema))
   }
 
+  /** Stream a whole DataFrame through the sink in bounded batches —
+    * the caller-loop idiom from the reference README (`README.md:36-43`)
+    * without materializing the input: rows arrive via
+    * `toLocalIterator` (one partition in memory at a time) and each
+    * `batchRows`-sized chunk goes through the normal threshold check,
+    * so peak driver memory is ~(buffer + one chunk + one partition).
+    */
+  def writeAll(df: DataFrame, batchRows: Int = 65536): Unit = {
+    ensureOpen()
+    val casted = df.select(
+      schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    casted.toLocalIterator().asScala.grouped(batchRows)
+      .foreach(chunk => addRows(chunk.toArray))
+  }
+
   private def addRows(rows: Array[Row]): Unit = {
     buffer += rows
     state.addBatch(ColumnarSize.ofRows(rows, schema))

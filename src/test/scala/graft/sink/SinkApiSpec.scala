@@ -1,0 +1,77 @@
+package graft.sink
+
+import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StreamingShardSink
+
+/** API-surface checks beyond the reference-port suite: the streaming
+  * sink's path validation, the bounded `writeAll` ingestion loop, and
+  * SQL-level function registration.
+  */
+class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("value", StringType)))
+
+  private var tmp: Path = _
+  override def beforeEach(): Unit = { tmp = Files.createTempDirectory("graft-api-spec") }
+  override def afterEach(): Unit = {
+    import java.util.Comparator
+    if (Files.exists(tmp))
+      Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+  }
+
+  test("StreamingShardSink validates paths like the reference ctor") {
+    intercept[NoSuchFileException] {
+      new StreamingShardSink(spark, tmp.resolve("missing/out"), schema, 1024L)
+    }
+    Files.createDirectory(tmp.resolve("occupied"))
+    intercept[FileAlreadyExistsException] {
+      new StreamingShardSink(spark, tmp.resolve("occupied"), schema, 1024L)
+    }
+    intercept[IllegalArgumentException] {
+      new StreamingShardSink(spark, tmp.resolve("x"), schema, -5L)
+    }
+  }
+
+  test("StreamingShardSink batch-mode addBatch: empty batch writes nothing") {
+    val out = tmp.resolve("stream")
+    val sink = new StreamingShardSink(spark, out, schema, 1024L)
+    sink.addBatch(spark.createDataFrame(Seq.empty[Row].asJava, schema))
+    assert(Files.list(out).iterator.asScala.isEmpty)
+    assert(sink.writtenFiles.isEmpty)
+  }
+
+  test("writeAll streams a DataFrame through the sink in bounded chunks") {
+    val out = tmp.resolve("all.parquet")
+    val df = spark.range(0, 1000).selectExpr("id", "repeat('v', 20) AS value")
+    val sink = new ParquetStreamSink(spark, out, schema, bufferSizeBytes = 4096L)
+    sink.writeAll(df, batchRows = 100)
+    sink.close()
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 1000L)
+    // several flushes happened (buffer 4 KiB << 1000 × 32 B), one file
+    val (groups, total, _) = ParquetFiles.rowGroupStats(out)
+    assert(total == 1000L)
+    assert(groups > 1)
+  }
+
+  test("graft_dot evaluates from plain SQL after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}
