@@ -36,7 +36,9 @@ object Parity {
     val src = Tables(s, dir, "orders")
     val out = scratch("identity.parquet")
     val sink = new ParquetStreamSink(s, out, src.schema, overwrite = true)
-    try sink.writeBatch(src)
+    // writeAll = bounded-memory caller loop (buffer + chunk + one
+    // input partition on the driver, regardless of table size)
+    try sink.writeAll(src, batchRows = 50000)
     finally sink.close()
     s.read.parquet(out.toString).orderBy("o_orderkey")
   }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-shape regression checks: the properties that make these
+  * queries survive a 100× scale-up are visible in the physical plan —
+  * pin them so a refactor can't silently lose pushdown, pruning, or a
+  * broadcast. (Spark version is pinned by the build, so plan strings
+  * are stable.)
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q_pricing_summary: filter pushed into the parquet scan") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "expected l_shipdate pushdown in:\n" + p.take(2000))
+  }
+
+  test("q_pricing_summary: scan is column-pruned (no l_orderkey read)") {
+    val p = plan("q_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      "pricing summary must not read join keys: " + readSchema)
+  }
+
+  test("q_join_orders: dimension joins broadcast, not shuffled") {
+    val p = plan("q_join_orders")
+    assert(p.contains("BroadcastHashJoin"), "expected BHJ in:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension joins must not sort-merge at this scale")
+  }
+
+  test("x_sim_search: 1-row query side broadcast + top-k without global sort") {
+    val p = plan("x_sim_search")
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not Sort+Limit:\n" + p.take(2000))
+  }
+
+  test("x_ann_ivf_pruned: partition pruning reaches the scan") {
+    val p = plan("x_ann_ivf_pruned")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("label"),
+      "expected PartitionFilters on label, got: " + scanLine)
+  }
+
+  test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
+    val p = plan("x_hash_sample")
+    // the filter sits directly over the scan — no shuffle before it
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0)
+    assert(exchangeIdx < 0 || filterIdx > exchangeIdx,
+      "sample filter must run before any exchange")
+  }
+}
