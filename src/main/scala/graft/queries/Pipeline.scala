@@ -441,6 +441,83 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ------------------------------------------------- cleaning / profiling
+
+  /** PII-style scrubbing: numbers and (synthetic) email shapes
+    * replaced by placeholder tags. Pure per-row regex — codegen'd, no
+    * shuffle, pushdown-friendly; the cleaned text keeps a change flag
+    * so downstream stages can count redactions cheaply.
+    */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cleaned = regexp_replace(
+      regexp_replace($"text", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+    Tables(s, dir, "documents")
+      .select($"doc_id", cleaned.as("clean_text"),
+        (cleaned =!= $"text").as("was_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val redactSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |                 '[0-9]+', '<NUM>', 'g') AS clean_text,
+      |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |                 '[0-9]+', '<NUM>', 'g') <> text AS was_redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Repetition ratio (boilerplate detector): most frequent token's
+    * share of the document. explode + two groupBys on (doc, token) —
+    * both shuffles key on doc_id so the second is exchange-reused.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(words($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("max_token_freq"), sum($"c").as("n_tokens"))
+      .select($"doc_id", $"max_token_freq", $"n_tokens",
+        ($"max_token_freq".cast("double") / $"n_tokens").as("repetition_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT doc_id, t, COUNT(*) AS c FROM tc GROUP BY 1, 2)
+      |SELECT doc_id, MAX(c) AS max_token_freq,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact char-length percentiles per language (linear
+    * interpolation, identical formula in both engines). Exact
+    * percentile sorts within each group — fine for profiling jobs; at
+    * 100 TB switch callers to approx_percentile when ±ε is
+    * acceptable.
+    */
+  def lenPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  val lenPercentilesSql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.75) AS p75,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------- asof / sampling
 
   /** As-of join composed from existing operators (SURVEY §2.2
@@ -759,6 +836,9 @@ object Pipeline {
     "x_token_count"    -> tokenCount _,
     "x_fingerprint"    -> fingerprint _,
     "x_asof_join"      -> asofJoin _,
+    "x_redact"         -> redact _,
+    "x_repetition"     -> repetition _,
+    "x_len_percentiles" -> lenPercentiles _,
     "x_hash_sample"    -> hashSample _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
@@ -780,6 +860,9 @@ object Pipeline {
     "x_token_count"    -> tokenCountSql,
     "x_fingerprint"    -> fingerprintSql,
     "x_asof_join"      -> asofJoinSql,
+    "x_redact"         -> redactSql,
+    "x_repetition"     -> repetitionSql,
+    "x_len_percentiles" -> lenPercentilesSql,
     "x_hash_sample"    -> hashSampleSql,
     // x_token_sketch: no oracle — HLL sketches are engine-specific
     "x_sessionize"     -> sessionizeSql,
