@@ -54,7 +54,8 @@ object ParquetFiles {
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(hPath(tmp), c), schema,
       ParquetFileWriter.Mode.OVERWRITE,
-      128L * 1024 * 1024, 8 * 1024 * 1024)
+      128L * 1024 * 1024, 8 * 1024 * 1024,
+      null, org.apache.parquet.column.ParquetProperties.builder().build())
     writer.start()
     parts.foreach(p => writer.appendFile(HadoopInputFile.fromPath(hPath(p), c)))
     writer.end(keyValueMeta)
@@ -82,7 +83,7 @@ object ParquetFiles {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath(file), conf()))
     try {
       val col = r.getFooter.getBlocks.get(0).getColumns.get(0)
-      val st = col.getStatistics
+      val st: org.apache.parquet.column.statistics.Statistics[_] = col.getStatistics
       st != null && !st.isEmpty
     } finally r.close()
   }

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Wiring helpers for the `readStream → transforms → writeStream`
+  * shape: one call to attach any streaming DataFrame to the
+  * distributed shard sink, and the standard watermarked event-time
+  * aggregation used by ingestion pipelines (finalized windows only —
+  * append mode — so downstream consumers never see a window twice).
+  */
+object Streams {
+
+  /** Attach a streaming DataFrame to the shard sink via
+    * `foreachBatch`; micro-batches become ≈shard-sized indexed
+    * Parquet files as they arrive.
+    */
+  def toShardSink(
+      df: DataFrame, sink: StreamingShardSink, checkpoint: Path): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint.toString)
+      .foreachBatch((batch: DataFrame, id: Long) => sink.addBatch(batch, id))
+      .start()
+
+  /** Watermarked tumbling-window aggregation: count + value sum per
+    * (window, key). Late events beyond `watermarkDelay` are dropped;
+    * windows emit exactly once, after the watermark passes their end.
+    */
+  def tumblingAgg(
+      df: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value"))
+}

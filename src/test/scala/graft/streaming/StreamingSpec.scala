@@ -78,6 +78,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("Streams facade: readStream → shard sink + watermarked agg wiring") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("value", StringType)))
+    val out = tmp.resolve("facade-shards")
+    val sink = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 4096L, filePrefix = Some("f"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.toShardSink(
+      mem.toDF().toDF("id", "value"), sink, tmp.resolve("ckpt-facade"))
+    try {
+      mem.addData((0L until 20L).map(i => (i, "y" * 50)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.schema(schema).parquet(out.toString).count() == 20L)
+    assert(sink.writtenFiles.nonEmpty)
+
+    // tumblingAgg is the same aggregation the inline watermark test
+    // verifies end-to-end; here check its batch-mode shape directly
+    val batch = Seq((ts(1), "a", 1.0), (ts(7), "a", 2.0), (ts(20), "b", 4.0))
+      .toDF("ts", "k", "value")
+    val agg = Streams.tumblingAgg(batch, "ts", "k", "15 minutes", "10 minutes")
+      .orderBy("window_start", "k").collect()
+    assert(agg.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((ts(0), "a", 2L, 3.0), (ts(15), "b", 1L, 4.0)))
+  }
+
   test("watermarked tumbling window finalizes once the watermark passes") {
     val spark0 = spark
     import spark0.implicits._
