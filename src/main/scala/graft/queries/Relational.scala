@@ -313,7 +313,62 @@ object Relational {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0 AS k_mod10
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Left outer join keeping empty groups: every customer with their
+    * order count and revenue, zero-order customers included. The agg
+    * runs BEFORE the join (aggregate the fact table, then join the
+    * dimension) so the join input is one row per customer, not one
+    * per order — at scale this is the difference between joining 1.5M
+    * rows and joining 15 B.
+    */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("rev"))
+    Tables(s, dir, "customer")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey",
+        coalesce($"cnt", lit(0L)).as("n_orders"),
+        coalesce($"rev", lit(0.0)).as("revenue"))
+      .orderBy($"c_custkey")
+  }
+
+  val outerJoinSql: String =
+    """SELECT c_custkey,
+      |  COALESCE(cnt, 0) AS n_orders,
+      |  COALESCE(rev, 0.0) AS revenue
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, COUNT(*) AS cnt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar subquery: orders priced above the global average. The
+    * 1-row aggregate broadcasts; decimal-exact average keeps the
+    * threshold bit-identical across engines.
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    val avgPrice = o.agg(davg($"o_totalprice").as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter($"o_totalprice" > $"avg_price")
+      .select($"o_orderkey", $"o_totalprice", $"avg_price")
+      .orderBy($"o_orderkey")
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |   FROM orders) AS avg_price
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |                      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join"      -> outerJoin _,
+    "q_scalar_subquery" -> scalarSubquery _,
     "q_cube"            -> cubeParts _,
     "q_json_funcs"      -> jsonFuncs _,
     "q_pricing_summary" -> pricingSummary _,
@@ -328,6 +383,8 @@ object Relational {
     "q_topk"            -> topK _)
 
   val oracle: Map[String, String] = Map(
+    "q_outer_join"      -> outerJoinSql,
+    "q_scalar_subquery" -> scalarSubquerySql,
     "q_cube"            -> cubePartsSql,
     "q_json_funcs"      -> jsonFuncsSql,
     "q_pricing_summary" -> pricingSummarySql,
