@@ -145,6 +145,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally q.stop()
   }
 
+  test("sessionization handles out-of-order arrivals within the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      mem.toDS().withWatermark("ts", "2 hours").as[Sessionize.Event],
+      gapSeconds = 30 * 60)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ooo_sessions")
+      .option("checkpointLocation", tmp.resolve("ckpt-ooo").toString)
+      .start()
+    try {
+      // batch 1: later event first; batch 2 back-fills an earlier one
+      // that EXTENDS the same session (10:20 bridges 10:00..10:40)
+      mem.addData(Sessionize.Event(1L, ts(40), 4.0), Sessionize.Event(1L, ts(0), 1.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(1L, ts(20), 2.0))
+      q.processAllAvailable()
+      // close everything via a far-future watermark push
+      mem.addData(Sessionize.Event(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, Timestamp.valueOf("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("ooo_sessions").as[Sessionize.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      // one merged session 10:00-10:40 with all three events
+      assert(got.map(s => (s.session_start, s.session_end, s.n_events, s.sum_value)).toSeq ==
+        Seq((ts(0), ts(40), 3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches batch gaps-and-islands semantics") {
     val spark0 = spark
     import spark0.implicits._
