@@ -82,7 +82,7 @@ object Parity {
       StructField("l_extendedprice", DoubleType)))
     val out = scratch("cast.parquet")
     val sink = new ParquetStreamSink(s, out, wide, overwrite = true)
-    try sink.writeBatch(narrow)
+    try sink.writeAll(narrow, batchRows = 100000)
     finally sink.close()
     s.read.parquet(out.toString).orderBy("l_orderkey", "l_linenumber")
   }

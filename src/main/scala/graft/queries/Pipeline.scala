@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Group C — LLM-training-data pipeline operators (SURVEY.md §2.3),
   * over the `documents` and `embeddings` tables.
@@ -822,6 +823,37 @@ object Pipeline {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Cluster centroids (the k-means E-step building block) per label
+    * cell: element-wise mean of the embedding vectors. posexplode +
+    * one groupBy on (label, pos) — a single shuffle whose key count is
+    * cells × dims, independent of corpus size, so the reduction
+    * parallelizes perfectly at 100 TB. Sums go through DECIMAL(38,20)
+    * so the mean is partition-order independent and engine-exact.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos0", "v")))
+      .groupBy($"label", ($"pos0" + 1).cast("long").as("pos"))
+      // Exact integer micro-units: v*1e6 is computed in double (float →
+      // double widening is exact, the multiply is IEEE-identical in
+      // both engines), floored to int64 (floor has no rounding ties — engines tie-break round() differently), summed exactly. The consumer
+      // divides by n·1e6 for the mean. Engines' decimal/float casts
+      // disagree at the last digit; int64 arithmetic cannot.
+      .agg(
+        sum(floor($"v" * 1000000.0).cast("long")).as("centroid_microsum"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy($"label", $"pos")
+  }
+
+  val centroidsSql: String =
+    """SELECT label, CAST(pos AS BIGINT) AS pos,
+      |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS centroid_microsum,
+      |  COUNT(*) AS n_vectors
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.40, blocked by the
     * label cell (the scalable all-pairs mitigation — compare within
     * blocks, not across the corpus).
@@ -867,6 +899,7 @@ object Pipeline {
     "x_session_window" -> sessionWindow _,
     "x_text_stats"     -> textStats _,
     "x_sim_search"     -> simSearch _,
+    "x_centroids"      -> centroids _,
     "x_ann_ivf"        -> annIvf _,
     "x_ann_ivf_pruned" -> annIvfPruned _,
     "x_ann_lsh"        -> annLsh _,
@@ -892,6 +925,7 @@ object Pipeline {
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle
     "x_text_stats"     -> textStatsSql,
     "x_sim_search"     -> simSearchSql,
+    "x_centroids"      -> centroidsSql,
     "x_ann_ivf"        -> annIvfSql,
     "x_ann_ivf_pruned" -> annIvfSql, // same semantics, pruned scan layout
     "x_ann_lsh"        -> annLshSql,
