@@ -146,7 +146,28 @@ object Parity {
     """SELECT ROW_NUMBER() OVER (ORDER BY doc_id DESC) - 1 AS pos, doc_id, n_chars
       |FROM documents ORDER BY pos""".stripMargin
 
+  /** The same write→read identity through the DISTRIBUTED sink
+    * ([[graft.streaming.StreamingShardSink]]): two micro-batches of
+    * `documents` become sized shards, read back as one dataset. Puts
+    * the scale-path sink under the same oracle gate as the parity
+    * sink.
+    */
+  def roundtripDistributed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = Tables(s, dir, "documents")
+    val out = scratch("distributed")
+    val sink = new graft.streaming.StreamingShardSink(
+      s, out, src.schema, shardSizeBytes = 256L * 1024, overwrite = true)
+    sink.addBatch(src.filter(col("doc_id") % 2 === 0))
+    sink.addBatch(src.filter(col("doc_id") % 2 === 1))
+    s.read.schema(src.schema).parquet(out.toString).orderBy("doc_id")
+  }
+
+  val roundtripDistributedSql: String =
+    "SELECT * FROM documents ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "roundtrip_distributed" -> roundtripDistributed _,
     "roundtrip_identity"  -> roundtripIdentity _,
     "roundtrip_sharded"   -> roundtripSharded _,
     "roundtrip_cast"      -> roundtripCast _,
@@ -154,6 +175,7 @@ object Parity {
     "roundtrip_order"     -> roundtripOrder _)
 
   val oracle: Map[String, String] = Map(
+    "roundtrip_distributed" -> roundtripDistributedSql,
     "roundtrip_identity"  -> roundtripIdentitySql,
     "roundtrip_sharded"   -> roundtripShardedSql,
     "roundtrip_cast"      -> roundtripCastSql,

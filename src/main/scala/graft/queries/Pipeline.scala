@@ -89,6 +89,33 @@ object Pipeline {
        |WHERE s IN (SELECT s FROM ($shinglesSql) GROUP BY s
        |            HAVING COUNT(*) <= $SHINGLE_DF_CAP)""".stripMargin
 
+  /** Train/test contamination check (decontamination): training
+    * documents sharing any 3-gram shingle with the benchmark set
+    * (here: every 50th doc), with the overlap count. The benchmark
+    * side is tiny by construction — broadcast semi-shape join, so the
+    * training corpus never shuffles at 100 TB; the DF cap bounds the
+    * explode fan-in like every other shingle join.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = keptShingles(s, dir)
+    val bench = sh.filter($"doc_id" % 50 === 0)
+      .select($"s").distinct()
+    sh.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS ($keptShinglesSql),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+       |SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+       |FROM sh JOIN bench USING (s)
+       |WHERE doc_id % 50 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Exact dedup by normalized-text hash: hash-groupBy, keep min id.
     * At 100 TB this is one shuffle on a well-distributed key (md5) with
     * map-side partial aggregation — the canonical exact-dedup plan.
@@ -881,6 +908,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_exact_dedup"    -> exactDedup _,
+    "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
     "x_minhash_lsh"    -> minhashLsh _,
     "x_simhash"        -> simhash _,
@@ -907,6 +935,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
+    "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,
     "x_minhash_lsh"    -> minhashLshSql,
     "x_simhash"        -> simhashSql,
