@@ -313,6 +313,46 @@ object Relational {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0 AS k_mod10
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** TPC-H Q5-style local-supplier volume: 6-way join across every
+    * fixture dimension (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region), revenue per nation where supplier and customer
+    * share the nation, one region. Shape at scale: the two fact
+    * tables join on their natural keys (shuffle), every dimension
+    * broadcasts, the region filter prunes nation rows before the
+    * broadcast — Catalyst orders it all from the declarative plan.
+    */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revenue = (dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+      .cast(DecimalType(18, 4))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Left outer join keeping empty groups: every customer with their
     * order count and revenue, zero-order customers included. The agg
     * runs BEFORE the join (aggregate the fact table, then join the
@@ -367,6 +407,7 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_local_supplier"  -> localSupplierVolume _,
     "q_outer_join"      -> outerJoin _,
     "q_scalar_subquery" -> scalarSubquery _,
     "q_cube"            -> cubeParts _,
@@ -383,6 +424,7 @@ object Relational {
     "q_topk"            -> topK _)
 
   val oracle: Map[String, String] = Map(
+    "q_local_supplier"  -> localSupplierVolumeSql,
     "q_outer_join"      -> outerJoinSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_cube"            -> cubePartsSql,
