@@ -89,6 +89,33 @@ object Pipeline {
        |WHERE s IN (SELECT s FROM ($shinglesSql) GROUP BY s
        |            HAVING COUNT(*) <= $SHINGLE_DF_CAP)""".stripMargin
 
+  /** The deduplicated corpus itself (companion to [[exactDedup]]'s
+    * hash map): first document per normalized-text hash survives.
+    * row_number over the hash partition — same single shuffle as the
+    * groupBy plan, but emitting the surviving rows with all their
+    * columns, which is what a training pipeline actually feeds
+    * downstream.
+    */
+  def dedupDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byHash = Window
+      .partitionBy(md5(lower(trim($"text")).cast("binary")))
+      .orderBy($"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("rn", row_number().over(byHash))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val dedupDocsSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |QUALIFY ROW_NUMBER() OVER (
+      |  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Train/test contamination check (decontamination): training
     * documents sharing any 3-gram shingle with the benchmark set
     * (here: every 50th doc), with the overlap count. The benchmark
@@ -908,6 +935,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_exact_dedup"    -> exactDedup _,
+    "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
     "x_minhash_lsh"    -> minhashLsh _,
@@ -935,6 +963,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
+    "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,
     "x_minhash_lsh"    -> minhashLshSql,

@@ -53,6 +53,14 @@ class PlanSpec extends AnyFunSuite {
       "expected PartitionFilters on label, got: " + scanLine)
   }
 
+  test("q_local_supplier: one fact-fact shuffle join, all dims broadcast") {
+    val p = plan("q_local_supplier")
+    // lineitem ⋈ orders may shuffle (SMJ/shuffled-hash); the four
+    // dimension joins must all be broadcast
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected ≥4 broadcast joins, got $bhj in:\n" + p.take(1500))
+  }
+
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
     val p = plan("x_hash_sample")
     // the filter sits directly over the scan — no shuffle before it

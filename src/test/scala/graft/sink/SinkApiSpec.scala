@@ -67,6 +67,22 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(groups > 1)
   }
 
+  test("writes after close are rejected") {
+    val out = tmp.resolve("closed.parquet")
+    val sink = new ParquetStreamSink(spark, out, schema)
+    sink.writeRows(Seq(Row(1L, "a")))
+    sink.close()
+    intercept[IllegalStateException] { sink.writeRows(Seq(Row(2L, "b"))) }
+    intercept[IllegalStateException] { sink.openNewShard() }
+    sink.close() // idempotent, like the reference's close (writer.py:295-303)
+    assert(readIdsFile(out) == Seq(1L))
+  }
+
+  private def readIdsFile(p: Path): Seq[Long] = {
+    import spark.implicits._
+    spark.read.parquet(p.toString).select($"id").as[Long].collect().toSeq
+  }
+
   test("graft_dot evaluates from plain SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
