@@ -406,7 +406,60 @@ object Relational {
       |                      FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Pivot: order counts per status, priorities as columns. The pivot
+    * value list is EXPLICIT — Spark otherwise runs an extra distinct
+    * job to discover it, and column order would depend on data.
+    */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, priorities)
+      .select($"o_orderstatus" +: priorities.map(p => col(s"`$p`").as(p)): _*)
+      .orderBy($"o_orderstatus")
+  }
+
+  val pivotOrdersSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+      |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+      |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+      |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+      |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** RANGE-frame window: trailing-7-day order count and revenue per
+    * customer, anchored on each order. The frame is defined on event
+    * time (seconds), not row position — a different frame engine than
+    * the ROWS frames used elsewhere.
+    */
+  def movingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate"))
+      .rangeBetween(-7L * 24 * 3600, 0L)
+    Tables(s, dir, "orders")
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("rev_7d", sum(dec($"o_totalprice")).over(w).cast("double"))
+      .select($"o_orderkey", $"o_custkey", $"n_7d", $"rev_7d")
+      .orderBy($"o_orderkey")
+  }
+
+  val movingWindowSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rev_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+      |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"           -> pivotOrders _,
+    "q_moving_window"   -> movingWindow _,
     "q_local_supplier"  -> localSupplierVolume _,
     "q_outer_join"      -> outerJoin _,
     "q_scalar_subquery" -> scalarSubquery _,
@@ -424,6 +477,8 @@ object Relational {
     "q_topk"            -> topK _)
 
   val oracle: Map[String, String] = Map(
+    "q_pivot"           -> pivotOrdersSql,
+    "q_moving_window"   -> movingWindowSql,
     "q_local_supplier"  -> localSupplierVolumeSql,
     "q_outer_join"      -> outerJoinSql,
     "q_scalar_subquery" -> scalarSubquerySql,
