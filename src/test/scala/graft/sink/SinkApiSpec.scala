@@ -83,6 +83,34 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
     spark.read.parquet(p.toString).select($"id").as[Long].collect().toSeq
   }
 
+  test("StreamingShardSink writerTasks: parallel encode still lands sequential shards") {
+    val out = tmp.resolve("par")
+    val sink = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 1024L * 1024, writerTasks = 4)
+    val df = spark.range(0, 500).selectExpr("id", "repeat('w', 20) AS value")
+    sink.addBatch(df)
+    val names = sink.writtenFiles.map(_.getFileName.toString)
+    assert(names == names.indices.map(i => s"par-$i.parquet"))
+    val back = spark.read.schema(schema).parquet(out.toString)
+    assert(back.count() == 500L)
+    import spark.implicits._
+    assert(back.select($"id").as[Long].collect().sorted.toSeq == (0L until 500L))
+  }
+
+  test("StreamingShardSink rejects batches missing schema columns") {
+    val out = tmp.resolve("badcols")
+    val sink = new StreamingShardSink(spark, out, schema, 1024L)
+    val wrong = spark.range(5).selectExpr("id AS something_else")
+    intercept[org.apache.spark.sql.AnalysisException] { sink.addBatch(wrong) }
+  }
+
+  test("GraftExtensions injects graft functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must register cleanly
+    assert(graft.functions.VectorFunctions.injections.map(_._1.funcName) ==
+      Seq("graft_dot"))
+  }
+
   test("graft_dot evaluates from plain SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
