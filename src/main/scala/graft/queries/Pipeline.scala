@@ -817,9 +817,17 @@ object Pipeline {
   def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val part = Pipeline.synchronized {
+      // cache key includes source size+mtime: a regenerated fixture at
+      // the same path must invalidate the layout, or a stale copy
+      // would silently diverge from the oracle
+      val srcFile = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val stamp =
+        if (java.nio.file.Files.exists(srcFile))
+          s"${java.nio.file.Files.size(srcFile)}-${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+        else "dir"
       val p = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-ivf",
-        java.lang.Integer.toHexString(dir.hashCode))
+        java.lang.Integer.toHexString((dir + "|" + stamp).hashCode))
       if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
         Tables(s, dir, "embeddings")
           .repartition($"label") // one writer wave, one file per cell
