@@ -918,7 +918,12 @@ object Pipeline {
 
   /** Embedding near-duplicate pairs: cosine ≥ 0.40, blocked by the
     * label cell (the scalable all-pairs mitigation — compare within
-    * blocks, not across the corpus).
+    * blocks, not across the corpus). Within-block compare is exact,
+    * so a pathologically dominant cell is the residual risk at scale;
+    * the mitigation is hierarchical blocking — sub-block a huge cell
+    * by sign-bit bucket (the [[annLsh]] quantizer), trading exact
+    * within-cell recall for a bounded pair count, exactly as every
+    * production near-dup system does past this size.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
