@@ -67,21 +67,22 @@ object Pipeline {
   private val SHINGLE_DF_CAP = 100
 
   /** Shingles whose document frequency is within the cap — the
-    * inverted index actually joined. Costs one extra groupBy on the
-    * same key the join shuffles on (map-side partial agg).
+    * inverted index actually used downstream. Two map passes over the
+    * corpus (one to aggregate document frequencies, one to filter) and
+    * a BROADCAST anti-join against the over-cap set: boilerplate
+    * shingles are few by construction, so the anti side always fits in
+    * a broadcast, and the corpus-side pass never shuffles. No cache —
+    * a cached subtree consumed by concurrently-launched stages gets
+    * materialized once per stage (the scheduler races), which silently
+    * multiplies the explode cost.
     */
   private def keptShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // cache the explode: it feeds both the DF-count aggregation and the
-    // index itself (Spark's cache manager dedupes the plan across
-    // queries in one session). The count uses groupBy (map-side
-    // partial agg), not a window, so the ubiquitous-shingle partition
-    // never concentrates on one task.
-    val sh = shingles(s, dir).cache()
-    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= SHINGLE_DF_CAP)
+    val sh = shingles(s, dir)
+    val frequent = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > SHINGLE_DF_CAP)
       .select($"s")
-    sh.join(rare, "s").select($"doc_id", $"s")
+    sh.join(broadcast(frequent), Seq("s"), "left_anti").select($"doc_id", $"s")
   }
 
   private val keptShinglesSql: String =
@@ -160,26 +161,36 @@ object Pipeline {
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 via an
-    * inverted shingle index (no O(n²) cross join): explode distinct
-    * shingles, self-join on shingle to count intersections, derive
-    * |A∪B| = |A|+|B|−|A∩B|. The self-join shuffles on the shingle
-    * key; the [[SHINGLE_DF_CAP]] document-frequency filter bounds the
-    * per-key fan-out so one boilerplate shingle can't degenerate the
-    * join toward all-pairs.
+    * inverted shingle index (no O(n²) cross join, and no self-join at
+    * all): group the index by shingle (group size bounded by
+    * [[SHINGLE_DF_CAP]], so `collect_list` is safe at any corpus
+    * size), generate candidate pairs INSIDE each group, and count
+    * shared shingles per pair; |A∪B| = |A|+|B|−|A∩B| with the
+    * per-doc size carried along in the group structs. The whole plan
+    * is one linear pipeline — shuffle on doc_id (sizes), shuffle on
+    * shingle (index), shuffle on pair (intersection counts) — with no
+    * plan diamond: a self-join over a shared subtree lets the
+    * scheduler launch both sides concurrently and compute the subtree
+    * twice (cached or not), which is where the old formulation lost
+    * 2-5× wall-clock nondeterministically.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val sh = keptShingles(s, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("na"), $"a_id" === $"na.doc_id")
-      .join(sizes.as("nb"), $"b_id" === $"nb.doc_id")
-      .select($"a_id", $"b_id",
-        ($"c" / ($"na.n" + $"nb.n" - $"c")).as("jaccard"))
+    val kept = keptShingles(s, dir)
+      // per-doc kept-shingle count: window on doc_id, whose partitions
+      // are bounded by document length — safe at any corpus size
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val index = kept.groupBy($"s")
+      .agg(collect_list(struct($"doc_id", $"n")).as("g"))
+      .filter(size($"g") >= 2)
+    index
+      .select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+      .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= 0.10)
       .orderBy($"a_id", $"b_id")
   }
@@ -216,34 +227,32 @@ object Pipeline {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE shingle index scan feeds signatures, sizes, and exact
-    // verification — cached so the explode+DF-cap subtree runs once.
-    val sh = keptShingles(s, dir).cache()
+    // Linear pipeline, no self-join (see ngramJaccard note): ONE
+    // groupBy(doc_id) produces the signature AND the doc's shingle set
+    // (bounded by document length, so collect_list is per-row-group
+    // safe); bands explode from that row; candidate pairs are
+    // generated inside band groups; exact-Jaccard verification is an
+    // array_intersect on the shingle sets carried in the group structs
+    // — candidates only, never the corpus.
     val sigAggs = (0 until 8)
       .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
-    // cache: the 4 band projections × 2 self-join sides would
-    // otherwise recompute the signature aggregation 8 times. One row
-    // per doc — always cacheable, at any corpus size.
-    val sig = sh.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*).cache()
-    val bands = (0 until 4).map { b =>
-      sig.select($"doc_id",
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band"),
-        lit(b).as("band_idx"))
-    }.reduce(_ unionAll _)
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.band_idx" === $"y.band_idx" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
-
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), $"a_id" === $"sa.doc_id")
-      .join(sh.as("sb"), $"b_id" === $"sb.doc_id" && $"sa.s" === $"sb.s")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("na"), $"a_id" === $"na.doc_id")
-      .join(sizes.as("nb"), $"b_id" === $"nb.doc_id")
-      .select($"a_id", $"b_id", ($"c" / ($"na.n" + $"nb.n" - $"c")).as("jaccard"))
+    val doc = keptShingles(s, dir).groupBy($"doc_id")
+      .agg(collect_list($"s").as("ss"), sigAggs: _*)
+    val bands = doc.select($"doc_id", $"ss",
+      posexplode(array((0 until 4).map(b =>
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band")))
+    bands.groupBy($"band_idx", $"band")
+      .agg(collect_list(struct($"doc_id", $"ss")).as("g"))
+      .filter(size($"g") >= 2)
+      .select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        size(array_intersect($"x.ss", $"y.ss")).cast("long").as("c"),
+        size($"x.ss").cast("long").as("na"), size($"y.ss").cast("long").as("nb"))
+      .distinct() // a pair sharing k bands appears k times, identically
+      .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= 0.10)
       .orderBy($"a_id", $"b_id")
   }
@@ -288,6 +297,14 @@ object Pipeline {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    fingerprints(s, dir).orderBy($"doc_id")
+  }
+
+  /** (doc_id, simhash) without the presentation sort — the reusable
+    * core of [[simhash]] and [[simhashPairs]].
+    */
+  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // conv() yields the 32-bit halves as non-negative longs; bit j of
     // the 128-bit md5 prefix, j=0 the least-significant bit of `lo`.
     val tok = Tables(s, dir, "documents")
@@ -305,7 +322,6 @@ object Pipeline {
         (0 until SIMHASH_BITS)
           .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .orderBy($"doc_id")
   }
 
   val simhashSql: String = {
@@ -340,19 +356,26 @@ object Pipeline {
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fp = simhash(s, dir).cache()
-    val bands = (0 until 4).map { b =>
-      fp.select($"doc_id", $"simhash",
-        shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL)).as("band"),
-        lit(b).as("band_idx"))
-    }.reduce(_ unionAll _)
-    bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.band_idx" === $"y.band_idx" &&
-          $"x.doc_id" < $"y.doc_id")
+    // Linear pipeline (see ngramJaccard note): fingerprints are
+    // computed exactly once, the 4 bands explode from each row
+    // (map-side, not a 4-way union re-scanning the source), candidate
+    // pairs are generated INSIDE each band group. No self-join, no
+    // cache: the old band×band join launched up to 8 concurrent
+    // materializations of the 64-agg fingerprint subtree.
+    val bands = fingerprints(s, dir).select($"doc_id", $"simhash",
+      posexplode(array((0 until 4).map(b =>
+        shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band")))
+    bands.groupBy($"band_idx", $"band")
+      .agg(collect_list(struct($"doc_id", $"simhash")).as("g"))
+      .filter(size($"g") >= 2)
+      .select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
         bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
-      .distinct()
       .filter($"hamming" <= 3)
+      .distinct() // one row per pair even when several bands collide
       .orderBy($"a_id", $"b_id")
   }
 
@@ -642,11 +665,14 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
 
   /** Cardinality sketch: HyperLogLog++ distinct-token estimate per
-    * language next to the exact count. Sketches are engine-specific,
-    * so this query has NO DuckDB oracle (driver records the weaker
-    * rows-only check); the exact column is there to eyeball sketch
-    * error. At 100 TB the HLL path aggregates a fixed-size sketch
-    * per partition — no distinct shuffle explosion.
+    * language next to the exact count. The raw sketch value is
+    * engine-specific, so the hash-checked columns are the exact ones
+    * plus `sketch_within_5pct` — a bounded-relative-error flag the
+    * oracle asserts true (rsd=0.02 ⇒ |err| ≤ 5% is a ≥2.5σ bound;
+    * verified to hold on every fixture lang at sf0.01 AND sf0.1). At
+    * 100 TB the HLL path aggregates a fixed-size sketch per partition
+    * — no distinct-shuffle explosion; the exact column is the
+    * profiling cross-check.
     */
   def tokenSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -654,11 +680,20 @@ object Pipeline {
       .select($"lang", explode(words($"text")).as("t"))
       .groupBy($"lang")
       .agg(
-        approx_count_distinct($"t", rsd = 0.02).as("approx_distinct_tokens"),
+        approx_count_distinct($"t", rsd = 0.02).as("approx"),
         countDistinct($"t").as("exact_distinct_tokens"),
         count(lit(1)).as("n_tokens"))
+      .select($"lang", $"exact_distinct_tokens", $"n_tokens",
+        (abs($"approx" - $"exact_distinct_tokens").cast("double") /
+          $"exact_distinct_tokens" <= 0.05).as("sketch_within_5pct"))
       .orderBy($"lang")
   }
+
+  val tokenSketchSql: String =
+    """SELECT lang, COUNT(DISTINCT t) AS exact_distinct_tokens,
+      |  COUNT(*) AS n_tokens, TRUE AS sketch_within_5pct
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------- sessionization
 
@@ -814,9 +849,20 @@ object Pipeline {
     * the one-time index build every ANN system amortizes. Results are
     * identical to [[annIvf]]; only the scan shape changes.
     */
-  def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val part = Pipeline.synchronized {
+  /** One-time build of the cell-partitioned embedding layout — the
+    * "index build" every ANN system amortizes across queries. Public
+    * so harnesses (Bench warmup, long-lived sessions) run it as a
+    * SETUP step rather than billing it to the first probe. Writer
+    * tasks are keyed on (label, salt): a plain `repartition($"label")`
+    * would hash all of a dominant cell into ONE task at scale, while
+    * the salt spreads each cell over up to [[IVF_WRITE_SALT]] writers
+    * (still ≤ salt files per cell directory).
+    */
+  private val IVF_WRITE_SALT = 4
+
+  def ensureIvfLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    Pipeline.synchronized {
+      import s.implicits._
       // cache key includes source size+mtime: a regenerated fixture at
       // the same path must invalidate the layout, or a stale copy
       // would silently diverge from the oracle
@@ -830,11 +876,15 @@ object Pipeline {
         java.lang.Integer.toHexString((dir + "|" + stamp).hashCode))
       if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
         Tables(s, dir, "embeddings")
-          .repartition($"label") // one writer wave, one file per cell
+          .repartition($"label", pmod($"vec_id", lit(IVF_WRITE_SALT)))
           .write.mode("overwrite").partitionBy("label").parquet(p.toString)
       }
       p
     }
+
+  def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = ensureIvfLayout(s, dir)
     val e = s.read.parquet(part.toString)
       .select($"vec_id", $"label".cast("int").as("label"), $"embedding")
     val q = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
@@ -916,20 +966,42 @@ object Pipeline {
       |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Cells larger than this are hierarchically sub-blocked by the
+    * 8-sign-bit bucket (the [[annLsh]] quantizer) before the
+    * within-block pair compare. Part of the operator's semantics —
+    * the DuckDB oracle applies the identical conditional — and sized
+    * so the fixture cells (max 218 at sf0.1) stay exact while a
+    * dominant cell at scale gets a bounded pair count.
+    */
+  private val EMBED_CELL_CAP = 1000L
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.40, blocked by the
     * label cell (the scalable all-pairs mitigation — compare within
-    * blocks, not across the corpus). Within-block compare is exact,
-    * so a pathologically dominant cell is the residual risk at scale;
-    * the mitigation is hierarchical blocking — sub-block a huge cell
-    * by sign-bit bucket (the [[annLsh]] quantizer), trading exact
-    * within-cell recall for a bounded pair count, exactly as every
-    * production near-dup system does past this size.
+    * blocks, not across the corpus). Within-cell compare is exact
+    * only while cells stay small; a cell above [[EMBED_CELL_CAP]] is
+    * HIERARCHICALLY sub-blocked by sign-bit bucket, trading exact
+    * within-cell recall for a pair count bounded by (cap/256)²-ish
+    * per sub-block — exactly what production near-dup systems do past
+    * this size. Cell sizes come from a groupBy + broadcast join (the
+    * label domain is small), never a window over a dominant cell.
     */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    embedNearDupBlocked(s, dir, EMBED_CELL_CAP, Tables(s, dir, "embeddings"))
+
+  /** [[embedNearDup]] with an explicit cap/source, so tests can force
+    * sub-blocking on a skewed fixture.
+    */
+  def embedNearDupBlocked(
+      s: SparkSession, dir: String, cellCap: Long, src: DataFrame): DataFrame = {
     import s.implicits._
-    val e = Tables(s, dir, "embeddings")
+    val cellN = src.groupBy($"label").agg(count(lit(1)).as("cell_n"))
+    val e = src
+      .join(broadcast(cellN), "label")
+      .withColumn("sub",
+        when($"cell_n" > cellCap, signBucket($"embedding")).otherwise(lit(0L)))
     e.as("a").join(e.as("b"),
-        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        $"a.label" === $"b.label" && $"a.sub" === $"b.sub" &&
+          $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), $"a.label".as("label"),
         cosine(s, $"a.embedding", $"b.embedding").as("cos"))
       .filter($"cos" >= 0.40)
@@ -937,10 +1009,14 @@ object Pipeline {
   }
 
   val embedNearDupSql: String =
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+    s"""WITH cn AS (SELECT label, COUNT(*) AS cell_n FROM embeddings GROUP BY label),
+       |e AS (SELECT embeddings.*, CASE WHEN cn.cell_n > $EMBED_CELL_CAP
+       |    THEN ${signBucketSql("embedding")} ELSE 0 END AS sub
+       |  FROM embeddings JOIN cn USING (label))
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
        |  ${cosineSql("a.embedding", "b.embedding")} AS cos
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM e a JOIN e b
+       |  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.40
        |ORDER BY a_id, b_id""".stripMargin
 
@@ -991,7 +1067,7 @@ object Pipeline {
     "x_repetition"     -> repetitionSql,
     "x_len_percentiles" -> lenPercentilesSql,
     "x_hash_sample"    -> hashSampleSql,
-    // x_token_sketch: no oracle — HLL sketches are engine-specific
+    "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle
     "x_text_stats"     -> textStatsSql,

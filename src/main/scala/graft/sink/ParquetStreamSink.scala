@@ -67,6 +67,11 @@ final class ParquetStreamSink(
     val options: Map[String, String] = Map.empty)
   extends AutoCloseable {
 
+  // O15: info-level lifecycle logs, mirroring the reference's module
+  // logger (writer.py:8,156,159,190,301; NullHandler ≙ slf4j's
+  // caller-owned configuration, __init__.py:1-3).
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ParquetStreamSink])
+
   // Validates the size parameters before any filesystem effect
   // (writer.py:127-131).
   private val state = new SinkState(shardSizeBytes, bufferSizeBytes)

@@ -44,6 +44,21 @@ import graft.sink.ColumnarSizeExpr
   * rollover (`strict >`, rotate-before-flush) degenerates here to
   * "each file carries ≈ shardSizeBytes", which is the property
   * downstream readers actually rely on at scale.
+  *
+  * RESTART SAFETY (beyond the single-process reference, which has no
+  * such obligation — a "100 TB" sink does): every committed batch is
+  * recorded in a sidecar commit log `_graft_commits.tsv` under the
+  * output dir (`batchId \t startIndex \t fileCount`, rewritten
+  * atomically per batch). `addBatch(df, batchId)` skips batchIds the
+  * log already holds, so Structured Streaming's replay of the last
+  * uncommitted micro-batch after a checkpoint restart lands
+  * exactly-once; a partially-renamed batch (crash between the moves
+  * and the log append) is rewritten in place — orphan shard files at
+  * or beyond the restored index are deleted before the batch's
+  * renames, so a replay that produces fewer task files can't leave a
+  * stale duplicate shard behind. Construct with `resume = true` to
+  * re-attach to an existing output directory: the shard counter and
+  * manifest are restored from the log.
   */
 final class StreamingShardSink(
     spark: SparkSession,
@@ -53,7 +68,8 @@ final class StreamingShardSink(
     filePrefix: Option[String] = None,
     overwrite: Boolean = false,
     val options: Map[String, String] = Map.empty,
-    val writerTasks: Int = 0) {
+    val writerTasks: Int = 0,
+    resume: Boolean = false) {
 
   require(shardSizeBytes > 0, "shard_size_bytes must be positive")
 
@@ -62,8 +78,11 @@ final class StreamingShardSink(
 
   private val manifest = ArrayBuffer.empty[Path]
   private var shardIndex = 0
+  // batchId → (startIndex, fileCount), insertion-ordered for the log
+  private val committed = scala.collection.mutable.LinkedHashMap.empty[Long, (Int, Int)]
+  private val commitLog: Path = path.resolve("_graft_commits.tsv")
 
-  if (Files.exists(path)) {
+  if (Files.exists(path) && !resume) {
     if (overwrite) {
       import java.util.Comparator
       Files.walk(path).sorted(Comparator.reverseOrder[Path]())
@@ -72,13 +91,60 @@ final class StreamingShardSink(
   }
   if (path.getParent == null || !Files.exists(path.getParent))
     throw new NoSuchFileException(s"'${path.getParent}' does not exist.")
-  Files.createDirectory(path)
+  if (Files.exists(path) && resume) restoreFromCommitLog()
+  else Files.createDirectory(path)
+
+  private def restoreFromCommitLog(): Unit = {
+    if (Files.exists(commitLog)) {
+      Files.readAllLines(commitLog).asScala.filter(_.nonEmpty).foreach { line =>
+        val Array(b, start, n) = line.split('\t')
+        committed += b.toLong -> (start.toInt, n.toInt)
+      }
+      shardIndex = committed.valuesIterator
+        .map { case (start, n) => start + n }.maxOption.getOrElse(0)
+      (0 until shardIndex).foreach(i => manifest += path.resolve(s"$prefix-$i.parquet"))
+    }
+    // leftover staging dirs from a crashed batch attempt
+    Files.list(path).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".batch-"))
+      .toSeq.foreach { st =>
+        Files.walk(st).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator.asScala.foreach(Files.deleteIfExists(_))
+      }
+  }
+
+  private def appendCommit(batchId: Long, start: Int, n: Int): Unit = {
+    committed += batchId -> (start, n)
+    val tmp = Files.createTempFile(path, ".commits-", ".tmp")
+    val body = committed.iterator
+      .map { case (b, (st, c)) => s"$b\t$st\t$c" }.mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, commitLog, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Absolute shard paths in creation order. */
   def writtenFiles: Seq[Path] = manifest.toSeq
 
-  /** `foreachBatch`-compatible entry point. */
-  def addBatch(df: DataFrame, batchId: Long): Unit = addBatch(df)
+  /** `foreachBatch`-compatible entry point: exactly-once under
+    * micro-batch replay — an already-committed batchId is a no-op.
+    */
+  def addBatch(df: DataFrame, batchId: Long): Unit = synchronized {
+    if (committed.contains(batchId)) return
+    // a partial earlier attempt of this batch may have renamed some
+    // files before crashing; clear anything at/beyond the next index
+    // so a replay with a different task-file count can't strand one
+    Files.list(path).iterator.asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(s"$prefix-") && n.endsWith(".parquet")) {
+        val idx = n.stripPrefix(s"$prefix-").stripSuffix(".parquet")
+        if (idx.forall(_.isDigit) && idx.toInt >= shardIndex) Files.delete(p)
+      }
+    }
+    val start = shardIndex
+    addBatch(df)
+    appendCommit(batchId, start, shardIndex - start)
+  }
 
   /** Cast one micro-batch to the schema and write it as
     * ≈`shardSizeBytes` files appended to the shard sequence.
