@@ -41,19 +41,25 @@ object Pipeline {
         i => concat_ws(" ", slice(w, i + 1, lit(3))))))
       .otherwise(array().cast("array<string>"))
 
-  /** doc_id, s — exploded distinct shingles (the inverted-index input). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id", explode(shingleCol($"w")).as("s"))
+  /** doc_id, s — exploded distinct shingles (the inverted-index input)
+    * of an arbitrary corpus slice (full table, or the exact-dedup
+    * representatives for the LSH family).
+    */
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), words(col("text")).as("w"))
+    d.select(col("doc_id"), explode(shingleCol(col("w"))).as("s"))
   }
 
-  private val shinglesSql =
-    """SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))) AS s
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |WHERE len(w) >= 3""".stripMargin
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables(s, dir, "documents"))
+
+  private def shinglesSqlFrom(src: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))) AS s
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
+       |WHERE len(w) >= 3""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** Document-frequency cap for shingle self-joins: a shingle present
     * in more than this many documents is boilerplate (template text,
@@ -76,19 +82,82 @@ object Pipeline {
     * materialized once per stage (the scheduler races), which silently
     * multiplies the explode cost.
     */
-  private def keptShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = shingles(s, dir)
-    val frequent = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > SHINGLE_DF_CAP)
-      .select($"s")
-    sh.join(broadcast(frequent), Seq("s"), "left_anti").select($"doc_id", $"s")
+  private def keptShinglesOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
+    val frequent = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SHINGLE_DF_CAP)
+      .select(col("s"))
+    sh.join(broadcast(frequent), Seq("s"), "left_anti").select(col("doc_id"), col("s"))
   }
 
-  private val keptShinglesSql: String =
-    s"""SELECT doc_id, s FROM ($shinglesSql)
-       |WHERE s IN (SELECT s FROM ($shinglesSql) GROUP BY s
+  private def keptShingles(s: SparkSession, dir: String): DataFrame =
+    keptShinglesOf(Tables(s, dir, "documents"))
+
+  private def keptShinglesSqlFrom(src: String): String =
+    s"""SELECT doc_id, s FROM (${shinglesSqlFrom(src)})
+       |WHERE s IN (SELECT s FROM (${shinglesSqlFrom(src)}) GROUP BY s
        |            HAVING COUNT(*) <= $SHINGLE_DF_CAP)""".stripMargin
+
+  private val keptShinglesSql: String = keptShinglesSqlFrom("documents")
+
+  /** Exact-duplicate pre-collapse feeding the LSH near-dup family: one
+    * representative (min doc_id) per normalized-text hash. A dedup
+    * corpus is duplicate-heavy by definition, and byte-identical
+    * documents share identical MinHash/SimHash signatures — without
+    * this collapse they all pile into the same LSH band value, so a
+    * single popular document turns one band group into an unbounded
+    * hot key. Collapsing through the [[exactDedup]] hash first keeps
+    * every downstream band group a set of DISTINCT texts; the exact
+    * duplicates themselves are already fully accounted for by
+    * `x_exact_dedup` / `x_dedup_docs`, which is the stage a real
+    * pipeline runs before any near-dup pass.
+    */
+  private def repDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byHash = Window
+      .partitionBy(md5(lower(trim($"text")).cast("binary")))
+      .orderBy($"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("rn", row_number().over(byHash))
+      .filter($"rn" === 1)
+      .drop("rn")
+  }
+
+  /** DuckDB twin of [[repDocs]], as a parenthesized FROM source. */
+  private val repsSql: String =
+    """(SELECT * FROM documents
+      |  QUALIFY ROW_NUMBER() OVER (
+      |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1)""".stripMargin
+
+  /** Band-group membership cap for the LSH near-dup family — the band
+    * analog of [[SHINGLE_DF_CAP]]. Even after exact-dup pre-collapse a
+    * band value can degenerate (all near-identical-but-distinct
+    * variants of one template share a band), and the band groups are
+    * materialized with `collect_list`, which must stay bounded at any
+    * corpus size. Per (band_idx, band) only the first `BAND_CAP`
+    * members by doc_id enter the group; later members lose that band
+    * (they still pair through their other bands). The truncation is
+    * part of the operator's semantics and the DuckDB oracle applies
+    * the identical QUALIFY. The cap bounds candidate fan-out per band
+    * at cap²/2 and the per-group payload at cap members.
+    */
+  private[graft] val BAND_CAP = 100
+
+  /** Keep the first [[BAND_CAP]] members (by doc_id) of every
+    * (band_idx, band) group. row_number over the band partition is an
+    * external (spillable) sort — a degenerate band is a slow task, not
+    * an OOM — and the window's hash partitioning on (band_idx, band)
+    * is reused verbatim by the groupBy that follows it in both
+    * callers, so the cap costs no extra shuffle.
+    */
+  private[graft] def capBandGroups(bands: DataFrame, cap: Int = BAND_CAP): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_idx"), col("band")).orderBy(col("doc_id"))
+    bands.withColumn("brn", row_number().over(w))
+      .filter(col("brn") <= cap)
+      .drop("brn")
+  }
 
   /** The deduplicated corpus itself (companion to [[exactDedup]]'s
     * hash map): first document per normalized-text hash survives.
@@ -215,14 +284,17 @@ object Pipeline {
     */
   private val minhashSigsSql: String = {
     val aggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    s"""SELECT doc_id, $aggs FROM ($keptShinglesSql) GROUP BY doc_id"""
+    s"""SELECT doc_id, $aggs FROM (${keptShinglesSqlFrom(repsSql)}) GROUP BY doc_id"""
   }
 
-  /** Banded MinHash LSH near-dup: 4 bands × 2 rows; candidate pairs
-    * share ≥ 1 band; candidates verified with exact Jaccard ≥ 0.10.
-    * The band join is the scalable step — shuffle on band value, no
-    * all-pairs compare; exact verification touches candidates only.
-    * The oracle mirrors the full pipeline (LSH recall is part of the
+  /** Banded MinHash LSH near-dup over the exact-dedup representatives
+    * ([[repDocs]]): 4 bands × 2 rows; candidate pairs share ≥ 1 band;
+    * candidates verified with exact Jaccard ≥ 0.10. The band join is
+    * the scalable step — shuffle on band value, no all-pairs compare;
+    * exact verification touches candidates only. Band groups are
+    * bounded by [[capBandGroups]] so no aggregation row ever exceeds
+    * [[BAND_CAP]] members. The oracle mirrors the full pipeline,
+    * pre-collapse and cap included (LSH recall is part of the
     * operator's semantics).
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -230,19 +302,19 @@ object Pipeline {
     // Linear pipeline, no self-join (see ngramJaccard note): ONE
     // groupBy(doc_id) produces the signature AND the doc's shingle set
     // (bounded by document length, so collect_list is per-row-group
-    // safe); bands explode from that row; candidate pairs are
-    // generated inside band groups; exact-Jaccard verification is an
-    // array_intersect on the shingle sets carried in the group structs
-    // — candidates only, never the corpus.
+    // safe); bands explode from that row; band groups are capped, then
+    // candidate pairs are generated inside them; exact-Jaccard
+    // verification is an array_intersect on the shingle sets carried
+    // in the group structs — candidates only, never the corpus.
     val sigAggs = (0 until 8)
       .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
-    val doc = keptShingles(s, dir).groupBy($"doc_id")
+    val doc = keptShinglesOf(repDocs(s, dir)).groupBy($"doc_id")
       .agg(collect_list($"s").as("ss"), sigAggs: _*)
     val bands = doc.select($"doc_id", $"ss",
       posexplode(array((0 until 4).map(b =>
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band_idx", "band")))
-    bands.groupBy($"band_idx", $"band")
+    capBandGroups(bands).groupBy($"band_idx", $"band")
       .agg(collect_list(struct($"doc_id", $"ss")).as("g"))
       .filter(size($"g") >= 2)
       .select(explode($"g").as("x"), $"g")
@@ -261,10 +333,13 @@ object Pipeline {
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH sh AS ($keptShinglesSql),
+    s"""WITH sh AS (${keptShinglesSqlFrom(repsSql)}),
        |sig AS ($minhashSigsSql),
        |bands AS (
-       |  $bandSelects),
+       |  SELECT doc_id, band, band_idx FROM (
+       |  $bandSelects)
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY band_idx, band ORDER BY doc_id) <= $BAND_CAP),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
@@ -301,30 +376,34 @@ object Pipeline {
   }
 
   /** (doc_id, simhash) without the presentation sort — the reusable
-    * core of [[simhash]] and [[simhashPairs]].
+    * core of [[simhash]] (full corpus) and [[simhashPairs]] (exact-
+    * dedup representatives).
     */
-  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def fingerprintsOf(docs: DataFrame): DataFrame = {
     // conv() yields the 32-bit halves as non-negative longs; bit j of
     // the 128-bit md5 prefix, j=0 the least-significant bit of `lo`.
-    val tok = Tables(s, dir, "documents")
-      .select($"doc_id", explode(words($"text")).as("t"))
-      .withColumn("h", md5($"t".cast("binary")))
-      .withColumn("hi", conv(substring($"h", 1, 8), 16, 10).cast("long"))
-      .withColumn("lo", conv(substring($"h", 9, 8), 16, 10).cast("long"))
+    val tok = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+      .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     def bit(j: Int): Column = {
-      val half = if (j < 32) $"lo" else $"hi"
+      val half = if (j < 32) col("lo") else col("hi")
       shiftright(half, j % 32).bitwiseAND(lit(1L))
     }
     val votes = (0 until SIMHASH_BITS).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
-    tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-      .select($"doc_id",
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
         (0 until SIMHASH_BITS)
           .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  val simhashSql: String = {
+  private def fingerprints(s: SparkSession, dir: String): DataFrame =
+    fingerprintsOf(Tables(s, dir, "documents"))
+
+  /** Unsorted fingerprint SQL over an arbitrary FROM source. */
+  private def simhashSqlFrom(src: String): String = {
     def bit(j: Int) = {
       val half = if (j < 32) "lo" else "hi"
       s"(($half >> ${j % 32}) & 1)"
@@ -334,15 +413,18 @@ object Pipeline {
       .map(j => s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .reduce((a, b) => s"$a + $b")
     s"""WITH tok AS (
-       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM $src),
        |halves AS (
        |  SELECT doc_id,
        |    ('0x' || substr(h, 1, 8))::BIGINT AS hi,
        |    ('0x' || substr(h, 9, 8))::BIGINT AS lo
        |  FROM tok),
        |v AS (SELECT doc_id, $votes FROM halves GROUP BY doc_id)
-       |SELECT doc_id, $fp AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, $fp AS simhash FROM v""".stripMargin
   }
+
+  val simhashSql: String =
+    simhashSqlFrom("documents") + "\nORDER BY doc_id"
 
   /** SimHash near-dup pairs (hamming ≤ 3) via band blocking: split the
     * 64-bit fingerprint into 4 bands of 16 bits; by pigeonhole,
@@ -351,22 +433,27 @@ object Pipeline {
     * 16-bit bands give 65 536 join keys per band index — at N docs the
     * expected candidate set is ~4·N²/65 536, vs N²/2 for a cross join
     * (and vs only 256 keys for 8-bit bands, which degenerates
-    * quadratically ~256× sooner). The oracle states the semantic
-    * result with a plain self join — same rows.
+    * quadratically ~256× sooner). Runs over the exact-dedup
+    * representatives with band groups capped at [[BAND_CAP]]
+    * (see [[repDocs]] / [[capBandGroups]]); the oracle mirrors the
+    * banded pipeline, pre-collapse and cap included.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Linear pipeline (see ngramJaccard note): fingerprints are
-    // computed exactly once, the 4 bands explode from each row
-    // (map-side, not a 4-way union re-scanning the source), candidate
-    // pairs are generated INSIDE each band group. No self-join, no
-    // cache: the old band×band join launched up to 8 concurrent
-    // materializations of the 64-agg fingerprint subtree.
-    val bands = fingerprints(s, dir).select($"doc_id", $"simhash",
+    // Linear pipeline (see ngramJaccard note): fingerprints — of the
+    // exact-dedup representatives only (repDocs; identical texts have
+    // identical fingerprints and would otherwise pile into one band
+    // value) — are computed exactly once, the 4 bands explode from
+    // each row (map-side, not a 4-way union re-scanning the source),
+    // band groups are capped at BAND_CAP, and candidate pairs are
+    // generated INSIDE each band group. No self-join, no cache: the
+    // old band×band join launched up to 8 concurrent materializations
+    // of the 64-agg fingerprint subtree.
+    val bands = fingerprintsOf(repDocs(s, dir)).select($"doc_id", $"simhash",
       posexplode(array((0 until 4).map(b =>
         shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "band")))
-    bands.groupBy($"band_idx", $"band")
+    capBandGroups(bands).groupBy($"band_idx", $"band")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("g"))
       .filter(size($"g") >= 2)
       .select(explode($"g").as("x"), $"g")
@@ -380,11 +467,21 @@ object Pipeline {
   }
 
   val simhashPairsSql: String =
-    s"""WITH fp AS (${simhashSql.replace("ORDER BY doc_id", "")})
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    s"""WITH fp AS (${simhashSqlFrom(repsSql)}),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, band_idx FROM (
+       |    SELECT doc_id, simhash, band_idx,
+       |      (simhash >> (16 * band_idx)) & 65535 AS band
+       |    FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx))
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY band_idx, band ORDER BY doc_id) <= $BAND_CAP),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |         x.simhash AS sa, y.simhash AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_idx = y.band_idx AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
   // ------------------------------------------------------- text analysis

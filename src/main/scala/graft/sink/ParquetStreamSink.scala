@@ -88,8 +88,13 @@ final class ParquetStreamSink(
 
   // --- construction-time path semantics (writer.py:151-169) ---
   if (Files.exists(path)) {
-    if (overwrite) deleteRecursively(path)
-    else throw new FileAlreadyExistsException(s"'$path' already exists.")
+    if (overwrite) {
+      // writer.py:156,159 — the reference logs which kind of path it
+      // is about to remove before removing it
+      if (Files.isDirectory(path)) log.info(s"Deleting existing directory: $path")
+      else log.info(s"Deleting existing file: $path")
+      deleteRecursively(path)
+    } else throw new FileAlreadyExistsException(s"'$path' already exists.")
   }
   if (path.getParent == null || !Files.exists(path.getParent))
     throw new NoSuchFileException(s"'${path.getParent}' does not exist.")
@@ -176,6 +181,7 @@ final class ParquetStreamSink(
     }
     Files.deleteIfExists(p)
     Files.createFile(p) // file exists from open time, like pq.ParquetWriter
+    log.info(s"Opened new Parquet shard: $p") // writer.py:190
     manifest += p
     currentShardPath = Some(p)
   }
@@ -190,6 +196,7 @@ final class ParquetStreamSink(
     // staging dir is inside/alongside the output; drop it
     val sd = stagingDirPath
     if (Files.exists(sd)) deleteRecursively(sd)
+    log.info(s"Closed Parquet writer for: $path") // writer.py:301
   }
 
   // ------------------------------------------------------------------
@@ -205,31 +212,22 @@ final class ParquetStreamSink(
     staged.clear()
   }
 
-  /** One Spark write job: buffer → a single ordered Parquet file (or
+  /** Driver-local encode: buffer → a single ordered Parquet file (or
     * several ≤`rowGroupSize`-row files, concatenated later as row
-    * groups). `coalesce(1)` pins a single task so per-file insertion
-    * order is the buffer order.
+    * groups). The rows are already on the driver, so this runs zero
+    * Spark jobs ([[DriverParquet]]) — flush cost is O(data), not
+    * O(flushes × job overhead), mirroring the reference's in-process
+    * `pq.ParquetWriter` (`writer.py:192-196`).
     */
   private def stageWrite(rows: Seq[Row]): Seq[Path] = {
-    val dir = Files.createTempDirectory(stagingDir(), "flush-")
-    var w = spark.createDataFrame(rows.asJava, schema)
-      .coalesce(1)
-      .write.format("parquet").mode("overwrite")
-      .options(options)
-      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-    rowGroupSize.foreach(n => w = w.option("maxRecordsPerFile", n.toLong))
-    w.save(dir.toString)
-    val parts = Files.list(dir).iterator.asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }
-      .toSeq.sortBy(_.getFileName.toString)
-    require(parts.nonEmpty, s"Spark write produced no part files in $dir")
+    val chunks: Seq[Seq[Row]] = rowGroupSize match {
+      case Some(n) if rows.nonEmpty => rows.grouped(n).toSeq
+      case _                        => Seq(rows)
+    }
     flushCount += 1
-    parts.zipWithIndex.map { case (p, i) =>
+    chunks.zipWithIndex.map { case (chunk, i) =>
       val dest = stagingDir().resolve(f"staged-$flushCount%05d-$i%04d.parquet")
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      DriverParquet.write(spark, dest, schema, chunk, options)
       dest
     }
   }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Scale-safety bounds of the LSH near-dup family: band groups are
+  * materialized with `collect_list`, so a degenerate band value (every
+  * near-identical variant of one template, or every copy of one
+  * popular document) must never produce an unbounded aggregation row.
+  * Two mechanisms are under test — the exact-duplicate pre-collapse
+  * (only dedup representatives enter LSH) and the BAND_CAP group cap —
+  * each forced by a purpose-built degenerate corpus.
+  */
+class LshBoundSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Write a synthetic documents.parquet and return its directory. */
+  private def corpusDir(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lsh-bound-").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("capBandGroups: a 1000-member degenerate band is cut to BAND_CAP") {
+    import spark.implicits._
+    val bands = (1L to 1000L).map(i => (i, 0, "deadbeef")).toDF("doc_id", "band_idx", "band")
+    val capped = Pipeline.capBandGroups(bands).collect()
+    assert(capped.length === Pipeline.BAND_CAP)
+    assert(capped.map(_.getLong(0)).sorted.toSeq === (1L to Pipeline.BAND_CAP.toLong))
+  }
+
+  test("capBandGroups: caps per (band_idx, band), not globally") {
+    import spark.implicits._
+    val bands = (1L to 300L).map(i => (i, (i % 2).toInt, "x")).toDF("doc_id", "band_idx", "band")
+    val sizes = Pipeline.capBandGroups(bands)
+      .groupBy($"band_idx").count().collect().map(_.getLong(1))
+    assert(sizes.length === 2 && sizes.forall(_ === Pipeline.BAND_CAP.toLong))
+  }
+
+  test("simhashPairs: 1000 distinct docs sharing every band stay bounded") {
+    // doc i = the token "w" repeated i times: all texts distinct (no
+    // exact-dup collapse), all fingerprints identical (every token
+    // votes the same way), so all 1000 docs land in ONE band value per
+    // band index — the worst case the cap exists for. Only the
+    // BAND_CAP lowest doc_ids may survive into any group, so the
+    // output is exactly the C(cap, 2) pairs among doc_ids 1..cap.
+    val dir = corpusDir((1L to 1000L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "))))
+    val rows = Pipeline.simhashPairs(spark, dir).collect()
+    val cap = Pipeline.BAND_CAP
+    assert(rows.length === cap * (cap - 1) / 2)
+    assert(rows.forall(r => r.getLong(0) <= cap && r.getLong(1) <= cap))
+    assert(rows.forall(_.getLong(2) === 0L)) // identical fingerprints
+  }
+
+  test("minhashLsh and simhashPairs: only exact-dedup representatives appear") {
+    // 40 copies of text A (rep id 1) + 40 of text B (rep id 2) + two
+    // singletons: every pair the queries emit must be between reps —
+    // without the pre-collapse the A-band would hold 40 identical
+    // members and emit 780 redundant intra-A pairs.
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq((1L, a), (2L, b), (3L, "completely different text here now"),
+      (4L, "unrelated words make another document entirely")) ++
+      (5L to 44L).map(i => (i, a)) ++ (45L to 84L).map(i => (i, b))
+    val dir = corpusDir(docs)
+    val reps = Set(1L, 2L, 3L, 4L)
+    val mh = Pipeline.minhashLsh(spark, dir).collect()
+    assert(mh.forall(r => reps(r.getLong(0)) && reps(r.getLong(1))),
+      s"non-representative doc_id in minhashLsh output: ${mh.mkString(", ")}")
+    val sp = Pipeline.simhashPairs(spark, dir).collect()
+    assert(sp.forall(r => reps(r.getLong(0)) && reps(r.getLong(1))),
+      s"non-representative doc_id in simhashPairs output: ${sp.mkString(", ")}")
+    // A and B differ in one word of ten — they must still be found as
+    // near-dups through their representatives
+    assert(mh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"expected rep pair (1,2) in minhashLsh output: ${mh.mkString(", ")}")
+  }
+}
