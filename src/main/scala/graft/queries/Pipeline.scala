@@ -484,6 +484,80 @@ object Pipeline {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Minimum-label propagation connected components over an undirected
+    * edge list (`a_id`, `b_id`): every node's label converges to the
+    * smallest doc_id reachable from it — the unique, order-independent
+    * fixpoint, so the result is deterministic however Spark schedules
+    * the joins. Each round is one shuffle join + one aggregation, and
+    * the round count is bounded by the graph diameter — near-dup
+    * graphs are unions of dense clusters, so diameters stay small at
+    * any corpus size (the 50-round cap is a runaway guard, not a
+    * tuning knob). `localCheckpoint` materializes the per-round labels
+    * and truncates the iterative lineage — without it round k replays
+    * all k-1 predecessors and the plan grows without bound; on a
+    * cluster the same call swaps for a reliable `checkpoint` to an
+    * HDFS dir.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round; never recompute the edge pipeline
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 50) {
+      val prop = sym
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster assignment — the stage a real dedup pipeline
+    * runs after pair generation: the union of the exact-Jaccard
+    * ([[ngramJaccard]]) and SimHash ([[simhashPairs]]) near-dup edges,
+    * resolved into connected components. One row per document that has
+    * at least one near-dup edge; `cluster_id` is the smallest doc_id
+    * in its component (keep that one, drop the rest). The DuckDB
+    * oracle states the same transitive closure as a recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = ngramJaccard(s, dir).select($"a_id", $"b_id")
+      .union(simhashPairs(s, dir).select($"a_id", $"b_id"))
+      .distinct()
+    connectedComponents(edges)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |jp AS ($ngramJaccardSql),
+       |sp AS ($simhashPairsSql),
+       |edges AS (
+       |  SELECT a_id, b_id FROM jp UNION SELECT a_id, b_id FROM sp),
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM edges
+       |  UNION SELECT b_id, a_id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID by marker-token counts (n-gram heuristic): pure
@@ -1127,6 +1201,7 @@ object Pipeline {
     "x_minhash_lsh"    -> minhashLsh _,
     "x_simhash"        -> simhash _,
     "x_simhash_pairs"  -> simhashPairs _,
+    "x_dedup_clusters" -> dedupClusters _,
     "x_lang_id"        -> langId _,
     "x_quality_score"  -> qualityScore _,
     "x_token_count"    -> tokenCount _,
@@ -1155,6 +1230,7 @@ object Pipeline {
     "x_minhash_lsh"    -> minhashLshSql,
     "x_simhash"        -> simhashSql,
     "x_simhash_pairs"  -> simhashPairsSql,
+    "x_dedup_clusters" -> dedupClustersSql,
     "x_lang_id"        -> langIdSql,
     "x_quality_score"  -> qualityScoreSql,
     "x_token_count"    -> tokenCountSql,

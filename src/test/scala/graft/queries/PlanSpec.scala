@@ -61,6 +61,26 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 4, s"expected ≥4 broadcast joins, got $bhj in:\n" + p.take(1500))
   }
 
+  test("LSH band cap: applied map-side (WindowGroupLimit) with exchange reuse") {
+    for (name <- Seq("x_minhash_lsh", "x_simhash_pairs")) {
+      val p = plan(name)
+      // the BAND_CAP row_number filter must compile to WindowGroupLimit
+      // with a PARTIAL pass BEFORE the band shuffle — each map task
+      // keeps only its own top-cap per band group, so a degenerate band
+      // never shuffles more than cap × tasks rows
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: band cap must plan as WindowGroupLimit:\n" + p.take(2000))
+      assert("WindowGroupLimit \\[band_idx.*row_number\\(\\), 100, Partial".r
+        .findFirstIn(p).isDefined,
+        s"$name: expected a map-side (Partial) WindowGroupLimit at 100")
+      // the band-group collect_list must reuse the window's
+      // (band_idx, band) partitioning — exactly one band exchange
+      val bandExchanges = "Exchange hashpartitioning\\(band_idx".r.findAllIn(p).length
+      assert(bandExchanges == 1,
+        s"$name: expected 1 band exchange (window+groupBy fused), got $bandExchanges")
+    }
+  }
+
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
     val p = plan("x_hash_sample")
     // the filter sits directly over the scan — no shuffle before it

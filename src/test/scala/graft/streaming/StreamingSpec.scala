@@ -78,6 +78,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("kill/restart: resumed sink stays exactly-once across a replayed batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("value", StringType)))
+    val rowBytes = 8 + (100 + 4)
+    val out = tmp.resolve("resume-shards")
+    val ckpt = tmp.resolve("ckpt-resume")
+
+    val sink1 = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = rowBytes * 10L, filePrefix = Some("ev"))
+    val mem = MemoryStream[(Long, String)]
+    def startQuery(sink: StreamingShardSink) = mem.toDF().toDF("id", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.addBatch(df, id))
+      .start()
+
+    val q1 = startQuery(sink1)
+    try {
+      mem.addData((0L until 25L).map(i => (i, "x" * 100)): _*)
+      q1.processAllAvailable()
+      mem.addData((25L until 40L).map(i => (i, "x" * 100)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop() // the "kill"
+
+    // crash simulation: drop the newest engine-side commit marker, so
+    // the restarted query REPLAYS the last micro-batch — the replay
+    // must hit the resumed sink's commit log and be a no-op
+    val commitDir = ckpt.resolve("commits")
+    val newest = Files.list(commitDir).iterator.asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    // also the Hadoop LocalFileSystem checksum sidecar — left stale it
+    // makes the replayed commit's rename fail as "already exists"
+    Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
+
+    val sink2 = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = rowBytes * 10L, filePrefix = Some("ev"), resume = true)
+    // manifest + shard counter restored from the sidecar commit log
+    assert(sink2.writtenFiles == sink1.writtenFiles)
+
+    val q2 = startQuery(sink2)
+    try {
+      mem.addData((40L until 50L).map(i => (i, "x" * 100)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // exactly once: the replayed batch added nothing, the new batch
+    // landed, and the shard sequence is contiguous from both lifetimes
+    val back = spark.read.schema(schema).parquet(out.toString)
+    assert(back.count() == 50L)
+    assert(back.select($"id").as[Long].collect().sorted.toSeq == (0L until 50L))
+    val files = Files.list(out).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+    assert(files.map(_.getFileName.toString) ==
+      files.indices.map(i => s"ev-$i.parquet"))
+    assert(sink2.writtenFiles.map(_.getFileName.toString).sorted ==
+      files.map(_.getFileName.toString))
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
