@@ -55,9 +55,11 @@ object Bench {
     "x_asof_join" -> 0.98,
     "x_centroids" -> 0.53,
     "x_contamination" -> 2.91,
-    "x_dedup_clusters" -> 12.46, // round-5 single recording (new op)
+    "x_dedup_clusters" -> 15.28, // max of four round-5 recordings (new op)
     "x_dedup_docs" -> 0.44,
     "x_embed_near_dup" -> 1.68,
+    "x_embed_quantize" -> 0.98, // round-5 recordings (new op)
+    "x_incremental_dedup" -> 0.63, // round-5 recordings (new op)
     "x_exact_dedup" -> 0.38,
     "x_fingerprint" -> 0.69,
     "x_frame_sample" -> 0.35,
@@ -74,6 +76,7 @@ object Bench {
     "x_session_window" -> 1.25,
     "x_sessionize" -> 1.41,
     "x_sim_search" -> 0.22,
+    "x_stratified_sample" -> 1.71, // round-5 recordings (new op)
     "x_simhash" -> 2.00,
     "x_simhash_pairs" -> 4.24,
     "x_text_stats" -> 1.30,
@@ -81,6 +84,17 @@ object Bench {
     "x_token_sketch" -> 5.48)
 
   private val RegressionFactor = 3.0
+
+  /** Absolute excess a query must ALSO show over its ceiling before it
+    * flags. A pure ratio gate false-positives on sub-second queries:
+    * their times are dominated by fixed job-launch overhead, which a
+    * machine hiccup stretches by 1-2 s regardless of the query — a
+    * measured 0.44 s → 2.1 s swing on byte-identical code is 4.8× but
+    * means nothing. A real plan regression on a fast query (a lost
+    * broadcast, a new shuffle) costs seconds, not milliseconds, so it
+    * clears both bars.
+    */
+  private val AbsoluteSlackSec = 2.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,6 +118,11 @@ object Bench {
           false
         }
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse or memory pressure
+      // clearCache misses localCheckpoint blocks (they're persisted
+      // RDDs, not cached plans, and otherwise linger until GC) —
+      // x_dedup_clusters would bleed block-manager memory into every
+      // query after it
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -114,7 +133,8 @@ object Bench {
     // a hypothetical sf1 run would trivially fail)
     val gated = sfDir.endsWith("sf0.1")
     val regressed = if (!gated) Nil else results.collect {
-      case (name, sec) if sec >= 0 && BaselineSec.get(name).exists(b => sec > RegressionFactor * b) =>
+      case (name, sec) if sec >= 0 && BaselineSec.get(name)
+          .exists(b => sec > RegressionFactor * b && sec > b + AbsoluteSlackSec) =>
         name
     }
     val ratios = results.collect {

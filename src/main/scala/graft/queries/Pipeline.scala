@@ -229,6 +229,37 @@ object Pipeline {
     """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
+  /** Incremental ingestion dedup — the shape a continuously-growing
+    * corpus actually runs: an incoming batch (here the deterministic
+    * `doc_id % 10 = 7` slice) is deduplicated within itself
+    * (keep-first by doc_id) and then anti-joined against the existing
+    * corpus's normalized-text hashes, so only genuinely new documents
+    * land. Both sides shuffle once on the md5 hash — a uniform key, so
+    * no skew at any corpus size — and the anti-join ships only the
+    * corpus's distinct hashes, never its text. On a real deployment the
+    * corpus side is a bucketed hash index maintained across runs;
+    * the query is the per-batch increment.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+    val batch = docs.filter($"doc_id" % 10 === 7)
+    batch.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .join(corpus.select($"h"), Seq("h"), "left_anti")
+      .select($"doc_id", $"h")
+      .orderBy($"doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+      |b AS (SELECT h, min(doc_id) AS doc_id FROM d WHERE doc_id % 10 = 7 GROUP BY h)
+      |SELECT doc_id, h FROM b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d c WHERE c.doc_id % 10 <> 7 AND c.h = b.h)
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 via an
     * inverted shingle index (no O(n²) cross join, and no self-join at
     * all): group the index by shingle (group size bounded by
@@ -512,13 +543,15 @@ object Pipeline {
       val prop = sym
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+      // carry the previous label through the checkpoint so the
+      // convergence check is a filter over materialized rows, not a
+      // second shuffle join per round
       val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     labels
@@ -834,6 +867,40 @@ object Pipeline {
       |FROM documents
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
       |ORDER BY doc_id""".stripMargin
+
+  private[graft] val STRATUM_N = 20
+
+  /** Stratified sample: the first [[STRATUM_N]] documents per language,
+    * ordered by a deterministic per-doc hash — every stratum gets equal
+    * representation regardless of its corpus share (the fix for
+    * uniform sampling starving low-resource languages in training
+    * mixes). The rank-≤-k filter compiles to a map-side
+    * `WindowGroupLimit` (asserted in PlanSpec): each task keeps at most
+    * k rows per stratum BEFORE the shuffle, so a stratum with a billion
+    * documents ships k × tasks rows, not a billion — the same bound
+    * that makes the LSH band cap safe at 100 TB.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        md5(concat(lit("strat|"), $"doc_id".cast("string")).cast("binary")).as("u"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"lang").orderBy($"u", $"doc_id"))
+          .cast("long"))
+      .filter($"rn" <= STRATUM_N)
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, rn FROM (
+       |  SELECT doc_id, lang, CAST(row_number() OVER (
+       |    PARTITION BY lang
+       |    ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+       |  FROM documents)
+       |WHERE rn <= $STRATUM_N ORDER BY lang, rn""".stripMargin
 
   /** Cardinality sketch: HyperLogLog++ distinct-token estimate per
     * language next to the exact count. The raw sketch value is
@@ -1191,10 +1258,55 @@ object Pipeline {
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.40
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Symmetric int8 quantization audit per embedding: scale =
+    * max|x|/127, each component snapped to `floor(x/scale + 0.5)` on
+    * the int8 grid, and the total absolute reconstruction error
+    * reported in exact micro-units — the compression step a 100 TB
+    * vector store runs before indexing (4× smaller, cache-resident
+    * cells), with the error column telling you which vectors can't
+    * take it. Embarrassingly parallel: one pass over the vectors, no
+    * shuffle before the output sort. Determinism: scale is a max (no
+    * fp accumulation) over float→double widenings (exact), the
+    * per-element error tree is IEEE-identical in both engines, and the
+    * error sum happens in int64 micro-units ([[centroids]]' trick) —
+    * `floor`, not `round`, because engines tie-break round() apart.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scale =
+      aggregate(transform($"embedding", x => abs(x.cast("double"))),
+        lit(0.0d), (acc, v) => greatest(acc, v)) / 127.0d
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding", scale.as("scale"))
+      .filter($"scale" > 0.0d)
+      .select($"vec_id", $"label", $"scale",
+        aggregate(
+          transform($"embedding", x =>
+            floor(abs(x.cast("double") -
+              floor(x.cast("double") / $"scale" + 0.5d).cast("long").cast("double") * $"scale") *
+              1000000.0d).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("err_micro"))
+      .orderBy($"vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    """SELECT vec_id, label, scale,
+      |  CAST(list_aggregate(list_transform(embedding, x ->
+      |    CAST(floor(abs(CAST(x AS DOUBLE) -
+      |      CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) AS DOUBLE) * scale) *
+      |      CAST(1000000 AS DOUBLE)) AS BIGINT)), 'sum') AS BIGINT) AS err_micro
+      |FROM (
+      |  SELECT vec_id, label, embedding,
+      |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+      |      / CAST(127 AS DOUBLE) AS scale
+      |  FROM embeddings)
+      |WHERE scale > 0 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_exact_dedup"    -> exactDedup _,
+    "x_incremental_dedup" -> incrementalDedup _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
@@ -1211,6 +1323,7 @@ object Pipeline {
     "x_repetition"     -> repetition _,
     "x_len_percentiles" -> lenPercentiles _,
     "x_hash_sample"    -> hashSample _,
+    "x_stratified_sample" -> stratifiedSample _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_session_window" -> sessionWindow _,
@@ -1220,10 +1333,12 @@ object Pipeline {
     "x_ann_ivf"        -> annIvf _,
     "x_ann_ivf_pruned" -> annIvfPruned _,
     "x_ann_lsh"        -> annLsh _,
-    "x_embed_near_dup" -> embedNearDup _)
+    "x_embed_near_dup" -> embedNearDup _,
+    "x_embed_quantize" -> embedQuantize _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
+    "x_incremental_dedup" -> incrementalDedupSql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,
@@ -1240,6 +1355,7 @@ object Pipeline {
     "x_repetition"     -> repetitionSql,
     "x_len_percentiles" -> lenPercentilesSql,
     "x_hash_sample"    -> hashSampleSql,
+    "x_stratified_sample" -> stratifiedSampleSql,
     "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle
@@ -1249,5 +1365,6 @@ object Pipeline {
     "x_ann_ivf"        -> annIvfSql,
     "x_ann_ivf_pruned" -> annIvfSql, // same semantics, pruned scan layout
     "x_ann_lsh"        -> annLshSql,
-    "x_embed_near_dup" -> embedNearDupSql)
+    "x_embed_near_dup" -> embedNearDupSql,
+    "x_embed_quantize" -> embedQuantizeSql)
 }

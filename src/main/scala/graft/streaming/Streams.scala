@@ -26,6 +26,21 @@ object Streams {
       .foreachBatch((batch: DataFrame, id: Long) => sink.addBatch(batch, id))
       .start()
 
+  /** Streaming exact dedup: emit only the first row seen per key,
+    * dropping replays that arrive within `watermarkDelay` of the
+    * stream's event-time frontier. State is the seen-key set BOUNDED
+    * BY THE WATERMARK — keys older than the delay are evicted, which
+    * is what makes continuous ingestion dedup viable at 100 TB/day
+    * (an unbounded `dropDuplicates` would grow state forever; the
+    * batch twin `x_exact_dedup`/`x_incremental_dedup` handles
+    * cross-window duplicates in the periodic compaction pass).
+    */
+  def dedupedStream(
+      df: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics of the round-5 pipeline additions on hand-built corpora:
+  * incremental ingestion dedup, stratified sampling, and the int8
+  * quantization audit. (End-to-end value parity vs DuckDB is the
+  * driver's Verify gate; these pin the intended behavior on inputs
+  * small enough to reason about by hand.)
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline-ops-").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("incrementalDedup: batch keeps first-within-batch, drops corpus dups, passes novel") {
+    // doc_id % 10 == 7 marks the incoming batch
+    val dir = writeDocs(Seq(
+      3L -> "already in the corpus", // corpus
+      7L -> "already in the corpus", // batch: exact dup of corpus → dropped
+      17L -> "fresh batch text", // batch: novel → kept
+      27L -> "repeated inside the batch", // batch-internal dup: keep-first …
+      37L -> "repeated inside the batch")) // … so 37 is dropped
+    val got = Pipeline.incrementalDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(17L, 27L))
+  }
+
+  test("stratifiedSample: every language capped at STRATUM_N, small strata intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline-ops-").toString
+    // 50 docs in 'en' (over the cap), 3 in 'fr' (under it)
+    ((0L until 50L).map(i => (i, "english doc", "en")) ++
+      (100L until 103L).map(i => (i, "french doc", "fr")))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.stratifiedSample(spark, dir).collect()
+    val perLang = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang === Map("en" -> Pipeline.STRATUM_N, "fr" -> 3))
+    // ranks are contiguous from 1 within each stratum
+    assert(got.filter(_.getString(1) == "fr").map(_.getLong(2)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("embedQuantize: on-grid vectors have zero error, zero vectors are excluded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline-ops-").toString
+    Seq(
+      // max|x| = 127 → scale 1.0, every component already on the int8 grid
+      (1L, Array(127.0f, -127.0f, 3.0f, 0.0f), 0),
+      // zero vector: scale 0 → undefined quantization, must be filtered out
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0),
+      // max|x| = 254 → scale 2.0; 3.0 sits mid-grid, error 1.0 = 1e6 micro
+      (3L, Array(254.0f, 3.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.embedQuantize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq
+    // floor(3.0/2.0 + 0.5) = 2 → reconstruction 4.0, |3-4| = 1.0
+    assert(got === Seq((1L, 1.0, 0L), (3L, 2.0, 1000000L)))
+  }
+}

@@ -81,6 +81,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x_stratified_sample: per-stratum top-k applied map-side, text never read") {
+    val p = plan("x_stratified_sample")
+    // rank ≤ k must run as a Partial WindowGroupLimit before the lang
+    // shuffle: a billion-document stratum ships k × tasks rows, not
+    // its full population
+    assert("WindowGroupLimit \\[lang.*row_number\\(\\), 20, Partial".r
+      .findFirstIn(p).isDefined,
+      "expected map-side WindowGroupLimit at 20 in:\n" + p.take(2000))
+    // the sample is (doc_id, lang)-only: the wide text column must be
+    // pruned out of the scan entirely
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      "stratified sample must not read document text: " + readSchema)
+  }
+
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
     val p = plan("x_hash_sample")
     // the filter sits directly over the scan — no shuffle before it

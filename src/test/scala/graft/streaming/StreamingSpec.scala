@@ -143,6 +143,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       files.map(_.getFileName.toString))
   }
 
+  test("dedupedStream: replays dropped within the watermark, state evicted beyond it") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val dd = Streams.dedupedStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", Seq("doc_id"))
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", tmp.resolve("ckpt-dedup").toString)
+      .start()
+    try {
+      // same-batch and cross-batch replays of keys 1 and 2 are dropped
+      mem.addData((ts(1), 1L, "a"), (ts(2), 2L, "b"), (ts(3), 1L, "a-replay"))
+      q.processAllAvailable()
+      mem.addData((ts(5), 2L, "b-replay"), (ts(6), 3L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").select($"doc_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+      // advance the event-time frontier past every key's expiry
+      // (first-seen + 10 min) so their dedup state is evicted...
+      mem.addData((ts(40), 9L, "advance"))
+      q.processAllAvailable()
+      // ...then a key-1 replay from the NEW window is a fresh first
+      // occurrence: bounded state means dedup is exact only within the
+      // watermark, by design
+      mem.addData((ts(41), 1L, "a-much-later"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").select($"doc_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 1L, 2L, 3L, 9L))
+    } finally q.stop()
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
