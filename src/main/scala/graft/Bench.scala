@@ -54,6 +54,7 @@ object Bench {
     "x_ann_lsh" -> 0.90,
     "x_asof_join" -> 0.98,
     "x_centroids" -> 0.53,
+    "x_chunk_windows" -> 0.63, // round-5 recordings (new op)
     "x_contamination" -> 2.91,
     "x_dedup_clusters" -> 15.28, // max of four round-5 recordings (new op)
     "x_dedup_docs" -> 0.44,
@@ -81,7 +82,9 @@ object Bench {
     "x_simhash_pairs" -> 4.24,
     "x_text_stats" -> 1.30,
     "x_token_count" -> 1.52,
-    "x_token_sketch" -> 5.48)
+    "x_token_rarity" -> 0.90, // round-5 recordings (new op)
+    "x_token_sketch" -> 5.48,
+    "x_weighted_mix" -> 0.39) // round-5 recordings (new op)
 
   private val RegressionFactor = 3.0
 

@@ -868,6 +868,129 @@ object Pipeline {
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-language sampling rates (percent) for training-mix
+    * construction: keep all English, downsample the mid-resource
+    * languages, keep a quarter of zh — the up/down-weighting step
+    * every corpus mix runs before training. Deterministic per-doc
+    * coin: the doc's md5 bucket against the rate, so reruns and
+    * engines agree row-for-row and the sample composes with
+    * [[hashSample]]'s bucket space.
+    */
+  private val MIX_RATES: Seq[(String, Int)] =
+    Seq("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
+
+  def weightedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = MIX_RATES.foldRight(lit(0)) { case ((l, r), acc) =>
+      when($"lang" === l, lit(r)).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .withColumn("rate", rate)
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("mix|"), $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .filter($"bucket" < $"rate")
+      .select($"doc_id", $"lang", $"rate".cast("long").as("rate"))
+      .orderBy($"doc_id")
+  }
+
+  val weightedMixSql: String = {
+    val cases = MIX_RATES.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, CAST(rate AS BIGINT) AS rate FROM (
+       |  SELECT doc_id, lang, CASE lang $cases ELSE 0 END AS rate,
+       |    ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+       |  FROM documents)
+       |WHERE bucket < rate ORDER BY doc_id""".stripMargin
+  }
+
+  private val CHUNK_TOKENS = 32
+  private val CHUNK_STRIDE = 24
+
+  /** Context-window chunking: each document becomes overlapping
+    * [[CHUNK_TOKENS]]-token windows at [[CHUNK_STRIDE]] stride — the
+    * sequence-construction step between a cleaned corpus and a
+    * training batch. Pure per-row explode: no shuffle until the output
+    * sort, fan-out bounded by document length, embarrassingly parallel
+    * at any corpus size. The chunk hash gives downstream exact-dedup a
+    * unit to work at sub-document granularity.
+    */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", $"w", size($"w").as("n"),
+        posexplode(sequence(lit(0), greatest(size($"w") - 1, lit(0)), lit(CHUNK_STRIDE)))
+          .as(Seq("chunk_id", "start")))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        least(lit(CHUNK_TOKENS), $"n" - $"start").cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice($"w", $"start" + 1, lit(CHUNK_TOKENS))).cast("binary"))
+          .as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkWindowsSql: String =
+    s"""SELECT doc_id, CAST(s // $CHUNK_STRIDE AS BIGINT) AS chunk_id,
+       |  CAST(least($CHUNK_TOKENS, n - s) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(w[s + 1:s + $CHUNK_TOKENS], ' ')) AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, w, len(w) AS n,
+       |    unnest(range(0, greatest(len(w), 1), $CHUNK_STRIDE)) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Document-frequency cap for the token-rarity score: tokens in more
+    * than this many documents are common vocabulary and contribute no
+    * rarity signal. Same scale role as [[SHINGLE_DF_CAP]]: the OVER-cap
+    * token list is tiny (it IS the stopword vocabulary), so it
+    * broadcast-anti-joins against the token stream map-side, and the
+    * rarity join that follows touches only keys with ≤ cap occurrences
+    * — stopword skew never reaches a shuffle.
+    */
+  private val RARE_DF_CAP = 100
+
+  /** Token-rarity quality score per document: Σ over the doc's
+    * distinct rare tokens of `floor(1e9 / df)` — a harmonic
+    * "inverse-document-frequency mass" that separates formulaic from
+    * information-dense documents without a language model. Integer
+    * micro-unit arithmetic end-to-end (the [[centroids]] trick):
+    * engines disagree about float sum order, never about int64 sums.
+    */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(words($"text"))).as("t"))
+    val df_t = toks.groupBy($"t").agg(count(lit(1)).as("df"))
+    val common = df_t.filter($"df" > RARE_DF_CAP).select($"t")
+    val rare = toks.join(broadcast(common), Seq("t"), "left_anti")
+      .join(df_t.filter($"df" <= RARE_DF_CAP), Seq("t"))
+    val perDoc = rare.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_rare"),
+      sum(floor(lit(1000000000.0d) / $"df").cast("long")).as("rarity_micro"))
+    Tables(s, dir, "documents").select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_rare", lit(0L)).as("n_rare"),
+        coalesce($"rarity_micro", lit(0L)).as("rarity_micro"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenRaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |dft AS (SELECT t, COUNT(*) AS df FROM toks GROUP BY t),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_rare,
+       |    CAST(SUM(CAST(floor(CAST(1000000000 AS DOUBLE) / df) AS BIGINT)) AS BIGINT) AS rarity_micro
+       |  FROM toks JOIN dft USING (t)
+       |  WHERE df <= $RARE_DF_CAP
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_rare, 0) AS n_rare,
+       |  COALESCE(p.rarity_micro, 0) AS rarity_micro
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private[graft] val STRATUM_N = 20
 
   /** Stratified sample: the first [[STRATUM_N]] documents per language,
@@ -1324,6 +1447,9 @@ object Pipeline {
     "x_len_percentiles" -> lenPercentiles _,
     "x_hash_sample"    -> hashSample _,
     "x_stratified_sample" -> stratifiedSample _,
+    "x_weighted_mix"   -> weightedMix _,
+    "x_chunk_windows"  -> chunkWindows _,
+    "x_token_rarity"   -> tokenRarity _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_session_window" -> sessionWindow _,
@@ -1356,6 +1482,9 @@ object Pipeline {
     "x_len_percentiles" -> lenPercentilesSql,
     "x_hash_sample"    -> hashSampleSql,
     "x_stratified_sample" -> stratifiedSampleSql,
+    "x_weighted_mix"   -> weightedMixSql,
+    "x_chunk_windows"  -> chunkWindowsSql,
+    "x_token_rarity"   -> tokenRaritySql,
     "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle

@@ -96,6 +96,19 @@ class PlanSpec extends AnyFunSuite {
       "stratified sample must not read document text: " + readSchema)
   }
 
+  test("x_chunk_windows: pure per-row explode — no shuffle before the output sort") {
+    val p = plan("x_chunk_windows")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0,
+      s"chunking must not shuffle (got $hashExchanges hash exchanges):\n" + p.take(2000))
+  }
+
+  test("x_token_rarity: stopword list broadcast anti-joins map-side") {
+    val p = plan("x_token_rarity")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "expected broadcast LeftAnti for the over-cap token list in:\n" + p.take(2000))
+  }
+
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
     val p = plan("x_hash_sample")
     // the filter sits directly over the scan — no shuffle before it

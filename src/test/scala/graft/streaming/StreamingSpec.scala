@@ -178,6 +178,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally q.stop()
   }
 
+  test("streaming ingestion pipeline: quality gate → dedup → shard sink end-to-end") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = tmp.resolve("ingest-shards")
+    val sink = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 4096L, filePrefix = Some("doc"))
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val cleaned = mem.toDF().toDF("ts", "doc_id", "text")
+      .filter(length($"text") >= 10) // stateless quality gate, streaming-safe
+    val q = Streams.toShardSink(
+      Streams.dedupedStream(cleaned, "ts", "10 minutes", Seq("doc_id")),
+      sink, tmp.resolve("ckpt-ingest"))
+    try {
+      mem.addData(
+        (ts(1), 1L, "a perfectly fine document"),
+        (ts(1), 2L, "short"), // fails the quality gate
+        (ts(2), 3L, "another acceptable document"),
+        (ts(3), 1L, "a perfectly fine document")) // replay → deduped
+      q.processAllAvailable()
+      mem.addData((ts(5), 3L, "another acceptable document")) // cross-batch replay
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.schema(schema).parquet(out.toString)
+    assert(back.count() == 2L)
+    assert(back.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
