@@ -1,0 +1,63 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The 100 TB co-location story, proven mechanically: two tables
+  * bucketed by the same key into the same bucket count join WITHOUT
+  * shuffling either side — the layout a production deployment
+  * maintains for its hottest join keys (doc hash index, doc↔score,
+  * doc↔embedding), where re-shuffling 100 TB per join is the
+  * difference between minutes and hours. Local-mode managed tables
+  * exercise the identical code path (`bucketBy` → bucket-aware scan →
+  * Exchange elision) that a cluster warehouse uses.
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed-by-key tables join with zero exchanges") {
+    import spark.implicits._
+    val warehouse = Files.createTempDirectory("graft-bucketing-")
+    val docs = (0L until 1000L).map(i => (i, s"text-$i"))
+    val scores = (0L until 1000L).map(i => (i, i * 0.01))
+    try {
+      docs.toDF("doc_id", "text")
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", warehouse.resolve("docs_b").toString)
+        .saveAsTable("docs_b")
+      scores.toDF("doc_id", "score")
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", warehouse.resolve("scores_b").toString)
+        .saveAsTable("scores_b")
+
+      // force the shuffle-or-not decision to be about layout, not size
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(d) */ d.doc_id, d.text, s.score
+          |FROM docs_b d JOIN scores_b s ON d.doc_id = s.doc_id""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        "expected a sort-merge join over bucketed scans:\n" + plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed co-located join must not shuffle either side:\n" + plan.take(2000))
+      assert(joined.count() == 1000L)
+
+      // the same join WITHOUT bucketing shuffles both sides — the
+      // contrast that makes the layout's value visible in the plan
+      val flatDir = warehouse.resolve("docs_flat").toString
+      docs.toDF("doc_id", "text").write.parquet(flatDir)
+      val flat = spark.read.parquet(flatDir)
+        .hint("merge")
+        .join(spark.table("scores_b"), "doc_id")
+      val flatPlan = flat.queryExecution.executedPlan.toString
+      assert(flatPlan.contains("Exchange hashpartitioning"),
+        "sanity: the unbucketed side must need a shuffle:\n" + flatPlan.take(2000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+      spark.sql("DROP TABLE IF EXISTS scores_b")
+    }
+  }
+}

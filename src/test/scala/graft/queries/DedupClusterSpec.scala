@@ -24,6 +24,18 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("connectedComponents: 400-node chain converges under the round cap") {
+    import spark.implicits._
+    // worst-case topology for plain label propagation (diameter 399
+    // would blow the 50-round cap); pointer jumping must close it in
+    // O(log n) rounds — non-convergence throws, so passing IS the
+    // round-count assertion
+    val edges = (0L until 399L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Pipeline.connectedComponents(edges).collect()
+    assert(labels.length == 400)
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+
   test("dedupClusters: near-dup texts cluster under the smallest doc_id") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog today"
