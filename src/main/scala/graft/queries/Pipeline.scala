@@ -229,6 +229,34 @@ object Pipeline {
     """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
+  /** Per-source duplication report — the corpus-health panel a
+    * pipeline owner reads before deciding which sources to keep:
+    * document count, distinct normalized-text count, duplicate count,
+    * and the duplication rate in exact parts-per-million (integer
+    * division — no float comparison hazards). One two-phase aggregate;
+    * `COUNT(DISTINCT h)` expands map-side and shuffles on (source, h),
+    * both uniform keys.
+    */
+  def dupStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"source", md5(lower(trim($"text")).cast("binary")).as("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"h").as("n_unique"))
+      .select($"source", $"n_docs", $"n_unique",
+        ($"n_docs" - $"n_unique").as("n_dups"),
+        expr("(n_docs - n_unique) * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy($"source")
+  }
+
+  val dupStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_dups,
+      |  (COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))) * 1000000
+      |    // COUNT(*) AS dup_ppm
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Incremental ingestion dedup — the shape a continuously-growing
     * corpus actually runs: an incoming batch (here the deterministic
     * `doc_id % 10 = 7` slice) is deduplicated within itself
@@ -1443,6 +1471,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_exact_dedup"    -> exactDedup _,
+    "x_dup_stats"      -> dupStats _,
     "x_incremental_dedup" -> incrementalDedup _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
@@ -1478,6 +1507,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
+    "x_dup_stats"      -> dupStatsSql,
     "x_incremental_dedup" -> incrementalDedupSql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,
