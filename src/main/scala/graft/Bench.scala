@@ -121,13 +121,17 @@ object Bench {
           failed ::= name
           false
         }
+      // capture the elapsed time BEFORE cleanup — blocking unpersists
+      // have their own variable cost and must not leak into the
+      // measured seconds the regression gate compares
+      val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse or memory pressure
       // clearCache misses localCheckpoint blocks (they're persisted
       // RDDs, not cached plans, and otherwise linger until GC) —
       // x_dedup_clusters would bleed block-manager memory into every
       // query after it
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -135,16 +139,18 @@ object Bench {
     // per-query regression gate — the baseline is recorded at sf0.1,
     // so only gate there (a sf0.001 smoke run would trivially "pass",
     // a hypothetical sf1 run would trivially fail)
-    val gated = sfDir.endsWith("sf0.1")
+    val gated = sfDir.stripSuffix("/").endsWith("sf0.1")
     val regressed = if (!gated) Nil else results.collect {
       case (name, sec) if sec >= 0 && BaselineSec.get(name)
           .exists(b => sec > RegressionFactor * b && sec > b + AbsoluteSlackSec) =>
         name
     }
-    val ratios = results.collect {
+    // ratios only where the baseline applies — an sf0.001 time against
+    // an sf0.1 ceiling is a meaningless number nobody should read
+    val ratios = (if (!gated) Nil else results.collect {
       case (name, sec) if sec >= 0 && BaselineSec.contains(name) =>
         "\"" + name + "\":" + math.round(sec / BaselineSec(name) * 100) / 100.0
-    }.mkString("{", ",", "}")
+    }).mkString("{", ",", "}")
     val regressedJson = regressed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = (failed ++ regressed).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(

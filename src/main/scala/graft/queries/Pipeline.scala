@@ -50,16 +50,11 @@ object Pipeline {
     d.select(col("doc_id"), explode(shingleCol(col("w"))).as("s"))
   }
 
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables(s, dir, "documents"))
-
   private def shinglesSqlFrom(src: String): String =
     s"""SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))) AS s
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
        |WHERE len(w) >= 3""".stripMargin
-
-  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** Document-frequency cap for shingle self-joins: a shingle present
     * in more than this many documents is boilerplate (template text,
@@ -343,7 +338,10 @@ object Pipeline {
     */
   private val minhashSigsSql: String = {
     val aggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    s"""SELECT doc_id, $aggs FROM (${keptShinglesSqlFrom(repsSql)}) GROUP BY doc_id"""
+    // reads the `sh` CTE its sole consumer (minhashLshSql) defines —
+    // re-inlining the reps+shingle pipeline here would make the oracle
+    // evaluate it twice
+    s"""SELECT doc_id, $aggs FROM sh GROUP BY doc_id"""
   }
 
   /** Banded MinHash LSH near-dup over the exact-dedup representatives
@@ -562,13 +560,25 @@ object Pipeline {
     * HDFS dir.
     */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint persists RDDs the catalog cache never sees; free
+    // each round's checkpoint as soon as the next one supersedes it
+    // (tracked by persistent-RDD id, never touching the caller's own
+    // persisted data) so an iterative call leaves behind only its
+    // result — not O(rounds) of dead block-manager state
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val preexisting = persistedIds
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint() // reused every round; never recompute the edge pipeline
+    val symIds = persistedIds -- preexisting
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    var prevIds = persistedIds -- preexisting -- symIds
     var changed = 1L
     var round = 0
     while (changed > 0 && round < 50) {
@@ -590,9 +600,15 @@ object Pipeline {
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
+      // next is materialized (eager checkpoint + the count above), so
+      // the previous round's checkpoint has no remaining reader
+      val nextIds = persistedIds -- preexisting -- symIds -- prevIds
+      free(prevIds)
+      prevIds = nextIds
       labels = next.select(col("id"), col("label"))
       round += 1
     }
+    free(symIds) // the final labels checkpoint alone survives for the caller
     require(changed == 0,
       s"connectedComponents did not converge in $round rounds — " +
         "graph structure inconsistent with a near-dup corpus")
@@ -606,6 +622,15 @@ object Pipeline {
     * at least one near-dup edge; `cluster_id` is the smallest doc_id
     * in its component (keep that one, drop the rest). The DuckDB
     * oracle states the same transitive closure as a recursive CTE.
+    *
+    * Granularity note: the two edge families deliberately see
+    * different corpora — Jaccard edges cover every document, SimHash
+    * edges only the exact-dedup representatives ([[repDocs]], where
+    * the banded blocking is safe). Exact duplicates of a clustered
+    * representative are therefore clustered only if their own Jaccard
+    * edges survive the DF cap; a consumer wanting every exact copy
+    * folded in composes this with [[exactDedup]]'s hash → keep_id map
+    * (that composition IS the full dedup pipeline's final join).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -57,8 +57,16 @@ object DriverParquet {
       sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
     ParquetWriteSupport.setSchema(schema, conf)
 
-    val codec = codecName(options.getOrElse("compression",
-      sqlConf.parquetCompressionCodec))
+    // Same precedence and case-insensitivity as Spark's ParquetOptions:
+    // `compression` option → `parquet.compression` option → session
+    // default. The explicit codec handed to getRecordWriter overrides
+    // whatever the Hadoop conf carries, so the resolution must consult
+    // parquet.compression itself — newHadoopConfWithOptions alone
+    // would silently lose it.
+    val codec = codecName(
+      option(options, "compression")
+        .orElse(option(options, ParquetOutputFormat.COMPRESSION))
+        .getOrElse(sqlConf.parquetCompressionCodec))
     val writer = new ParquetOutputFormat[InternalRow](new ParquetWriteSupport)
       .getRecordWriter(conf, new org.apache.hadoop.fs.Path(dest.toUri),
         codec, ParquetFileWriter.Mode.OVERWRITE)
@@ -67,8 +75,14 @@ object DriverParquet {
     finally writer.close(null)
   }
 
+  /** DataFrameWriter options are a CaseInsensitiveMap; mirror that. */
+  private def option(options: Map[String, String], key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
   /** Spark's `compression` option short names → parquet-mr codecs
-    * (the mapping `ParquetOptions` applies on the executor path).
+    * (the mapping `ParquetOptions` applies on the executor path;
+    * `lz4` and `lz4_raw` are distinct codecs there and must stay
+    * distinct here or files change format under the same option).
     */
   private def codecName(name: String): CompressionCodecName =
     name.toLowerCase match {
@@ -76,7 +90,8 @@ object DriverParquet {
       case "snappy"                => CompressionCodecName.SNAPPY
       case "gzip"                  => CompressionCodecName.GZIP
       case "lzo"                   => CompressionCodecName.LZO
-      case "lz4" | "lz4_raw"       => CompressionCodecName.LZ4_RAW
+      case "lz4"                   => CompressionCodecName.LZ4
+      case "lz4_raw"               => CompressionCodecName.LZ4_RAW
       case "brotli"                => CompressionCodecName.BROTLI
       case "zstd"                  => CompressionCodecName.ZSTD
       case other => throw new IllegalArgumentException(

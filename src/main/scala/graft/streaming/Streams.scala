@@ -39,7 +39,7 @@ object Streams {
       df: DataFrame, tsCol: String, watermarkDelay: String,
       keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
