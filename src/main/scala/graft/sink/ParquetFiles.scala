@@ -88,6 +88,15 @@ object ParquetFiles {
     } finally r.close()
   }
 
+  /** Compression codec of the first column chunk of the first row
+    * group — the footer fact the codec-option tests pin.
+    */
+  def firstColumnCodec(file: Path): String = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath(file), conf()))
+    try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.name()
+    finally r.close()
+  }
+
   private def hPath(p: Path): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(p.toUri)
 }

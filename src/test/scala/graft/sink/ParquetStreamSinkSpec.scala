@@ -200,6 +200,24 @@ class ParquetStreamSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(readIds(out) == Seq(1L))
   }
 
+  test("codec options verified in the footer: parquet.compression honored, lz4 ≠ lz4_raw") {
+    // the hadoop-style key, the Spark-style key, and the two distinct
+    // lz4 codecs must all reach the footer exactly as the Spark write
+    // path would map them
+    for ((opts, want) <- Seq(
+        (Map("parquet.compression" -> "gzip"), "GZIP"),
+        (Map("Compression" -> "zstd"), "ZSTD"), // case-insensitive key
+        (Map("compression" -> "lz4"), "LZ4"),
+        (Map("compression" -> "lz4_raw"), "LZ4_RAW"))) {
+      val out = tmp.resolve(s"codec-$want.parquet")
+      val sink = new ParquetStreamSink(spark, out, schema, options = opts)
+      sink.writeRows(rows(1L -> "a"))
+      sink.close()
+      assert(ParquetFiles.firstColumnCodec(out) == want,
+        s"options $opts must produce $want")
+    }
+  }
+
   // tests.py:161-169 (write_statistics=False verified via footer)
   test("writer options verified: statistics disabled reaches the footer") {
     val out = tmp.resolve("nostats.parquet")
