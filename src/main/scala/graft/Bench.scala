@@ -85,6 +85,7 @@ object Bench {
     "x_token_count" -> 1.52,
     "x_token_rarity" -> 0.90, // round-5 recordings (new op)
     "x_token_sketch" -> 5.48,
+    "x_top_ngrams" -> 0.83, // round-5 recording (new op)
     "x_weighted_mix" -> 0.39) // round-5 recordings (new op)
 
   private val RegressionFactor = 3.0

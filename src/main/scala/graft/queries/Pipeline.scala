@@ -224,6 +224,27 @@ object Pipeline {
     """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
+  /** Corpus boilerplate panel: the 25 highest-document-frequency word
+    * 3-gram shingles — exactly the keys [[SHINGLE_DF_CAP]] protects the
+    * dedup joins from, surfaced so a pipeline owner can see WHAT the
+    * template text is (cookie banners, navigation chrome, license
+    * headers). One shuffle to the df aggregate, then
+    * `TakeOrderedAndProject`: only 25 rows ever leave the executors,
+    * whatever the corpus size. Deterministic tie-break: df desc, then
+    * shingle text.
+    */
+  def topNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shinglesOf(Tables(s, dir, "documents"))
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"s")
+      .limit(25)
+  }
+
+  val topNgramsSql: String =
+    s"""SELECT s, COUNT(*) AS df FROM (${shinglesSqlFrom("documents")})
+       |GROUP BY s ORDER BY df DESC, s LIMIT 25""".stripMargin
+
   /** Per-source duplication report — the corpus-health panel a
     * pipeline owner reads before deciding which sources to keep:
     * document count, distinct normalized-text count, duplicate count,
@@ -1518,6 +1539,7 @@ object Pipeline {
     "x_weighted_mix"   -> weightedMix _,
     "x_chunk_windows"  -> chunkWindows _,
     "x_token_rarity"   -> tokenRarity _,
+    "x_top_ngrams"     -> topNgrams _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_session_window" -> sessionWindow _,
@@ -1554,6 +1576,7 @@ object Pipeline {
     "x_weighted_mix"   -> weightedMixSql,
     "x_chunk_windows"  -> chunkWindowsSql,
     "x_token_rarity"   -> tokenRaritySql,
+    "x_top_ngrams"     -> topNgramsSql,
     "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle

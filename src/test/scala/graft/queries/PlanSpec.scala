@@ -96,6 +96,12 @@ class PlanSpec extends AnyFunSuite {
       "stratified sample must not read document text: " + readSchema)
   }
 
+  test("x_top_ngrams: global top-k runs as TakeOrderedAndProject, not a full sort") {
+    val p = plan("x_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject in:\n" + p.take(2000))
+  }
+
   test("x_chunk_windows: pure per-row explode — no shuffle before the output sort") {
     val p = plan("x_chunk_windows")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
