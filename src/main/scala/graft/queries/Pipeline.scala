@@ -663,9 +663,11 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE
-       |jp AS ($ngramJaccardSql),
+  /** The cluster CTE chain, shared by [[dedupClustersSql]] and
+    * [[dedupFullSql]] so the two oracles cannot drift apart.
+    */
+  private val dedupClusterCtesSql: String =
+    s"""jp AS ($ngramJaccardSql),
        |sp AS ($simhashPairsSql),
        |edges AS (
        |  SELECT a_id, b_id FROM jp UNION SELECT a_id, b_id FROM sp),
@@ -675,9 +677,54 @@ object Pipeline {
        |reach(id, r) AS (
        |  SELECT src, src FROM sym
        |  UNION
-       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |$dedupClusterCtesSql
        |SELECT id AS doc_id, MIN(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** The capstone dedup decision — for EVERY document, the id to keep
+    * in its place after BOTH dedup stages compose: exact duplicates
+    * fold onto their hash representative, and that representative's
+    * near-dup cluster (if any) folds onto the cluster minimum. The
+    * cluster minimum is always itself an exact-dedup representative
+    * (an exact copy of any clustered doc shares its shingles, hence
+    * its edges, hence its component — so the component's smallest id
+    * can't have a smaller twin), which makes the composition
+    * well-defined: `keep_id` is final, never needing a second hop.
+    * `is_kept` marks the survivors; `count(is_kept)` is the corpus
+    * size after dedup. Shapes: one hash groupBy + join (AQE splits a
+    * pathological identical-text group) over the cluster pipeline's
+    * cost.
+    */
+  def dedupFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables(s, dir, "documents")
+      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
+    val repMap = hashed.groupBy($"h").agg(min($"doc_id").as("rep"))
+    val reps = hashed.join(repMap, "h").select($"doc_id", $"rep")
+    val cl = dedupClusters(s, dir)
+      .select($"doc_id".as("rep"), $"cluster_id")
+    reps.join(cl, Seq("rep"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"rep").as("keep_id"),
+        ($"doc_id" === coalesce($"cluster_id", $"rep")).as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupFullSql: String =
+    s"""WITH RECURSIVE
+       |$dedupClusterCtesSql,
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |hashed AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+       |rep_map AS (SELECT h, min(doc_id) AS rep FROM hashed GROUP BY h),
+       |reps AS (SELECT hashed.doc_id, rep FROM hashed JOIN rep_map USING (h))
+       |SELECT r.doc_id,
+       |  COALESCE(c.cluster_id, r.rep) AS keep_id,
+       |  r.doc_id = COALESCE(c.cluster_id, r.rep) AS is_kept
+       |FROM reps r LEFT JOIN cl c ON r.rep = c.doc_id
+       |ORDER BY r.doc_id""".stripMargin
 
   // ------------------------------------------------------- text analysis
 
@@ -1526,6 +1573,7 @@ object Pipeline {
     "x_simhash"        -> simhash _,
     "x_simhash_pairs"  -> simhashPairs _,
     "x_dedup_clusters" -> dedupClusters _,
+    "x_dedup_full"     -> dedupFull _,
     "x_lang_id"        -> langId _,
     "x_quality_score"  -> qualityScore _,
     "x_token_count"    -> tokenCount _,
@@ -1563,6 +1611,7 @@ object Pipeline {
     "x_simhash"        -> simhashSql,
     "x_simhash_pairs"  -> simhashPairsSql,
     "x_dedup_clusters" -> dedupClustersSql,
+    "x_dedup_full"     -> dedupFullSql,
     "x_lang_id"        -> langIdSql,
     "x_quality_score"  -> qualityScoreSql,
     "x_token_count"    -> tokenCountSql,
