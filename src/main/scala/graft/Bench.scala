@@ -57,7 +57,7 @@ object Bench {
     "x_chunk_windows" -> 0.63, // round-5 recordings (new op)
     "x_contamination" -> 2.91,
     "x_dedup_clusters" -> 15.28, // max of four round-5 recordings (new op)
-    "x_dedup_full" -> 6.65, // round-5 recording (new op)
+    "x_dedup_full" -> 7.38, // max of round-5 recordings (new op)
     "x_dedup_docs" -> 0.44,
     "x_dup_stats" -> 0.59, // round-5 recording (new op)
     "x_embed_near_dup" -> 1.68,

@@ -663,8 +663,9 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  /** The cluster CTE chain, shared by [[dedupClustersSql]] and
-    * [[dedupFullSql]] so the two oracles cannot drift apart.
+  /** The near-dup cluster CTE chain for [[dedupClustersSql]].
+    * ([[dedupFullSql]] builds its own closure because its edge set
+    * additionally contains the exact-dup edges.)
     */
   private val dedupClusterCtesSql: String =
     s"""jp AS ($ngramJaccardSql),
@@ -686,45 +687,65 @@ object Pipeline {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** The capstone dedup decision — for EVERY document, the id to keep
-    * in its place after BOTH dedup stages compose: exact duplicates
-    * fold onto their hash representative, and that representative's
-    * near-dup cluster (if any) folds onto the cluster minimum. The
-    * cluster minimum is always itself an exact-dedup representative
-    * (an exact copy of any clustered doc shares its shingles, hence
-    * its edges, hence its component — so the component's smallest id
-    * can't have a smaller twin), which makes the composition
-    * well-defined: `keep_id` is final, never needing a second hop.
-    * `is_kept` marks the survivors; `count(is_kept)` is the corpus
-    * size after dedup. Shapes: one hash groupBy + join (AQE splits a
-    * pathological identical-text group) over the cluster pipeline's
-    * cost.
+    * in its place after BOTH dedup stages: one connected-components
+    * pass over the UNION of the near-dup edges (Jaccard + SimHash) and
+    * the exact-dup edges (doc ↔ its normalized-text-hash
+    * representative). Folding the exact edges into the same graph —
+    * rather than composing two maps — is what makes `keep_id` truly
+    * final: a component minimum has, by definition, no smaller exact
+    * twin and no smaller near-dup, so its own keep_id is itself.
+    * (A two-map composition is subtly wrong: the exact hash normalizes
+    * with lower/trim while shingles see raw text, so a case-variant
+    * twin can carry near-dup edges its representative lacks.)
+    * `is_kept` marks the survivors; `count_if(is_kept)` is the corpus
+    * size after dedup. Shapes: the rep window is per-hash-group
+    * (repDocs' pattern), the edge union adds one distinct, and the
+    * component pass is the O(log diameter) [[connectedComponents]].
     */
   def dedupFull(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val hashed = Tables(s, dir, "documents")
-      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
-    val repMap = hashed.groupBy($"h").agg(min($"doc_id").as("rep"))
-    val reps = hashed.join(repMap, "h").select($"doc_id", $"rep")
-    val cl = dedupClusters(s, dir)
-      .select($"doc_id".as("rep"), $"cluster_id")
-    reps.join(cl, Seq("rep"), "left")
-      .select($"doc_id", coalesce($"cluster_id", $"rep").as("keep_id"),
-        ($"doc_id" === coalesce($"cluster_id", $"rep")).as("is_kept"))
+    val byHash = Window
+      .partitionBy(md5(lower(trim($"text")).cast("binary")))
+    val reps = Tables(s, dir, "documents")
+      .select($"doc_id", min($"doc_id").over(byHash).as("rep"))
+    val exactEdges = reps.filter($"doc_id" =!= $"rep")
+      .select($"rep".as("a_id"), $"doc_id".as("b_id"))
+    val edges = ngramJaccard(s, dir).select($"a_id", $"b_id")
+      .union(simhashPairs(s, dir).select($"a_id", $"b_id"))
+      .union(exactEdges)
+      .distinct()
+    connectedComponents(edges)
+      .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "cluster_id"))
+      .join(Tables(s, dir, "documents").select($"doc_id"), Seq("doc_id"), "right")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("keep_id"),
+        ($"doc_id" === coalesce($"cluster_id", $"doc_id")).as("is_kept"))
       .orderBy($"doc_id")
   }
 
   val dedupFullSql: String =
     s"""WITH RECURSIVE
-       |$dedupClusterCtesSql,
-       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-       |hashed AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
-       |rep_map AS (SELECT h, min(doc_id) AS rep FROM hashed GROUP BY h),
-       |reps AS (SELECT hashed.doc_id, rep FROM hashed JOIN rep_map USING (h))
-       |SELECT r.doc_id,
-       |  COALESCE(c.cluster_id, r.rep) AS keep_id,
-       |  r.doc_id = COALESCE(c.cluster_id, r.rep) AS is_kept
-       |FROM reps r LEFT JOIN cl c ON r.rep = c.doc_id
-       |ORDER BY r.doc_id""".stripMargin
+       |jp AS ($ngramJaccardSql),
+       |sp AS ($simhashPairsSql),
+       |reps AS (
+       |  SELECT doc_id, min(doc_id) OVER (
+       |    PARTITION BY md5(lower(trim(text)))) AS rep FROM documents),
+       |edges AS (
+       |  SELECT a_id, b_id FROM jp UNION SELECT a_id, b_id FROM sp
+       |  UNION SELECT rep, doc_id FROM reps WHERE doc_id <> rep),
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM edges
+       |  UNION SELECT b_id, a_id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       |  COALESCE(c.cluster_id, d.doc_id) AS keep_id,
+       |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_kept
+       |FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------- text analysis
 

@@ -36,6 +36,31 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(labels.forall(_.getLong(1) == 0L))
   }
 
+  test("dedupFull: keep_id is final even when a case-variant twin carries the near-dup edge") {
+    import spark.implicits._
+    // doc 2 is an exact twin of doc 1 under lower/trim but shares NO
+    // raw-text shingles with it; doc 2 (not doc 1) near-dups doc 3.
+    // A naive rep∘cluster composition would emit doc 3 → keep 2 while
+    // doc 2 itself folds to 1 — keep_id pointing at a dropped doc.
+    // The single-graph fixpoint must put all three in one component.
+    val a = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa"
+    val dir = Files.createTempDirectory("dedup-full-").toString
+    Seq((1L, a), (2L, a.toLowerCase), (3L, a.toLowerCase + " extra"),
+      (4L, "wholly unrelated text with nothing shared here"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.dedupFull(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true)))
+    // the invariant the composition bug violated: every keep_id points
+    // at a row that is itself kept
+    val kept = got.filter(_._3).map(_._1).toSet
+    assert(got.forall(r => kept.contains(r._2)))
+  }
+
   test("dedupClusters: near-dup texts cluster under the smallest doc_id") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog today"
