@@ -31,6 +31,7 @@ object Bench {
     "q_events_tumbling" -> 1.38,
     "q_join_orders" -> 1.61,
     "q_json_funcs" -> 1.09,
+    "q_lateral_topn" -> 1.10, // round-5 recording (new op)
     "q_local_supplier" -> 2.99,
     "q_moving_window" -> 3.66,
     "q_outer_join" -> 0.86,

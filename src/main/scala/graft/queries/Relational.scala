@@ -406,6 +406,35 @@ object Relational {
       |                      FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** LATERAL correlated top-n per group — the one per-group-top-k
+    * formulation the window queries don't exercise: Catalyst
+    * decorrelates the LIMIT-ed lateral subquery into a per-key join +
+    * local top-k instead of a global window, a planner path
+    * (DomainJoin rewrite) worth pinning in the inventory because SQL
+    * users write exactly this shape. Dimension side is tiny (nation),
+    * so the decorrelated join broadcasts; ties break on c_name for
+    * engine-stable output.
+    */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM graft_nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM graft_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   /** Pivot: order counts per status, priorities as columns. The pivot
     * value list is EXPLICIT — Spark otherwise runs an extra distinct
     * job to discover it, and column order would depend on data.
@@ -474,7 +503,8 @@ object Relational {
     "q_scalar_funcs"    -> scalarFuncs _,
     "q_date_funcs"      -> dateFuncs _,
     "q_rollup"          -> rollupOrders _,
-    "q_topk"            -> topK _)
+    "q_topk"            -> topK _,
+    "q_lateral_topn"    -> lateralTopN _)
 
   val oracle: Map[String, String] = Map(
     "q_pivot"           -> pivotOrdersSql,
@@ -493,5 +523,6 @@ object Relational {
     "q_scalar_funcs"    -> scalarFuncsSql,
     "q_date_funcs"      -> dateFuncsSql,
     "q_rollup"          -> rollupOrdersSql,
-    "q_topk"            -> topKSql)
+    "q_topk"            -> topKSql,
+    "q_lateral_topn"    -> lateralTopNSql)
 }
