@@ -96,6 +96,17 @@ class PlanSpec extends AnyFunSuite {
       "stratified sample must not read document text: " + readSchema)
   }
 
+  test("q_lateral_topn: decorrelates to broadcast join + WindowGroupLimit") {
+    val p = plan("q_lateral_topn")
+    // the LIMIT-ed lateral subquery must decorrelate — not re-execute
+    // per outer row — into a broadcast of the dimension side and a
+    // map-side-bounded per-key top-k
+    assert(p.contains("BroadcastHashJoin"),
+      "expected broadcast dimension join in:\n" + p.take(2000))
+    assert("WindowGroupLimit .*row_number\\(\\), 2".r.findFirstIn(p).isDefined,
+      "expected WindowGroupLimit at 2 in:\n" + p.take(2000))
+  }
+
   test("x_top_ngrams: global top-k runs as TakeOrderedAndProject, not a full sort") {
     val p = plan("x_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"),
