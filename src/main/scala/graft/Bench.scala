@@ -29,6 +29,7 @@ object Bench {
     "q_cube" -> 2.04,
     "q_date_funcs" -> 1.18,
     "q_events_tumbling" -> 1.38,
+    "q_grouping_sets" -> 1.39, // round-5 recording (new op)
     "q_join_orders" -> 1.61,
     "q_json_funcs" -> 1.09,
     "q_lateral_topn" -> 1.10, // round-5 recording (new op)
@@ -57,6 +58,7 @@ object Bench {
     "x_centroids" -> 0.53,
     "x_chunk_windows" -> 0.63, // round-5 recordings (new op)
     "x_contamination" -> 2.91,
+    "x_cluster_sizes" -> 10.28, // round-5 recording (new op)
     "x_dedup_clusters" -> 15.28, // max of four round-5 recordings (new op)
     "x_dedup_full" -> 7.38, // max of round-5 recordings (new op)
     "x_dedup_docs" -> 0.44,

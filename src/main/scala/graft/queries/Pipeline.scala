@@ -747,6 +747,28 @@ object Pipeline {
        |FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Duplicate-cluster size distribution — the one-glance answer to
+    * "how duplicated is this corpus": for each cluster size (1 =
+    * unique documents), how many clusters have it. Builds on
+    * [[dedupFull]], so singletons, exact-dup groups, and near-dup
+    * chains all land in one histogram. Two tiny aggregations over the
+    * full pipeline's cost; output rows are bounded by the largest
+    * cluster size.
+    */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupFull(s, dir)
+      .groupBy($"keep_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"cluster_size")
+  }
+
+  val clusterSizesSql: String =
+    s"""SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+       |  SELECT keep_id, COUNT(*) AS cluster_size FROM ($dedupFullSql)
+       |  GROUP BY keep_id)
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID by marker-token counts (n-gram heuristic): pure
@@ -1595,6 +1617,7 @@ object Pipeline {
     "x_simhash_pairs"  -> simhashPairs _,
     "x_dedup_clusters" -> dedupClusters _,
     "x_dedup_full"     -> dedupFull _,
+    "x_cluster_sizes"  -> clusterSizes _,
     "x_lang_id"        -> langId _,
     "x_quality_score"  -> qualityScore _,
     "x_token_count"    -> tokenCount _,
@@ -1633,6 +1656,7 @@ object Pipeline {
     "x_simhash_pairs"  -> simhashPairsSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_full"     -> dedupFullSql,
+    "x_cluster_sizes"  -> clusterSizesSql,
     "x_lang_id"        -> langIdSql,
     "x_quality_score"  -> qualityScoreSql,
     "x_token_count"    -> tokenCountSql,

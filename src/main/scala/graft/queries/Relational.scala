@@ -435,6 +435,37 @@ object Relational {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form `rollup`/`cube`
+    * specialize: an arbitrary, non-hierarchical set list ((status,
+    * priority), (priority), ()) that neither of those can express.
+    * Same single-pass Expand-based plan as rollup/cube; GROUPING()
+    * flags disambiguate subtotal rows from genuine values.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
   /** Pivot: order counts per status, priorities as columns. The pivot
     * value list is EXPLICIT — Spark otherwise runs an extra distinct
     * job to discover it, and column order would depend on data.
@@ -504,7 +535,8 @@ object Relational {
     "q_date_funcs"      -> dateFuncs _,
     "q_rollup"          -> rollupOrders _,
     "q_topk"            -> topK _,
-    "q_lateral_topn"    -> lateralTopN _)
+    "q_lateral_topn"    -> lateralTopN _,
+    "q_grouping_sets"   -> groupingSets _)
 
   val oracle: Map[String, String] = Map(
     "q_pivot"           -> pivotOrdersSql,
@@ -524,5 +556,6 @@ object Relational {
     "q_date_funcs"      -> dateFuncsSql,
     "q_rollup"          -> rollupOrdersSql,
     "q_topk"            -> topKSql,
-    "q_lateral_topn"    -> lateralTopNSql)
+    "q_lateral_topn"    -> lateralTopNSql,
+    "q_grouping_sets"   -> groupingSetsSql)
 }
