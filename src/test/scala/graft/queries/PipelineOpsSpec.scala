@@ -57,6 +57,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("chunkWindows: chunk count, sizes, and tail behavior across length boundaries") {
+    // doc_id n carries exactly n tokens; covers the window (32) and
+    // stride (24) boundaries from both sides plus the degenerate 1
+    val lengths = Seq(1, 3, 23, 24, 25, 32, 33, 56, 57, 100)
+    val dir = writeDocs(lengths.map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))))
+    val got = Pipeline.chunkWindows(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    for (n <- lengths) {
+      val chunks = got(n.toLong)
+      // starts are 0, 24, 48, … while start ≤ n-1
+      assert(chunks.length == (n - 1) / 24 + 1, s"n=$n chunk count")
+      for ((c, i) <- chunks.zipWithIndex) {
+        assert(c.getLong(1) == i.toLong, s"n=$n contiguous chunk ids")
+        assert(c.getLong(2) == math.min(32, n - 24 * i), s"n=$n chunk $i size")
+      }
+    }
+    // a 33-token doc: chunk 1 covers tokens 25..33 — the 9-token tail
+    // that a non-overlapping 32-token split would have orphaned
+    assert(got(33L).map(_.getLong(2)).toSeq == Seq(32L, 9L))
+  }
+
   test("embedQuantize: on-grid vectors have zero error, zero vectors are excluded") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pipeline-ops-").toString
