@@ -61,6 +61,26 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.forall(r => kept.contains(r._2)))
   }
 
+  test("ensureEdgeGraph: built once, reused verbatim by later dedup queries") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy dog tonight"
+    val dir = Files.createTempDirectory("edge-cache-").toString
+    Seq((1L, a), (2L, b), (3L, "completely different text here now"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p1 = Pipeline.ensureEdgeGraph(spark, dir)
+    val stamp = Files.getLastModifiedTime(p1.resolve("_SUCCESS"))
+    // both graph consumers must reuse the artifact, not rebuild it
+    Pipeline.dedupClusters(spark, dir).collect()
+    Pipeline.dedupFull(spark, dir).collect()
+    val p2 = Pipeline.ensureEdgeGraph(spark, dir)
+    assert(p1 === p2)
+    assert(Files.getLastModifiedTime(p2.resolve("_SUCCESS")) === stamp)
+  }
+
   test("dedupClusters: near-dup texts cluster under the smallest doc_id") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog today"

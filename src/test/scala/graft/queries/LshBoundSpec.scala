@@ -60,6 +60,34 @@ class LshBoundSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) === 0L)) // identical fingerprints
   }
 
+  test("repDocs: 100k copies of one text — groupBy-min plan, no window over the hash") {
+    // a pathologically duplicated document is normal in web corpora; a
+    // window over the text-hash partition would sort all 100k copies in
+    // ONE task. The rep computation must be groupBy-min (map-side
+    // partial agg) + semi-join on the unique doc_id — no window
+    // operator of any kind in the plan.
+    val dir = corpusDir(
+      (1L to 100000L).map(i => (i, "the same boilerplate text repeated verbatim")) :+
+        (100001L, "one unique other document entirely different"))
+    val rep = Pipeline.repDocs(spark, dir)
+    val p = rep.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "repDocs must not plan any window over the hash partition:\n" + p.take(2000))
+    val ids = rep.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 100001L))
+  }
+
+  test("dedupFull: 100k-copy degenerate corpus resolves to one keep_id") {
+    val dir = corpusDir(
+      (1L to 100000L).map(i => (i, "the same boilerplate text repeated verbatim")) :+
+        (100001L, "one unique other document entirely different"))
+    val got = Pipeline.dedupFull(spark, dir).collect()
+    assert(got.length === 100001)
+    assert(got.forall(r =>
+      if (r.getLong(0) <= 100000L) r.getLong(1) == 1L && (r.getBoolean(2) == (r.getLong(0) == 1L))
+      else r.getLong(1) == 100001L && r.getBoolean(2)))
+  }
+
   test("minhashLsh and simhashPairs: only exact-dedup representatives appear") {
     // 40 copies of text A (rep id 1) + 40 of text B (rep id 2) + two
     // singletons: every pair the queries emit must be between reps —

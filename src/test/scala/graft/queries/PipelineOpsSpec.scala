@@ -78,6 +78,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(33L).map(_.getLong(2)).toSeq == Seq(32L, 9L))
   }
 
+  test("chunkDedup: keep-first on chunk hash across and within documents") {
+    // docs 1 and 2 are identical 56-token runs of one word: window 32 /
+    // stride 24 gives starts 0/24/48, and chunk 1 (tokens 25..56) is
+    // byte-identical to chunk 0 — a within-doc duplicate — while the
+    // 8-token tail chunk 2 hashes differently. doc 2 duplicates all
+    // three. doc 3 is unique. Keep-first = smallest (doc_id, chunk_id)
+    // per hash.
+    val run = Seq.fill(56)("w").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> run, 2L -> run,
+      3L -> (1 to 30).map(i => s"u$i").mkString(" ")))
+    val got = Pipeline.chunkDedup(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
+    assert(got === Map(
+      (1L, 0L) -> true, (1L, 1L) -> false, (1L, 2L) -> true,
+      (2L, 0L) -> false, (2L, 1L) -> false, (2L, 2L) -> false,
+      (3L, 0L) -> true, (3L, 1L) -> true))
+  }
+
+  test("annLshMultiprobe: reaches hamming ≤ 2 buckets, not hamming 3") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline-ops-").toString
+    def v(flips: Int): Array[Float] =
+      (0 until 8).map(i => if (i < flips) -1.0f else 1.0f).toArray
+    Seq(
+      (0L, v(0), 0), // query: bucket 0xFF
+      (1L, v(0), 0), // same bucket — single-probe finds it
+      (2L, v(1), 0), // hamming 1 — multiprobe only
+      (3L, v(2), 0), // hamming 2 — multiprobe only
+      (4L, v(3), 0)) // hamming 3 — out of the probe set for both
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val single = Pipeline.annLsh(spark, dir).collect().map(_.getLong(0)).toSet
+    val multi = Pipeline.annLshMultiprobe(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(single === Set(1L))
+    assert(multi === Set(1L, 2L, 3L))
+  }
+
   test("embedQuantize: on-grid vectors have zero error, zero vectors are excluded") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pipeline-ops-").toString

@@ -120,10 +120,23 @@ class PlanSpec extends AnyFunSuite {
       s"chunking must not shuffle (got $hashExchanges hash exchanges):\n" + p.take(2000))
   }
 
-  test("x_token_rarity: stopword list broadcast anti-joins map-side") {
+  test("x_token_rarity: one linear pass — map-side df cap, single token exchange") {
     val p = plan("x_token_rarity")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      "expected broadcast LeftAnti for the over-cap token list in:\n" + p.take(2000))
+    // the df cap must run as a Partial WindowGroupLimit at cap+1: a
+    // stopword's occurrences are cut to cap+1 per task BEFORE the
+    // shuffle, so its true population never crosses the wire
+    assert("WindowGroupLimit \\[t.*row_number\\(\\), 101, Partial".r
+      .findFirstIn(p).isDefined,
+      "expected map-side WindowGroupLimit at 101 in:\n" + p.take(2000))
+    // the df aggregate must reuse the window's hash partitioning on t —
+    // exactly one token exchange, and no second corpus-token scan (the
+    // old formulation's shared subtrees scanned the tokens twice)
+    val tokExchanges = "Exchange hashpartitioning\\(t#".r.findAllIn(p).length
+    assert(tokExchanges == 1,
+      s"expected 1 token exchange (window+groupBy fused), got $tokExchanges")
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans <= 2,
+      s"expected ≤2 documents scans (token pipeline + doc_id join side), got $docScans")
   }
 
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
