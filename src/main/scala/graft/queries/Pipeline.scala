@@ -645,23 +645,6 @@ object Pipeline {
     labels
   }
 
-  /** Duplicate-cluster assignment — the stage a real dedup pipeline
-    * runs after pair generation: the union of the exact-Jaccard
-    * ([[ngramJaccard]]) and SimHash ([[simhashPairs]]) near-dup edges,
-    * resolved into connected components. One row per document that has
-    * at least one near-dup edge; `cluster_id` is the smallest doc_id
-    * in its component (keep that one, drop the rest). The DuckDB
-    * oracle states the same transitive closure as a recursive CTE.
-    *
-    * Granularity note: the two edge families deliberately see
-    * different corpora — Jaccard edges cover every document, SimHash
-    * edges only the exact-dedup representatives ([[repDocs]], where
-    * the banded blocking is safe). Exact duplicates of a clustered
-    * representative are therefore clustered only if their own Jaccard
-    * edges survive the DF cap; a consumer wanting every exact copy
-    * folded in composes this with [[exactDedup]]'s hash → keep_id map
-    * (that composition IS the full dedup pipeline's final join).
-    */
   /** Bump when the near-dup edge semantics change (caps, thresholds,
     * shingle shape, …): the cached edge artifact must not survive a
     * code change, or a stale /tmp graph from an earlier build would
@@ -683,30 +666,36 @@ object Pipeline {
     * consumer-side amortization.
     */
   def ensureEdgeGraph(s: SparkSession, dir: String): java.nio.file.Path =
-    Pipeline.synchronized {
+    ensureArtifact("graft-edges", dir, "documents", "|v" + EDGE_FMT_VERSION) { staging =>
       import s.implicits._
-      val srcFile = java.nio.file.Paths.get(dir, "documents.parquet")
-      val stamp =
-        if (java.nio.file.Files.exists(srcFile))
-          s"${java.nio.file.Files.size(srcFile)}-${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-        else "dir"
-      val p = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-edges",
-        java.lang.Integer.toHexString(
-          (dir + "|" + stamp + "|v" + EDGE_FMT_VERSION).hashCode))
-      if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
-        ngramJaccard(s, dir).select($"a_id", $"b_id")
-          .union(simhashPairs(s, dir).select($"a_id", $"b_id"))
-          .distinct()
-          .write.mode("overwrite").parquet(p.toString)
-      }
-      p
+      ngramJaccard(s, dir).select($"a_id", $"b_id")
+        .union(simhashPairs(s, dir).select($"a_id", $"b_id"))
+        .distinct()
+        .write.mode("overwrite").parquet(staging.toString)
     }
 
   /** The materialized near-dup edge set (see [[ensureEdgeGraph]]). */
   private def nearDupEdges(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensureEdgeGraph(s, dir).toString)
 
+  /** Duplicate-cluster assignment — the stage a real dedup pipeline
+    * runs after pair generation: the union of the exact-Jaccard
+    * ([[ngramJaccard]]) and SimHash ([[simhashPairs]]) near-dup edges
+    * (via the [[ensureEdgeGraph]] artifact), resolved into connected
+    * components. One row per document that has at least one near-dup
+    * edge; `cluster_id` is the smallest doc_id in its component (keep
+    * that one, drop the rest). The DuckDB oracle states the same
+    * transitive closure as a recursive CTE.
+    *
+    * Granularity note: the two edge families deliberately see
+    * different corpora — Jaccard edges cover every document, SimHash
+    * edges only the exact-dedup representatives ([[repDocs]], where
+    * the banded blocking is safe). Exact duplicates of a clustered
+    * representative are therefore clustered only if their own Jaccard
+    * edges survive the DF cap; a consumer wanting every exact copy
+    * folded in composes this with [[exactDedup]]'s hash → keep_id map
+    * (that composition IS the full dedup pipeline's final join).
+    */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     connectedComponents(nearDupEdges(s, dir))
@@ -1513,26 +1502,55 @@ object Pipeline {
     */
   private val IVF_WRITE_SALT = 4
 
-  def ensureIvfLayout(s: SparkSession, dir: String): java.nio.file.Path =
+  /** Stamped one-time-build cache shared by [[ensureIvfLayout]] and
+    * [[ensureEdgeGraph]]: the cache key includes the source fixture's
+    * size+mtime (a regenerated fixture at the same path must
+    * invalidate the artifact, or a stale copy would silently diverge
+    * from the oracle), and the build lands in a staging dir that is
+    * atomically renamed into place — two processes racing the build
+    * (driver Verify alongside a Bench run) each produce a complete
+    * artifact and the loser discards its copy, instead of interleaving
+    * writes into one directory.
+    */
+  private def ensureArtifact(kind: String, dir: String, srcTable: String,
+      extraKey: String)(build: java.nio.file.Path => Unit): java.nio.file.Path =
     Pipeline.synchronized {
-      import s.implicits._
-      // cache key includes source size+mtime: a regenerated fixture at
-      // the same path must invalidate the layout, or a stale copy
-      // would silently diverge from the oracle
-      val srcFile = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val srcFile = java.nio.file.Paths.get(dir, s"$srcTable.parquet")
       val stamp =
         if (java.nio.file.Files.exists(srcFile))
           s"${java.nio.file.Files.size(srcFile)}-${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
         else "dir"
       val p = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ivf",
-        java.lang.Integer.toHexString((dir + "|" + stamp).hashCode))
+        sys.props("java.io.tmpdir"), kind,
+        java.lang.Integer.toHexString((dir + "|" + stamp + extraKey).hashCode))
       if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
-        Tables(s, dir, "embeddings")
-          .repartition($"label", pmod($"vec_id", lit(IVF_WRITE_SALT)))
-          .write.mode("overwrite").partitionBy("label").parquet(p.toString)
+        val staging = p.resolveSibling(
+          p.getFileName.toString + ".tmp-" + ProcessHandle.current.pid)
+        build(staging)
+        try java.nio.file.Files.move(staging, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: java.nio.file.FileSystemException =>
+            // rename onto an existing dir fails (EEXIST/ENOTEMPTY):
+            // if the winner's artifact is complete the race is benign —
+            // same stamp ⇒ same input ⇒ identical content; drop ours.
+            // Anything else is a real failure.
+            if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) throw e
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(staging)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
       p
+    }
+
+  def ensureIvfLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-ivf", dir, "embeddings", "") { staging =>
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .repartition($"label", pmod($"vec_id", lit(IVF_WRITE_SALT)))
+        .write.mode("overwrite").partitionBy("label").parquet(staging.toString)
     }
 
   def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
