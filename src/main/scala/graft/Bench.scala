@@ -60,6 +60,11 @@ object Bench {
     "x_ann_ivf_pruned" -> 0.77,
     "x_ann_lsh" -> 0.47,
     "x_ann_lsh_multiprobe" -> 0.68, // round-6 new op
+    "x_ann_pq" -> 2.45, // round-6 new ops (recorded min-of-2 × 2)
+    "x_ann_recall" -> 4.55,
+    "x_corpus_manifest" -> 3.90,
+    "x_pq_codes" -> 1.90,
+    "x_tfidf_terms" -> 1.00,
     "x_asof_join" -> 0.86,
     "x_centroids" -> 0.45,
     "x_chunk_dedup" -> 1.28, // round-6 new op

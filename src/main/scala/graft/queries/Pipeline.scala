@@ -815,6 +815,78 @@ object Pipeline {
        |  GROUP BY keep_id)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Below this quality score (the [[qualityScore]] formula, ~25th
+    * percentile on the fixture corpus) a document is dropped from the
+    * training manifest.
+    */
+  private val QUALITY_MIN = 0.30d
+
+  /** Per-language keep rates for [[weightedMix]] and
+    * [[corpusManifest]] (declared here, before both SQL consumers —
+    * a val referencing it must initialize after it).
+    */
+  private val MIX_RATES: Seq[(String, Int)] =
+    Seq("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
+
+  /** The corpus manifest — the capstone artifact a curation pipeline
+    * hands to training: for EVERY document, keep or drop plus the
+    * first pipeline stage that dropped it (`duplicate` from the
+    * [[dedupFull]] decision, `low_quality` below [[QUALITY_MIN]],
+    * `mix_downsampled` by the [[weightedMix]] coin, else `kept`).
+    * Stage order is the production order — dedup before quality before
+    * mix — so downstream per-reason counts attribute each loss to one
+    * stage. Quality and the mix coin are per-row expressions fused
+    * into the document scan; the near-dup side rides the
+    * [[ensureEdgeGraph]] artifact, so the whole manifest costs one
+    * dedup-decision join over the corpus.
+    */
+  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTok = size($"w").cast("long")
+    val nChars = length($"text").cast("long")
+    val stop = size(filter($"w", x => x === "the" || x === "a")).cast("long")
+    val avgTokLen = (nChars - nTok + 1).cast("double") / nTok
+    val quality = (stop.cast("double") / nTok) * 0.5 +
+      least(avgTokLen / 8.0, lit(1.0)) * 0.3 +
+      least(nTok.cast("double") / 64.0, lit(1.0)) * 0.2
+    val rate = MIX_RATES.foldRight(lit(0)) { case ((l, r), acc) =>
+      when($"lang" === l, lit(r)).otherwise(acc)
+    }
+    val bucket =
+      conv(substring(md5(concat(lit("mix|"), $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text", words($"text").as("w"))
+      .select($"doc_id", quality.as("quality"), rate.as("rate"), bucket.as("bucket"))
+      .join(dedupFull(s, dir), Seq("doc_id"))
+      .select($"doc_id", $"keep_id",
+        when(!$"is_kept", lit("duplicate"))
+          .when($"quality" < QUALITY_MIN, lit("low_quality"))
+          .when($"bucket" >= $"rate", lit("mix_downsampled"))
+          .otherwise(lit("kept")).as("reason"))
+      .withColumn("kept", $"reason" === "kept")
+      .orderBy($"doc_id")
+  }
+
+  val corpusManifestSql: String = {
+    val nTok = "CAST(len(string_split(d.text, ' ')) AS BIGINT)"
+    val stop = "CAST(len(list_filter(string_split(d.text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT)"
+    val quality =
+      s"""(CAST($stop AS DOUBLE) / $nTok) * 0.5
+         |    + least((CAST(CAST(length(d.text) AS BIGINT) - $nTok + 1 AS DOUBLE) / $nTok) / 8.0, 1.0) * 0.3
+         |    + least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.2""".stripMargin
+    val cases = MIX_RATES.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, keep_id, reason, reason = 'kept' AS kept FROM (
+       |  SELECT d.doc_id, f.keep_id,
+       |    CASE WHEN NOT f.is_kept THEN 'duplicate'
+       |      WHEN $quality < CAST(0.30 AS DOUBLE) THEN 'low_quality'
+       |      WHEN ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+       |        >= CASE d.lang $cases ELSE 0 END THEN 'mix_downsampled'
+       |      ELSE 'kept' END AS reason
+       |  FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID by marker-token counts (n-gram heuristic): pure
@@ -1100,9 +1172,6 @@ object Pipeline {
     * engines agree row-for-row and the sample composes with
     * [[hashSample]]'s bucket space.
     */
-  private val MIX_RATES: Seq[(String, Int)] =
-    Seq("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
-
   def weightedMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rate = MIX_RATES.foldRight(lit(0)) { case ((l, r), acc) =>
@@ -1271,6 +1340,60 @@ object Pipeline {
        |  COALESCE(p.rarity_micro, 0) AS rarity_micro
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  private val TFIDF_TOP = 3
+
+  /** Per-document top-[[TFIDF_TOP]] TF-IDF terms: score = tf ×
+    * floor(1e9 / df) over tokens with df ≤ [[RARE_DF_CAP]] — the
+    * keyword-extraction step a curation pipeline runs to label what a
+    * document is "about". Common vocabulary (df > cap) carries no
+    * TF-IDF signal, so the df cap is a semantic statement AND the
+    * scale bound: the same map-side WindowGroupLimit as [[tokenRarity]]
+    * keeps a stopword's occurrences off the wire. One linear pipeline
+    * — (doc,t) tf agg → t-keyed df agg (window partitioning reused) →
+    * doc-keyed top-k (map-side WindowGroupLimit) — no shared subtree,
+    * each corpus token crosses the shuffle once. Integer micro-units
+    * end-to-end; ties broken by term text.
+    */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byTok = Window.partitionBy($"t").orderBy($"doc_id")
+    val byDoc = Window.partitionBy($"doc_id")
+      .orderBy($"score_micro".desc, $"term")
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(words($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .withColumn("trn", row_number().over(byTok))
+      .filter($"trn" <= RARE_DF_CAP + 1)
+      .groupBy($"t")
+      .agg(count(lit(1)).as("df"),
+        collect_list(struct($"doc_id", $"tf")).as("docs"))
+      .filter($"df" <= RARE_DF_CAP)
+      .select($"t".as("term"), $"df", explode($"docs").as("dt"))
+      .select($"dt.doc_id".as("doc_id"), $"term", $"dt.tf".as("tf"), $"df",
+        ($"dt.tf" * floor(lit(1000000000.0d) / $"df").cast("long"))
+          .as("score_micro"))
+      .withColumn("rn", row_number().over(byDoc).cast("long"))
+      .filter($"rn" <= TFIDF_TOP)
+      .orderBy($"doc_id", $"rn")
+  }
+
+  val tfidfTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY doc_id, t),
+       |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |scored AS (
+       |  SELECT doc_id, t AS term, tf, df,
+       |    tf * CAST(floor(CAST(1000000000 AS DOUBLE) / df) AS BIGINT) AS score_micro
+       |  FROM tf JOIN dft USING (t) WHERE df <= $RARE_DF_CAP)
+       |SELECT doc_id, term, tf, df, score_micro, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_micro DESC, term) AS BIGINT) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TFIDF_TOP ORDER BY doc_id, rn""".stripMargin
 
   private[graft] val STRATUM_N = 20
 
@@ -1781,6 +1904,221 @@ object Pipeline {
       |  FROM embeddings)
       |WHERE scale > 0 ORDER BY vec_id""".stripMargin
 
+  private val PQ_M = 8
+  private val PQ_SUB = DIM / PQ_M
+
+  /** Float vector → exact int64 micro-units ([[centroids]]' trick):
+    * float→double widening is exact, the multiply is IEEE-identical in
+    * both engines, floor has no rounding ties.
+    */
+  private def microVec(c: Column): Column =
+    transform(c, v => floor(v.cast("double") * 1000000.0d).cast("long"))
+
+  /** Squared L2 distance between two equal-length int64 vectors —
+    * exact integer arithmetic, no float accumulation order to disagree
+    * about. Micro-unit components are ≤ ~1.2e6 apart, so the sum is
+    * ≤ ~1.2e13 — comfortably inside int64.
+    */
+  private def pqDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def pqDist2Sql(a: String, b: String): String =
+    (1 to PQ_SUB).map(j =>
+        s"(list_extract($a, $j) - list_extract($b, $j)) * (list_extract($a, $j) - list_extract($b, $j))")
+      .reduce((x, y) => s"$x + $y")
+
+  /** Product-quantization codebook: the [[DIM]]-dim space split into
+    * [[PQ_M]] subspaces of [[PQ_SUB]] dims; per (subspace, label cell)
+    * one centroid — the label column is the training assignment, as in
+    * [[annIvf]]. Centroid components are floor(mean) in micro-units:
+    * the int64 sum is exact, the one division happens in double on
+    * values far below 2^53, and floor is tie-free — both engines get
+    * the identical integer. Output is cells × [[PQ_M]] rows regardless
+    * of corpus size (one shuffle whose key count is cells × dims).
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label", posexplode(microVec($"embedding")).as(Seq("pos0", "mv")))
+      .groupBy($"label", $"pos0")
+      .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+      .select($"label", ($"pos0" / lit(PQ_SUB)).cast("int").as("m"),
+        pmod($"pos0", lit(PQ_SUB)).as("j"),
+        floor($"sm".cast("double") / $"n").cast("long").as("c"))
+      .groupBy($"label", $"m")
+      .agg(collect_list(struct($"j", $"c")).as("jc"))
+      .select($"label", $"m",
+        transform(sort_array($"jc"), x => x.getField("c")).as("cvec"))
+  }
+
+  /** Per-vector, per-subspace micro-unit slices — the map-side explode
+    * both PQ queries run over the corpus (fan-out [[PQ_M]], no
+    * shuffle).
+    */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", microVec($"embedding").as("mvec"))
+      .select($"vec_id", explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), $"mvec")
+      .select($"vec_id", $"m",
+        slice($"mvec", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
+  }
+
+  /** Shared oracle CTE chain: micro vectors, per-dim cell sums, the
+    * PQ codebook, and the per-vector subspace slices.
+    */
+  private val pqCtesSql: String =
+    s"""mv AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS mvec
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+       |    SELECT label, unnest(mvec) AS v, generate_subscripts(mvec, 1) AS pos FROM mv)
+       |  GROUP BY label, pos),
+       |cb AS (
+       |  SELECT label, (pos - 1) // $PQ_SUB AS m,
+       |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
+       |  FROM dims GROUP BY label, (pos - 1) // $PQ_SUB),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(mvec, m * $PQ_SUB + 1, (m + 1) * $PQ_SUB) AS svec
+       |  FROM mv, (SELECT unnest(range($PQ_M)) AS m)),
+       |dist AS (
+       |  SELECT vec_id, m, label, ${pqDist2Sql("svec", "cvec")} AS dist2
+       |  FROM sub JOIN cb USING (m))""".stripMargin
+
+  /** Product-quantization codes: each vector compressed to [[PQ_M]]
+    * cell ids — the argmin-centroid per subspace, ties to the smaller
+    * label — plus its exact total squared reconstruction error in
+    * micro²-units. This is the 100 TB memory story for ANN: 8 bytes of
+    * code per vector instead of 256 bytes of floats, with
+    * [[annPq]] searching the compressed form. Plan: codebook agg
+    * (key count = cells × dims), then one corpus pass — map-side
+    * subspace explode, broadcast codebook join, two narrow shuffles
+    * ((vec,m) argmin, then vec) over 3-column rows.
+    */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqSubvectors(s, dir)
+      .join(broadcast(pqCodebook(s, dir)), "m")
+      .withColumn("dist2", pqDist2($"svec", $"cvec"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist2", $"label")).as("best"))
+      .groupBy($"vec_id")
+      .agg(collect_list(struct($"m", $"best")).as("cs"))
+      .select($"vec_id",
+        concat_ws("-", transform(sort_array($"cs"),
+          x => x.getField("best").getField("label").cast("string"))).as("pq_code"),
+        aggregate(transform($"cs", x => x.getField("best").getField("dist2")),
+          lit(0L), (a, v) => a + v).as("err_micro2"))
+      .orderBy($"vec_id")
+  }
+
+  val pqCodesSql: String =
+    s"""WITH $pqCtesSql,
+       |best AS (
+       |  SELECT vec_id, m, label, dist2 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY dist2, label) AS rn FROM dist)
+       |  WHERE rn = 1)
+       |SELECT vec_id,
+       |  string_agg(CAST(label AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       |  CAST(SUM(dist2) AS BIGINT) AS err_micro2
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ANN by asymmetric distance computation over the PQ codes: the
+    * query (vec_id = 0) precomputes its squared distance to every
+    * codebook centroid — a cells × [[PQ_M]] lookup table — and each
+    * database vector's approximate distance is the sum of table
+    * entries at its code. Top-10 ascending, ties to the smaller
+    * vec_id. The codebook and query table are driver-built index
+    * metadata (cells × [[PQ_M]] rows, corpus-size-independent — the
+    * artifact every PQ system ships to its query nodes; same
+    * adjudicated pattern as [[annIvfPruned]]'s one-row `head()`), so
+    * the corpus is touched exactly once: map-side explode, broadcast
+    * joins, argmin, sum — then TakeOrderedAndProject moves 10 rows.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cb = pqCodebook(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val qmicro = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+      .map(v => math.floor(v.toDouble * 1000000.0d).toLong)
+    val qtab = cb.map { case (label, m, cvec) =>
+      val qd = (0 until PQ_SUB).map { j =>
+        val diff = qmicro(m * PQ_SUB + j) - cvec(j); diff * diff
+      }.sum
+      (m, label, qd)
+    }.toSeq.toDF("m", "label", "qd")
+    val cbDf = cb.toSeq.toDF("label", "m", "cvec")
+    pqSubvectors(s, dir)
+      .filter($"vec_id" =!= 0)
+      .join(broadcast(cbDf), "m")
+      .withColumn("dist2", pqDist2($"svec", $"cvec"))
+      .join(broadcast(qtab), Seq("m", "label"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist2", $"label", $"qd")).as("best"))
+      .groupBy($"vec_id")
+      .agg(sum($"best".getField("qd")).as("adc_micro2"))
+      .orderBy($"adc_micro2", $"vec_id")
+      .limit(10)
+  }
+
+  val annPqSql: String =
+    s"""WITH $pqCtesSql,
+       |q AS (SELECT m, svec AS qvec FROM sub WHERE vec_id = 0),
+       |qtab AS (
+       |  SELECT cb.m, cb.label, ${pqDist2Sql("qvec", "cvec")} AS qd
+       |  FROM cb JOIN q ON cb.m = q.m),
+       |best AS (
+       |  SELECT vec_id, m, qd FROM (
+       |    SELECT d.vec_id, d.m, d.label, qt.qd, row_number() OVER (
+       |      PARTITION BY d.vec_id, d.m ORDER BY d.dist2, d.label) AS rn
+       |    FROM dist d JOIN qtab qt ON d.m = qt.m AND d.label = qt.label
+       |    WHERE d.vec_id <> 0)
+       |  WHERE rn = 1)
+       |SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS adc_micro2
+       |FROM best GROUP BY vec_id
+       |ORDER BY adc_micro2, vec_id LIMIT 10""".stripMargin
+
+  /** Recall@10 audit of every ANN variant against the brute-force
+    * ground truth ([[simSearch]]) — the eval harness an ANN deployment
+    * runs before trusting an index: k returned, true-neighbor hits,
+    * recall in percent. Each variant's top-10 is 10 rows, so the joins
+    * are broadcast-trivial; the cost is the four probes themselves.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = simSearch(s, dir).select($"vec_id", lit(1L).as("hit"))
+    val cand = annIvf(s, dir).select($"vec_id", lit("ivf").as("method"))
+      .unionByName(annLsh(s, dir).select($"vec_id", lit("lsh").as("method")))
+      .unionByName(annLshMultiprobe(s, dir)
+        .select($"vec_id", lit("lsh_multiprobe").as("method")))
+      .unionByName(annPq(s, dir).select($"vec_id", lit("pq").as("method")))
+    cand.join(broadcast(exact), Seq("vec_id"), "left")
+      .groupBy($"method")
+      .agg(count(lit(1)).as("k_returned"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"method", $"k_returned", $"hits",
+        ($"hits" * 10).as("recall_pct"))
+      .orderBy($"method")
+  }
+
+  val annRecallSql: String =
+    s"""WITH exact AS (SELECT vec_id FROM ($simSearchSql)),
+       |cand AS (
+       |  SELECT 'ivf' AS method, vec_id FROM ($annIvfSql)
+       |  UNION ALL SELECT 'lsh', vec_id FROM ($annLshSql)
+       |  UNION ALL SELECT 'lsh_multiprobe', vec_id FROM ($annLshMultiprobeSql)
+       |  UNION ALL SELECT 'pq', vec_id FROM ($annPqSql))
+       |SELECT method, COUNT(*) AS k_returned,
+       |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10 AS BIGINT) AS recall_pct
+       |FROM cand c LEFT JOIN exact e ON c.vec_id = e.vec_id
+       |GROUP BY method ORDER BY method""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1822,7 +2160,12 @@ object Pipeline {
     "x_ann_lsh"        -> annLsh _,
     "x_ann_lsh_multiprobe" -> annLshMultiprobe _,
     "x_embed_near_dup" -> embedNearDup _,
-    "x_embed_quantize" -> embedQuantize _)
+    "x_embed_quantize" -> embedQuantize _,
+    "x_tfidf_terms"    -> tfidfTerms _,
+    "x_pq_codes"       -> pqCodes _,
+    "x_ann_pq"         -> annPq _,
+    "x_ann_recall"     -> annRecall _,
+    "x_corpus_manifest" -> corpusManifest _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
@@ -1863,5 +2206,10 @@ object Pipeline {
     "x_ann_lsh"        -> annLshSql,
     "x_ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "x_embed_near_dup" -> embedNearDupSql,
-    "x_embed_quantize" -> embedQuantizeSql)
+    "x_embed_quantize" -> embedQuantizeSql,
+    "x_tfidf_terms"    -> tfidfTermsSql,
+    "x_pq_codes"       -> pqCodesSql,
+    "x_ann_pq"         -> annPqSql,
+    "x_ann_recall"     -> annRecallSql,
+    "x_corpus_manifest" -> corpusManifestSql)
 }

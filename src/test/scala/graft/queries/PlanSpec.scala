@@ -139,6 +139,60 @@ class PlanSpec extends AnyFunSuite {
       s"expected ≤2 documents scans (token pipeline + doc_id join side), got $docScans")
   }
 
+  test("x_tfidf_terms: linear token pass — map-side df cap and map-side top-k") {
+    val p = plan("x_tfidf_terms")
+    // same bound as x_token_rarity: the df cap cuts each token to
+    // cap+1 rows per task BEFORE the token shuffle
+    assert("WindowGroupLimit \\[t.*row_number\\(\\), 101, Partial".r
+      .findFirstIn(p).isDefined,
+      "expected map-side WindowGroupLimit at 101 in:\n" + p.take(2000))
+    // the per-doc top-3 must also bound map-side — a doc with a
+    // million rare terms ships 3 × tasks rows, not a million
+    assert("WindowGroupLimit \\[doc_id.*row_number\\(\\), 3".r
+      .findFirstIn(p).isDefined,
+      "expected WindowGroupLimit at 3 in:\n" + p.take(2000))
+    // one linear pipeline: the corpus tokens are scanned exactly once
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans == 1, s"expected 1 documents scan, got $docScans")
+  }
+
+  test("x_pq_codes: codebook joins broadcast, corpus never sort-merges") {
+    val p = plan("x_pq_codes")
+    assert(p.contains("BroadcastHashJoin"),
+      "expected broadcast codebook join in:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "cells × M codebook rows must broadcast, not shuffle the corpus")
+  }
+
+  test("x_ann_pq: one corpus scan, broadcast lookups, top-k without global sort") {
+    val p = plan("x_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject in:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    // codebook + query table are driver-built index metadata; the
+    // executed plan touches the embeddings exactly once
+    val scans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 embeddings scan, got $scans")
+  }
+
+  test("x_corpus_manifest: consumes the edge-graph artifact, never re-derives it") {
+    val p = plan("x_corpus_manifest")
+    // the near-dup edges come from the ensureEdgeGraph parquet (read
+    // behind connectedComponents' checkpoints) — none of the pair
+    // pipelines' machinery may appear in the manifest's own plan
+    assert(!p.contains("band_idx") && !p.contains("shingle"),
+      "manifest must not re-derive the pair pipelines:\n" + p.take(2000))
+    assert(java.nio.file.Files.exists(
+      graft.queries.Pipeline.ensureEdgeGraph(spark, dir).resolve("_SUCCESS")),
+      "building the manifest plan must have built the edge artifact")
+  }
+
+  test("x_ann_recall: 10-row audit joins all broadcast") {
+    val p = plan("x_ann_recall")
+    assert(!p.contains("SortMergeJoin"),
+      "top-10 result joins must broadcast:\n" + p.take(2000))
+  }
+
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
     val p = plan("x_hash_sample")
     // the filter sits directly over the scan — no shuffle before it
