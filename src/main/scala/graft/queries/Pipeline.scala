@@ -755,9 +755,13 @@ object Pipeline {
     val hashed = Tables(s, dir, "documents")
       .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
     val minPerHash = hashed.groupBy($"h").agg(min($"doc_id").as("rep"))
-    val exactEdges = hashed.join(minPerHash, "h")
-      .filter($"doc_id" =!= $"rep")
-      .select($"rep".as("a_id"), $"doc_id".as("b_id"))
+    // null-safe join: NULL-text docs hash to NULL, which the groupBy
+    // above and the oracle's window both treat as ONE group — a plain
+    // inner join would silently drop them from the edge set instead
+    val exactEdges = hashed.as("d")
+      .join(minPerHash.as("r"), $"d.h" <=> $"r.h")
+      .filter($"d.doc_id" =!= $"r.rep")
+      .select($"r.rep".as("a_id"), $"d.doc_id".as("b_id"))
     val edges = nearDupEdges(s, dir)
       .union(exactEdges)
       .distinct()
@@ -828,6 +832,49 @@ object Pipeline {
   private val MIX_RATES: Seq[(String, Int)] =
     Seq("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
 
+  // The mix coin and the quality formula each have exactly ONE
+  // definition per engine, shared by every consumer ([[weightedMix]],
+  // [[qualityScore]], [[corpusManifest]]) — a rate/weight/salt tweak
+  // in one copy can't silently desynchronize another consumer from
+  // its oracle.
+  private def mixRateCol: Column =
+    MIX_RATES.foldRight(lit(0)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+
+  private def mixBucketCol: Column =
+    conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+
+  private def mixRateSql(lang: String): String = {
+    val cases = MIX_RATES.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"CASE $lang $cases ELSE 0 END"
+  }
+
+  private def mixBucketSql(id: String): String =
+    s"('0x' || substr(md5('mix|' || CAST($id AS VARCHAR)), 1, 4))::BIGINT % 100"
+
+  /** The quality formula — `w` is the pre-split token array. Fixed
+    * expression order, so the double is bit-identical across engines.
+    */
+  private def qualityCol(text: Column, w: Column): Column = {
+    val nTok = size(w).cast("long")
+    val nChars = length(text).cast("long")
+    val stop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val avgTokLen = (nChars - nTok + 1).cast("double") / nTok
+    (stop.cast("double") / nTok) * 0.5 +
+      least(avgTokLen / 8.0, lit(1.0)) * 0.3 +
+      least(nTok.cast("double") / 64.0, lit(1.0)) * 0.2
+  }
+
+  private def qualitySql(t: String): String = {
+    val nTok = s"CAST(len(string_split($t, ' ')) AS BIGINT)"
+    val stop = s"CAST(len(list_filter(string_split($t, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT)"
+    s"(CAST($stop AS DOUBLE) / $nTok) * 0.5" +
+      s" + least((CAST(CAST(length($t) AS BIGINT) - $nTok + 1 AS DOUBLE) / $nTok) / 8.0, 1.0) * 0.3" +
+      s" + least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.2"
+  }
+
   /** The corpus manifest — the capstone artifact a curation pipeline
     * hands to training: for EVERY document, keep or drop plus the
     * first pipeline stage that dropped it (`duplicate` from the
@@ -842,22 +889,10 @@ object Pipeline {
     */
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nTok = size($"w").cast("long")
-    val nChars = length($"text").cast("long")
-    val stop = size(filter($"w", x => x === "the" || x === "a")).cast("long")
-    val avgTokLen = (nChars - nTok + 1).cast("double") / nTok
-    val quality = (stop.cast("double") / nTok) * 0.5 +
-      least(avgTokLen / 8.0, lit(1.0)) * 0.3 +
-      least(nTok.cast("double") / 64.0, lit(1.0)) * 0.2
-    val rate = MIX_RATES.foldRight(lit(0)) { case ((l, r), acc) =>
-      when($"lang" === l, lit(r)).otherwise(acc)
-    }
-    val bucket =
-      conv(substring(md5(concat(lit("mix|"), $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100
     Tables(s, dir, "documents")
       .select($"doc_id", $"lang", $"text", words($"text").as("w"))
-      .select($"doc_id", quality.as("quality"), rate.as("rate"), bucket.as("bucket"))
+      .select($"doc_id", qualityCol($"text", $"w").as("quality"),
+        mixRateCol.as("rate"), mixBucketCol.as("bucket"))
       .join(dedupFull(s, dir), Seq("doc_id"))
       .select($"doc_id", $"keep_id",
         when(!$"is_kept", lit("duplicate"))
@@ -868,24 +903,15 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  val corpusManifestSql: String = {
-    val nTok = "CAST(len(string_split(d.text, ' ')) AS BIGINT)"
-    val stop = "CAST(len(list_filter(string_split(d.text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT)"
-    val quality =
-      s"""(CAST($stop AS DOUBLE) / $nTok) * 0.5
-         |    + least((CAST(CAST(length(d.text) AS BIGINT) - $nTok + 1 AS DOUBLE) / $nTok) / 8.0, 1.0) * 0.3
-         |    + least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.2""".stripMargin
-    val cases = MIX_RATES.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+  val corpusManifestSql: String =
     s"""SELECT doc_id, keep_id, reason, reason = 'kept' AS kept FROM (
        |  SELECT d.doc_id, f.keep_id,
        |    CASE WHEN NOT f.is_kept THEN 'duplicate'
-       |      WHEN $quality < CAST(0.30 AS DOUBLE) THEN 'low_quality'
-       |      WHEN ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
-       |        >= CASE d.lang $cases ELSE 0 END THEN 'mix_downsampled'
+       |      WHEN ${qualitySql("d.text")} < CAST($QUALITY_MIN AS DOUBLE) THEN 'low_quality'
+       |      WHEN ${mixBucketSql("d.doc_id")} >= ${mixRateSql("d.lang")} THEN 'mix_downsampled'
        |      ELSE 'kept' END AS reason
        |  FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------- text analysis
 
@@ -934,19 +960,15 @@ object Pipeline {
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // tokens materialized once (see langId note)
+    // tokens materialized once (see langId note); the score itself is
+    // the shared [[qualityCol]] formula
     val nTok = size($"w").cast("long")
     val nChars = length($"text").cast("long")
     val stop = size(filter($"w", x => x === "the" || x === "a")).cast("long")
-    val avgTokLen = (nChars - nTok + 1).cast("double") / nTok
-    val stopRatio = stop.cast("double") / nTok
-    val lenScore = least(nTok.cast("double") / 64.0, lit(1.0))
     Tables(s, dir, "documents")
       .select($"doc_id", $"text", words($"text").as("w"))
       .select($"doc_id", nTok.as("n_tokens"), nChars.as("n_chars_calc"),
-        stop.as("n_stopwords"),
-        (stopRatio * 0.5 + least(avgTokLen / 8.0, lit(1.0)) * 0.3 + lenScore * 0.2)
-          .as("quality"))
+        stop.as("n_stopwords"), qualityCol($"text", $"w").as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -956,9 +978,7 @@ object Pipeline {
     val stop = "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT)"
     s"""SELECT doc_id, $nTok AS n_tokens, $nChars AS n_chars_calc,
        |  $stop AS n_stopwords,
-       |  (CAST($stop AS DOUBLE) / $nTok) * 0.5
-       |    + least((CAST($nChars - $nTok + 1 AS DOUBLE) / $nTok) / 8.0, 1.0) * 0.3
-       |    + least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.2 AS quality
+       |  ${qualitySql("text")} AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -1174,27 +1194,20 @@ object Pipeline {
     */
   def weightedMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rate = MIX_RATES.foldRight(lit(0)) { case ((l, r), acc) =>
-      when($"lang" === l, lit(r)).otherwise(acc)
-    }
     Tables(s, dir, "documents")
-      .withColumn("rate", rate)
-      .withColumn("bucket",
-        conv(substring(md5(concat(lit("mix|"), $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10)
-          .cast("long") % 100)
+      .withColumn("rate", mixRateCol)
+      .withColumn("bucket", mixBucketCol)
       .filter($"bucket" < $"rate")
       .select($"doc_id", $"lang", $"rate".cast("long").as("rate"))
       .orderBy($"doc_id")
   }
 
-  val weightedMixSql: String = {
-    val cases = MIX_RATES.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+  val weightedMixSql: String =
     s"""SELECT doc_id, lang, CAST(rate AS BIGINT) AS rate FROM (
-       |  SELECT doc_id, lang, CASE lang $cases ELSE 0 END AS rate,
-       |    ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+       |  SELECT doc_id, lang, ${mixRateSql("lang")} AS rate,
+       |    ${mixBucketSql("doc_id")} AS bucket
        |  FROM documents)
        |WHERE bucket < rate ORDER BY doc_id""".stripMargin
-  }
 
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24
@@ -1647,25 +1660,37 @@ object Pipeline {
         sys.props("java.io.tmpdir"), kind,
         java.lang.Integer.toHexString((dir + "|" + stamp + extraKey).hashCode))
       if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
+        // a dir without _SUCCESS is a partial artifact from a killed
+        // run — it would make the rename below fail forever; clear it
+        deleteTree(p)
         val staging = p.resolveSibling(
           p.getFileName.toString + ".tmp-" + ProcessHandle.current.pid)
-        build(staging)
-        try java.nio.file.Files.move(staging, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case e: java.nio.file.FileSystemException =>
-            // rename onto an existing dir fails (EEXIST/ENOTEMPTY):
-            // if the winner's artifact is complete the race is benign —
-            // same stamp ⇒ same input ⇒ identical content; drop ours.
-            // Anything else is a real failure.
-            if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) throw e
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(staging)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        try {
+          build(staging)
+          try java.nio.file.Files.move(staging, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case e: java.nio.file.FileSystemException =>
+              // rename onto an existing dir fails (EEXIST/ENOTEMPTY):
+              // if the winner's artifact is complete the race is benign
+              // — same stamp ⇒ same input ⇒ identical content; drop
+              // ours (the finally below). Anything else is a real
+              // failure.
+              if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) throw e
+          }
+        // covers the race-loser copy AND a build that threw mid-write —
+        // a no-op when the rename moved staging into place
+        } finally deleteTree(staging)
       }
       p
+    }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
   def ensureIvfLayout(s: SparkSession, dir: String): java.nio.file.Path =

@@ -81,6 +81,47 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(Files.getLastModifiedTime(p2.resolve("_SUCCESS")) === stamp)
   }
 
+  test("dedupFull: NULL-text documents share one exact-dup group (null-safe edge join)") {
+    import spark.implicits._
+    // the hash of NULL text is NULL; the groupBy-min and the oracle's
+    // window both put every NULL in ONE group, so the edge join must
+    // be null-safe — a plain inner join would silently keep both
+    val dir = Files.createTempDirectory("dedup-null-").toString
+    Seq((1L, "some perfectly ordinary document text right here"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.dedupFull(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, 1L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("ensureEdgeGraph: a partial artifact (no _SUCCESS) is rebuilt, not poisoned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("edge-partial-").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p1 = Pipeline.ensureEdgeGraph(spark, dir)
+    // simulate a run killed mid-build: the dir remains, _SUCCESS gone —
+    // the next ensure must clear and rebuild (the stage-and-rename
+    // would otherwise fail on the existing dir forever)
+    Files.delete(p1.resolve("_SUCCESS"))
+    val p2 = Pipeline.ensureEdgeGraph(spark, dir)
+    assert(p1 === p2)
+    assert(Files.exists(p2.resolve("_SUCCESS")))
+    // and no staging leftovers accumulate next to the artifact
+    import scala.jdk.CollectionConverters._
+    val siblings = Files.list(p2.getParent).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!siblings.exists(_.contains(".tmp-")), siblings.toString)
+  }
+
   test("dedupClusters: near-dup texts cluster under the smallest doc_id") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog today"
