@@ -443,6 +443,89 @@ object Pipeline {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** MinHash estimator-error audit over the LSH candidate pairs — the
+    * dedup-side twin of [[annRecall]]: before trusting 8 hash slots to
+    * stand in for exact Jaccard at 100 TB, measure them against it on
+    * the candidates you can still afford to verify. Per candidate
+    * (cap applied, no similarity threshold — the near-misses are the
+    * audit's point): the signature estimate (agreeing slots / 8), the
+    * exact Jaccard, and |error|, all in integer micro-units (slot
+    * agreement × 125000 is exact; the one division floors an
+    * IEEE-identical double). Same linear banded plan as
+    * [[minhashLsh]], with the 8 slots riding the band structs (+8
+    * hashes per member, still [[BAND_CAP]]-bounded).
+    */
+  def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigAggs = (0 until 8)
+      .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
+    val doc = keptShinglesOf(repDocs(s, dir)).groupBy($"doc_id")
+      .agg(collect_list($"s").as("ss"), sigAggs: _*)
+    val bands = doc.select($"doc_id", $"ss",
+      array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"),
+      posexplode(array((0 until 4).map(b =>
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band")))
+    capBandGroups(bands).groupBy($"band_idx", $"band")
+      .agg(collect_list(struct($"doc_id", $"ss", $"sig")).as("g"))
+      .filter(size($"g") >= 2)
+      .select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        aggregate(zip_with($"x.sig", $"y.sig",
+          (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v).as("eq"),
+        size(array_intersect($"x.ss", $"y.ss")).cast("long").as("c"),
+        size($"x.ss").cast("long").as("na"), size($"y.ss").cast("long").as("nb"))
+      .distinct() // a pair sharing k bands appears k times, identically
+      .select($"a_id", $"b_id",
+        ($"eq" * 125000L).as("est_micro"),
+        floor(($"c" * 1000000L).cast("double") / ($"na" + $"nb" - $"c"))
+          .cast("long").as("exact_micro"))
+      .withColumn("err_micro", abs($"est_micro" - $"exact_micro"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val minhashEstSql: String = {
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
+      .mkString("\n  UNION ALL ")
+    val eqSum = (0 until 8)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .reduce((x, y) => s"$x + $y")
+    s"""WITH sh AS (${keptShinglesSqlFrom(repsSql)}),
+       |sig AS ($minhashSigsSql),
+       |bands AS (
+       |  SELECT doc_id, band, band_idx FROM (
+       |  $bandSelects)
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY band_idx, band ORDER BY doc_id) <= $BAND_CAP),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_idx = y.band_idx AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a_id, b_id, COUNT(*) AS c
+       |  FROM cand JOIN sh sa ON a_id = sa.doc_id
+       |            JOIN sh sb ON b_id = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, est_micro, exact_micro,
+       |  abs(est_micro - exact_micro) AS err_micro FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(($eqSum) * 125000 AS BIGINT) AS est_micro,
+       |    CAST(floor(CAST(1000000 * COALESCE(i.c, 0) AS DOUBLE)
+       |      / (na.n + nb.n - COALESCE(i.c, 0))) AS BIGINT) AS exact_micro
+       |  FROM cand c
+       |  JOIN sig a ON c.a_id = a.doc_id
+       |  JOIN sig b ON c.b_id = b.doc_id
+       |  LEFT JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+       |  JOIN sz na ON c.a_id = na.doc_id
+       |  JOIN sz nb ON c.b_id = nb.doc_id)
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- simhash
 
   private val SIMHASH_BITS = 64
@@ -1990,13 +2073,16 @@ object Pipeline {
         slice($"mvec", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
   }
 
+  /** DuckDB twin of [[microVec]]. */
+  private val microVecSql: String =
+    "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT))"
+
   /** Shared oracle CTE chain: micro vectors, per-dim cell sums, the
     * PQ codebook, and the per-vector subspace slices.
     */
   private val pqCtesSql: String =
     s"""mv AS (
-       |  SELECT vec_id, label, list_transform(embedding,
-       |    v -> CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS mvec
+       |  SELECT vec_id, label, $microVecSql AS mvec
        |  FROM embeddings),
        |dims AS (
        |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n FROM (
@@ -2144,6 +2230,55 @@ object Pipeline {
        |FROM cand c LEFT JOIN exact e ON c.vec_id = e.vec_id
        |GROUP BY method ORDER BY method""".stripMargin
 
+  /** Embedding outlier report: the 20 vectors farthest (squared L2,
+    * exact micro²-units) from their own label cell's centroid — the
+    * mislabeled/noise sweep a curation pipeline runs over a clustered
+    * embedding table before trusting the cells for IVF probing or
+    * [[pqCodes]]. Centroids are the same floor(mean) integers as the
+    * PQ codebook, here at full [[DIM]]; cells × 1 rows broadcast to
+    * one corpus pass, TakeOrderedAndProject moves 20 rows off the
+    * executors.
+    */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables(s, dir, "embeddings")
+      .select($"label", posexplode(microVec($"embedding")).as(Seq("pos0", "mv")))
+      .groupBy($"label", $"pos0")
+      .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+      .select($"label", $"pos0",
+        floor($"sm".cast("double") / $"n").cast("long").as("c"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"pos0", $"c")).as("pc"))
+      .select($"label",
+        transform(sort_array($"pc"), x => x.getField("c")).as("cvec"))
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", microVec($"embedding").as("mvec"))
+      .join(broadcast(cents), "label")
+      .select($"vec_id", $"label", pqDist2($"mvec", $"cvec").as("dist_micro2"))
+      .orderBy($"dist_micro2".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val embedOutliersSql: String = {
+    val d2 = (1 to DIM).map(j =>
+        s"(list_extract(mvec, $j) - list_extract(cvec, $j)) * (list_extract(mvec, $j) - list_extract(cvec, $j))")
+      .reduce((x, y) => s"$x + $y")
+    s"""WITH mv AS (
+       |  SELECT vec_id, label, $microVecSql AS mvec
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+       |    SELECT label, unnest(mvec) AS v, generate_subscripts(mvec, 1) AS pos FROM mv)
+       |  GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label,
+       |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
+       |  FROM dims GROUP BY label)
+       |SELECT vec_id, label, CAST($d2 AS BIGINT) AS dist_micro2
+       |FROM mv JOIN cent USING (label)
+       |ORDER BY dist_micro2 DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2190,7 +2325,9 @@ object Pipeline {
     "x_pq_codes"       -> pqCodes _,
     "x_ann_pq"         -> annPq _,
     "x_ann_recall"     -> annRecall _,
-    "x_corpus_manifest" -> corpusManifest _)
+    "x_corpus_manifest" -> corpusManifest _,
+    "x_minhash_est"    -> minhashEst _,
+    "x_embed_outliers" -> embedOutliers _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
@@ -2236,5 +2373,7 @@ object Pipeline {
     "x_pq_codes"       -> pqCodesSql,
     "x_ann_pq"         -> annPqSql,
     "x_ann_recall"     -> annRecallSql,
-    "x_corpus_manifest" -> corpusManifestSql)
+    "x_corpus_manifest" -> corpusManifestSql,
+    "x_minhash_est"    -> minhashEstSql,
+    "x_embed_outliers" -> embedOutliersSql)
 }
