@@ -368,94 +368,22 @@ object Pipeline {
     */
   private val minhashSigsSql: String = {
     val aggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    // reads the `sh` CTE its sole consumer (minhashLshSql) defines —
-    // re-inlining the reps+shingle pipeline here would make the oracle
-    // evaluate it twice
+    // reads the `sh` CTE its sole consumer (minhashCandCtesSql)
+    // defines — re-inlining the reps+shingle pipeline here would make
+    // the oracle evaluate it twice
     s"""SELECT doc_id, $aggs FROM sh GROUP BY doc_id"""
   }
 
-  /** Banded MinHash LSH near-dup over the exact-dedup representatives
-    * ([[repDocs]]): 4 bands × 2 rows; candidate pairs share ≥ 1 band;
-    * candidates verified with exact Jaccard ≥ 0.10. The band join is
-    * the scalable step — shuffle on band value, no all-pairs compare;
-    * exact verification touches candidates only. Band groups are
-    * bounded by [[capBandGroups]] so no aggregation row ever exceeds
-    * [[BAND_CAP]] members. The oracle mirrors the full pipeline,
-    * pre-collapse and cap included (LSH recall is part of the
-    * operator's semantics).
+  /** Candidate pairs out of the banded-MinHash pipeline — the shared
+    * core of [[minhashLsh]] (the near-dup operator) and [[minhashEst]]
+    * (its estimator audit), so the band structure, caps, and shingle
+    * handling can never diverge between an operator and the audit that
+    * judges it. One groupBy(doc_id) produces the signature slots AND
+    * the shingle set; bands explode map-side; groups are cut to
+    * [[BAND_CAP]]; pairs leave the capped groups carrying slot
+    * agreement (`eq`), intersection size, and both set sizes.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // Linear pipeline, no self-join (see ngramJaccard note): ONE
-    // groupBy(doc_id) produces the signature AND the doc's shingle set
-    // (bounded by document length, so collect_list is per-row-group
-    // safe); bands explode from that row; band groups are capped, then
-    // candidate pairs are generated inside them; exact-Jaccard
-    // verification is an array_intersect on the shingle sets carried
-    // in the group structs — candidates only, never the corpus.
-    val sigAggs = (0 until 8)
-      .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
-    val doc = keptShinglesOf(repDocs(s, dir)).groupBy($"doc_id")
-      .agg(collect_list($"s").as("ss"), sigAggs: _*)
-    val bands = doc.select($"doc_id", $"ss",
-      posexplode(array((0 until 4).map(b =>
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
-        .as(Seq("band_idx", "band")))
-    capBandGroups(bands).groupBy($"band_idx", $"band")
-      .agg(collect_list(struct($"doc_id", $"ss")).as("g"))
-      .filter(size($"g") >= 2)
-      .select(explode($"g").as("x"), $"g")
-      .select($"x", explode($"g").as("y"))
-      .filter($"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
-        size(array_intersect($"x.ss", $"y.ss")).cast("long").as("c"),
-        size($"x.ss").cast("long").as("na"), size($"y.ss").cast("long").as("nb"))
-      .distinct() // a pair sharing k bands appears k times, identically
-      .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
-      .filter($"jaccard" >= 0.10)
-      .orderBy($"a_id", $"b_id")
-  }
-
-  val minhashLshSql: String = {
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"""WITH sh AS (${keptShinglesSqlFrom(repsSql)}),
-       |sig AS ($minhashSigsSql),
-       |bands AS (
-       |  SELECT doc_id, band, band_idx FROM (
-       |  $bandSelects)
-       |  QUALIFY ROW_NUMBER() OVER (
-       |    PARTITION BY band_idx, band ORDER BY doc_id) <= $BAND_CAP),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.band_idx = y.band_idx AND x.doc_id < y.doc_id),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a_id, b_id, COUNT(*) AS c
-       |  FROM cand JOIN sh sa ON a_id = sa.doc_id
-       |            JOIN sh sb ON b_id = sb.doc_id AND sa.s = sb.s
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
-       |FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id
-       |WHERE c / (na.n + nb.n - c) >= 0.10
-       |ORDER BY a_id, b_id""".stripMargin
-  }
-
-  /** MinHash estimator-error audit over the LSH candidate pairs — the
-    * dedup-side twin of [[annRecall]]: before trusting 8 hash slots to
-    * stand in for exact Jaccard at 100 TB, measure them against it on
-    * the candidates you can still afford to verify. Per candidate
-    * (cap applied, no similarity threshold — the near-misses are the
-    * audit's point): the signature estimate (agreeing slots / 8), the
-    * exact Jaccard, and |error|, all in integer micro-units (slot
-    * agreement × 125000 is exact; the one division floors an
-    * IEEE-identical double). Same linear banded plan as
-    * [[minhashLsh]], with the 8 slots riding the band structs (+8
-    * hashes per member, still [[BAND_CAP]]-bounded).
-    */
-  def minhashEst(s: SparkSession, dir: String): DataFrame = {
+  private def minhashCandPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigAggs = (0 until 8)
       .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
@@ -479,22 +407,16 @@ object Pipeline {
         size(array_intersect($"x.ss", $"y.ss")).cast("long").as("c"),
         size($"x.ss").cast("long").as("na"), size($"y.ss").cast("long").as("nb"))
       .distinct() // a pair sharing k bands appears k times, identically
-      .select($"a_id", $"b_id",
-        ($"eq" * 125000L).as("est_micro"),
-        floor(($"c" * 1000000L).cast("double") / ($"na" + $"nb" - $"c"))
-          .cast("long").as("exact_micro"))
-      .withColumn("err_micro", abs($"est_micro" - $"exact_micro"))
-      .orderBy($"a_id", $"b_id")
   }
 
-  val minhashEstSql: String = {
+  /** DuckDB twin of [[minhashCandPairs]] as a CTE chain (through
+    * `cand`/`sz`/`inter`; the finals differ per consumer).
+    */
+  private val minhashCandCtesSql: String = {
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
       .mkString("\n  UNION ALL ")
-    val eqSum = (0 until 8)
-      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-      .reduce((x, y) => s"$x + $y")
-    s"""WITH sh AS (${keptShinglesSqlFrom(repsSql)}),
+    s"""sh AS (${keptShinglesSqlFrom(repsSql)}),
        |sig AS ($minhashSigsSql),
        |bands AS (
        |  SELECT doc_id, band, band_idx FROM (
@@ -510,7 +432,66 @@ object Pipeline {
        |  SELECT a_id, b_id, COUNT(*) AS c
        |  FROM cand JOIN sh sa ON a_id = sa.doc_id
        |            JOIN sh sb ON b_id = sb.doc_id AND sa.s = sb.s
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Banded MinHash LSH near-dup over the exact-dedup representatives
+    * ([[repDocs]]): 4 bands × 2 rows; candidate pairs share ≥ 1 band;
+    * candidates verified with exact Jaccard ≥ 0.10. The band join is
+    * the scalable step — shuffle on band value, no all-pairs compare;
+    * exact verification touches candidates only. Band groups are
+    * bounded by [[capBandGroups]] so no aggregation row ever exceeds
+    * [[BAND_CAP]] members. The oracle mirrors the full pipeline,
+    * pre-collapse and cap included (LSH recall is part of the
+    * operator's semantics).
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Linear pipeline, no self-join (see ngramJaccard note) — the
+    // banded candidate machinery is the shared [[minhashCandPairs]];
+    // exact-Jaccard verification touches candidates only, never the
+    // corpus.
+    minhashCandPairs(s, dir)
+      .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.10)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashCandCtesSql
+       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
+       |FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id
+       |WHERE c / (na.n + nb.n - c) >= 0.10
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash estimator-error audit over the LSH candidate pairs — the
+    * dedup-side twin of [[annRecall]]: before trusting 8 hash slots to
+    * stand in for exact Jaccard at 100 TB, measure them against it on
+    * the candidates you can still afford to verify. Per candidate
+    * (cap applied, no similarity threshold — the near-misses are the
+    * audit's point): the signature estimate (agreeing slots / 8), the
+    * exact Jaccard, and |error|, all in integer micro-units (slot
+    * agreement × 125000 is exact; the one division floors an
+    * IEEE-identical double). Same linear banded plan as
+    * [[minhashLsh]], with the 8 slots riding the band structs (+8
+    * hashes per member, still [[BAND_CAP]]-bounded).
+    */
+  def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashCandPairs(s, dir)
+      .select($"a_id", $"b_id",
+        ($"eq" * 125000L).as("est_micro"),
+        floor(($"c" * 1000000L).cast("double") / ($"na" + $"nb" - $"c"))
+          .cast("long").as("exact_micro"))
+      .withColumn("err_micro", abs($"est_micro" - $"exact_micro"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val minhashEstSql: String = {
+    val eqSum = (0 until 8)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .reduce((x, y) => s"$x + $y")
+    s"""WITH $minhashCandCtesSql
        |SELECT a_id, b_id, est_micro, exact_micro,
        |  abs(est_micro - exact_micro) AS err_micro FROM (
        |  SELECT c.a_id, c.b_id,
@@ -2045,12 +2026,22 @@ object Pipeline {
     * the identical integer. Output is cells × [[PQ_M]] rows regardless
     * of corpus size (one shuffle whose key count is cells × dims).
     */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(label cell, dimension) exact micro-unit sums — the single
+    * definition of the centroid numerator shared by [[pqCodebook]]
+    * and [[embedOutliers]] (their centroids are the same floor(mean)
+    * integers by construction, not by parallel maintenance).
+    */
+  private def microDimSums(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "embeddings")
       .select($"label", posexplode(microVec($"embedding")).as(Seq("pos0", "mv")))
       .groupBy($"label", $"pos0")
       .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+  }
+
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    microDimSums(s, dir)
       .select($"label", ($"pos0" / lit(PQ_SUB)).cast("int").as("m"),
         pmod($"pos0", lit(PQ_SUB)).as("j"),
         floor($"sm".cast("double") / $"n").cast("long").as("c"))
@@ -2077,17 +2068,23 @@ object Pipeline {
   private val microVecSql: String =
     "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT))"
 
-  /** Shared oracle CTE chain: micro vectors, per-dim cell sums, the
-    * PQ codebook, and the per-vector subspace slices.
+  /** DuckDB twin of [[microDimSums]] (plus the micro-vector CTE both
+    * finals read): shared by [[pqCtesSql]] and [[embedOutliersSql]].
     */
-  private val pqCtesSql: String =
+  private val microDimsCtesSql: String =
     s"""mv AS (
        |  SELECT vec_id, label, $microVecSql AS mvec
        |  FROM embeddings),
        |dims AS (
        |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n FROM (
        |    SELECT label, unnest(mvec) AS v, generate_subscripts(mvec, 1) AS pos FROM mv)
-       |  GROUP BY label, pos),
+       |  GROUP BY label, pos)""".stripMargin
+
+  /** Shared oracle CTE chain: micro vectors, per-dim cell sums, the
+    * PQ codebook, and the per-vector subspace slices.
+    */
+  private val pqCtesSql: String =
+    s"""$microDimsCtesSql,
        |cb AS (
        |  SELECT label, (pos - 1) // $PQ_SUB AS m,
        |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
@@ -2241,10 +2238,7 @@ object Pipeline {
     */
   def embedOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents = Tables(s, dir, "embeddings")
-      .select($"label", posexplode(microVec($"embedding")).as(Seq("pos0", "mv")))
-      .groupBy($"label", $"pos0")
-      .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+    val cents = microDimSums(s, dir)
       .select($"label", $"pos0",
         floor($"sm".cast("double") / $"n").cast("long").as("c"))
       .groupBy($"label")
@@ -2263,13 +2257,7 @@ object Pipeline {
     val d2 = (1 to DIM).map(j =>
         s"(list_extract(mvec, $j) - list_extract(cvec, $j)) * (list_extract(mvec, $j) - list_extract(cvec, $j))")
       .reduce((x, y) => s"$x + $y")
-    s"""WITH mv AS (
-       |  SELECT vec_id, label, $microVecSql AS mvec
-       |  FROM embeddings),
-       |dims AS (
-       |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n FROM (
-       |    SELECT label, unnest(mvec) AS v, generate_subscripts(mvec, 1) AS pos FROM mv)
-       |  GROUP BY label, pos),
+    s"""WITH $microDimsCtesSql,
        |cent AS (
        |  SELECT label,
        |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec

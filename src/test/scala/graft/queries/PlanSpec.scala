@@ -61,8 +61,17 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 4, s"expected ≥4 broadcast joins, got $bhj in:\n" + p.take(1500))
   }
 
+  test("x_embed_outliers: centroid side broadcast, top-k without global sort") {
+    val p = plan("x_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), "expected BHJ in:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrderedAndProject:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "cells × 1 centroid rows must broadcast:\n" + p.take(2000))
+  }
+
   test("LSH band cap: applied map-side (WindowGroupLimit) with exchange reuse") {
-    for (name <- Seq("x_minhash_lsh", "x_simhash_pairs")) {
+    for (name <- Seq("x_minhash_lsh", "x_simhash_pairs", "x_minhash_est")) {
       val p = plan(name)
       // the BAND_CAP row_number filter must compile to WindowGroupLimit
       // with a PARTIAL pass BEFORE the band shuffle — each map task
