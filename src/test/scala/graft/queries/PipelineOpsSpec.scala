@@ -116,6 +116,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi === Set(1L, 2L, 3L))
   }
 
+  test("pqCodes: equidistant centroids break ties to the smaller label") {
+    import spark.implicits._
+    // per-dim values constant across all 64 dims: label-0 centroid =
+    // floor((0 + 200000)/2) = 100000 micro, label-1 centroid =
+    // floor((200000 + 400000)/2) = 300000. The two 0.2 vectors are
+    // exactly 100000 micro from BOTH centroids in every subspace — the
+    // argmin must settle on label 0 deterministically (min struct
+    // (dist2, label)), matching the oracle's ORDER BY dist2, label
+    val dir = Files.createTempDirectory("pq-tie-").toString
+    Seq((0L, Array.fill(64)(0.0f), 0), (1L, Array.fill(64)(0.2f), 0),
+      (2L, Array.fill(64)(0.2f), 1), (3L, Array.fill(64)(0.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.pqCodes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val all0 = Seq.fill(8)("0").mkString("-")
+    val all1 = Seq.fill(8)("1").mkString("-")
+    assert(got === Seq((0L, all0), (1L, all0), (2L, all0), (3L, all1)))
+  }
+
   test("embedQuantize: on-grid vectors have zero error, zero vectors are excluded") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pipeline-ops-").toString
