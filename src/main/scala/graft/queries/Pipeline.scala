@@ -1018,6 +1018,35 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix — the classifier eval that belongs
+    * next to [[langId]] before its predictions gate anything: per
+    * (labeled, predicted) pair, the document count and its share of
+    * the labeled language in integer ppm. One shuffle whose key count
+    * is the lang domain squared; the share window runs AFTER that
+    * bounded aggregate, so it never sees corpus-sized data.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    langId(s, dir)
+      .groupBy($"labeled_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("(n * 1000000) div sum(n) over (partition by labeled_lang)"))
+      .orderBy($"labeled_lang", $"pred_lang")
+  }
+
+  val langConfusionSql: String =
+    s"""WITH li AS ($langIdSql),
+       |cm AS (
+       |  SELECT labeled_lang, pred_lang, COUNT(*) AS n FROM li GROUP BY 1, 2)
+       |SELECT labeled_lang, pred_lang, n,
+       |  CAST((n * 1000000)
+       |    // CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS BIGINT)
+       |    AS share_ppm
+       |FROM cm ORDER BY labeled_lang, pred_lang""".stripMargin
+
+
   /** Per-document quality score from length/stopword/token statistics.
     * All double arithmetic is per-row with a fixed expression order —
     * bit-identical across engines.
@@ -1290,11 +1319,11 @@ object Pipeline {
   private def chunksOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id", $"w", size($"w").as("n"),
+      .select($"doc_id", $"source", words($"text").as("w"))
+      .select($"doc_id", $"source", $"w", size($"w").as("n"),
         posexplode(sequence(lit(0), greatest(size($"w") - 1, lit(0)), lit(CHUNK_STRIDE)))
           .as(Seq("chunk_id", "start")))
-      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+      .select($"doc_id", $"source", $"chunk_id".cast("long").as("chunk_id"),
         least(lit(CHUNK_TOKENS), $"n" - $"start").cast("long").as("n_tokens"),
         md5(concat_ws(" ", slice($"w", $"start" + 1, lit(CHUNK_TOKENS))).cast("binary"))
           .as("chunk_hash"))
@@ -1302,7 +1331,9 @@ object Pipeline {
 
   def chunkWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    chunksOf(s, dir).orderBy($"doc_id", $"chunk_id")
+    chunksOf(s, dir)
+      .select($"doc_id", $"chunk_id", $"n_tokens", $"chunk_hash")
+      .orderBy($"doc_id", $"chunk_id")
   }
 
   /** Unsorted chunk-stream SQL, the [[chunksOf]] twin. */
@@ -1346,6 +1377,37 @@ object Pipeline {
        |    PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) = 1 AS is_kept
        |FROM ($chunksSql)
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Cross-source content-overlap matrix — the "is source B (partly)
+    * a mirror of source A?" diagnostic a curation pipeline runs
+    * before deciding crawl priorities: per source pair, how many
+    * distinct [[chunksOf]] context-window hashes both carry. Chunk
+    * granularity on purpose — partial mirrors and syndicated passages
+    * never hash equal at document level. The chunk-hash groupBy has
+    * map-side partial aggregation (a boilerplate chunk collapses per
+    * task); the per-hash source set is bounded by the source domain
+    * and the output by its square.
+    */
+  def dupSrcMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunksOf(s, dir)
+      .groupBy($"chunk_hash").agg(collect_set($"source").as("srcs"))
+      .filter(size($"srcs") >= 2)
+      .select(explode($"srcs").as("src_a"), $"srcs")
+      .select($"src_a", explode($"srcs").as("src_b"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared_chunks"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val dupSrcMatrixSql: String =
+    s"""WITH ch AS ($chunksSql),
+       |hs AS (
+       |  SELECT DISTINCT ch.chunk_hash AS h, d.source
+       |  FROM ch JOIN documents d USING (doc_id))
+       |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_chunks
+       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Document-frequency cap for the token-rarity score: tokens in more
     * than this many documents are common vocabulary and contribute no
@@ -2315,7 +2377,9 @@ object Pipeline {
     "x_ann_recall"     -> annRecall _,
     "x_corpus_manifest" -> corpusManifest _,
     "x_minhash_est"    -> minhashEst _,
-    "x_embed_outliers" -> embedOutliers _)
+    "x_embed_outliers" -> embedOutliers _,
+    "x_lang_confusion" -> langConfusion _,
+    "x_dup_src_matrix" -> dupSrcMatrix _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
@@ -2363,5 +2427,7 @@ object Pipeline {
     "x_ann_recall"     -> annRecallSql,
     "x_corpus_manifest" -> corpusManifestSql,
     "x_minhash_est"    -> minhashEstSql,
-    "x_embed_outliers" -> embedOutliersSql)
+    "x_embed_outliers" -> embedOutliersSql,
+    "x_lang_confusion" -> langConfusionSql,
+    "x_dup_src_matrix" -> dupSrcMatrixSql)
 }
