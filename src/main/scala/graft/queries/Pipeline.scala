@@ -1026,7 +1026,6 @@ object Pipeline {
     * bounded aggregate, so it never sees corpus-sized data.
     */
   def langConfusion(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     langId(s, dir)
       .groupBy($"labeled_lang", $"pred_lang")
