@@ -78,6 +78,7 @@ object Bench {
     "x_dedup_full" -> 3.56, // consumes the round-6 edge-graph artifact
     "x_dup_src_matrix" -> 0.75, // round-6 new ops (recorded min-of-2 × 2)
     "x_lang_confusion" -> 0.75,
+    "x_manifest_stats" -> 3.35,
     "x_dup_stats" -> 0.53,
     "x_embed_near_dup" -> 2.53,
     "x_embed_quantize" -> 0.67,

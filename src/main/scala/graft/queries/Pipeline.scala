@@ -977,6 +977,36 @@ object Pipeline {
        |  FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Manifest loss accounting — where did the corpus go, per
+    * language: for each (lang, reason) the document count and its
+    * share of the language in integer ppm. The one-page report a
+    * pipeline owner reads after every [[corpusManifest]] rebuild
+    * (is zh being over-dropped? did a quality tweak eat de?). Cost:
+    * the manifest itself plus one lang×reason-key aggregate; the
+    * share window runs after that bounded aggregate.
+    */
+  def manifestStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id", $"lang")
+      .join(corpusManifest(s, dir).select($"doc_id", $"reason"), Seq("doc_id"))
+      .groupBy($"lang", $"reason")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("(n * 1000000) div sum(n) over (partition by lang)"))
+      .orderBy($"lang", $"reason")
+  }
+
+  val manifestStatsSql: String =
+    s"""WITH m AS ($corpusManifestSql),
+       |cm AS (
+       |  SELECT d.lang, m.reason, COUNT(*) AS n
+       |  FROM documents d JOIN m ON d.doc_id = m.doc_id GROUP BY 1, 2)
+       |SELECT lang, reason, n,
+       |  CAST((n * 1000000)
+       |    // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS BIGINT)
+       |    AS share_ppm
+       |FROM cm ORDER BY lang, reason""".stripMargin
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID by marker-token counts (n-gram heuristic): pure
@@ -2378,7 +2408,8 @@ object Pipeline {
     "x_minhash_est"    -> minhashEst _,
     "x_embed_outliers" -> embedOutliers _,
     "x_lang_confusion" -> langConfusion _,
-    "x_dup_src_matrix" -> dupSrcMatrix _)
+    "x_dup_src_matrix" -> dupSrcMatrix _,
+    "x_manifest_stats" -> manifestStats _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
@@ -2428,5 +2459,6 @@ object Pipeline {
     "x_minhash_est"    -> minhashEstSql,
     "x_embed_outliers" -> embedOutliersSql,
     "x_lang_confusion" -> langConfusionSql,
-    "x_dup_src_matrix" -> dupSrcMatrixSql)
+    "x_dup_src_matrix" -> dupSrcMatrixSql,
+    "x_manifest_stats" -> manifestStatsSql)
 }
