@@ -2282,6 +2282,120 @@ object Pipeline {
        |FROM best GROUP BY vec_id
        |ORDER BY adc_micro2, vec_id LIMIT 10""".stripMargin
 
+
+
+  /** Embedding outlier report: the 20 vectors farthest (squared L2,
+    * exact micro²-units) from their own label cell's centroid — the
+    * mislabeled/noise sweep a curation pipeline runs over a clustered
+    * embedding table before trusting the cells for IVF probing or
+    * [[pqCodes]]. Centroids are the same floor(mean) integers as the
+    * PQ codebook, here at full [[DIM]]; cells × 1 rows broadcast to
+    * one corpus pass, TakeOrderedAndProject moves 20 rows off the
+    * executors.
+    */
+  /** Full-[[DIM]] cell centroids in micro-units — shared by
+    * [[embedOutliers]] and [[annIvfNprobe]] (same floor(mean)
+    * integers as the PQ codebook, assembled at full width).
+    */
+  private def cellCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    microDimSums(s, dir)
+      .select($"label", $"pos0",
+        floor($"sm".cast("double") / $"n").cast("long").as("c"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"pos0", $"c")).as("pc"))
+      .select($"label",
+        transform(sort_array($"pc"), x => x.getField("c")).as("cvec"))
+  }
+
+  /** DuckDB twin of [[cellCentroids]] (reads the `dims` CTE from
+    * [[microDimsCtesSql]]).
+    */
+  private val cellCentroidsCteSql: String =
+    """cent AS (
+      |  SELECT label,
+      |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
+      |  FROM dims GROUP BY label)""".stripMargin
+
+  /** Σ (a_j − b_j)² over [[DIM]] micro-unit components, as oracle SQL. */
+  private def l2MicroSql(a: String, b: String): String =
+    (1 to DIM).map(j =>
+        s"(list_extract($a, $j) - list_extract($b, $j)) * (list_extract($a, $j) - list_extract($b, $j))")
+      .reduce((x, y) => s"$x + $y")
+
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = cellCentroids(s, dir)
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", microVec($"embedding").as("mvec"))
+      .join(broadcast(cents), "label")
+      .select($"vec_id", $"label", pqDist2($"mvec", $"cvec").as("dist_micro2"))
+      .orderBy($"dist_micro2".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH $microDimsCtesSql,
+       |$cellCentroidsCteSql
+       |SELECT vec_id, label, CAST(${l2MicroSql("mvec", "cvec")} AS BIGINT) AS dist_micro2
+       |FROM mv JOIN cent USING (label)
+       |ORDER BY dist_micro2 DESC, vec_id LIMIT 20""".stripMargin
+
+  /** How many cells a multi-probe IVF query visits — FAISS's `nprobe`
+    * knob, the standard recall/cost dial for cell-blocked ANN.
+    */
+  private val IVF_NPROBE = 3
+
+  /** IVF ANN probing the [[IVF_NPROBE]] cells whose centroids sit
+    * closest to the query (exact micro² L2, ties to the smaller
+    * label) — the recall fix for [[annIvf]]'s one-cell probe, same
+    * as multi-probing fixes [[annLsh]]. Cell ranking happens on the
+    * driver over collected index metadata (cells × 1 centroid rows,
+    * corpus-size-independent — the [[annPq]] pattern); the corpus
+    * scan then touches only the probed cells' rows and the top-k is
+    * a TakeOrderedAndProject. At 100 TB over the [[ensureIvfLayout]]
+    * partitioning this is an [[IVF_NPROBE]]-directory scan.
+    */
+  def annIvfNprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = cellCentroids(s, dir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val qmicro = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+      .map(v => math.floor(v.toDouble * 1000000.0d).toLong)
+    val cells = cents.map { case (label, cvec) =>
+        val d2 = qmicro.indices.map { j =>
+          val diff = qmicro(j) - cvec(j); diff * diff
+        }.sum
+        (d2, label)
+      }.sorted.take(IVF_NPROBE).map(_._2).toIndexedSeq
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.filter($"label".isin(cells: _*))
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label", cosine(s, $"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annIvfNprobeSql: String =
+    s"""WITH $microDimsCtesSql,
+       |$cellCentroidsCteSql,
+       |cells AS (
+       |  SELECT label FROM (
+       |    SELECT cent.label,
+       |      row_number() OVER (
+       |        ORDER BY ${l2MicroSql("qm", "cvec")}, cent.label) AS rn
+       |    FROM cent, (SELECT mvec AS qm FROM mv WHERE vec_id = 0))
+       |  WHERE rn <= $IVF_NPROBE)
+       |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos
+       |FROM embeddings JOIN cells USING (label),
+       |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   /** Recall@10 audit of every ANN variant against the brute-force
     * ground truth ([[simSearch]]) — the eval harness an ANN deployment
     * runs before trusting an index: k returned, true-neighbor hits,
@@ -2292,6 +2406,8 @@ object Pipeline {
     import s.implicits._
     val exact = simSearch(s, dir).select($"vec_id", lit(1L).as("hit"))
     val cand = annIvf(s, dir).select($"vec_id", lit("ivf").as("method"))
+      .unionByName(annIvfNprobe(s, dir)
+        .select($"vec_id", lit("ivf_nprobe").as("method")))
       .unionByName(annLsh(s, dir).select($"vec_id", lit("lsh").as("method")))
       .unionByName(annLshMultiprobe(s, dir)
         .select($"vec_id", lit("lsh_multiprobe").as("method")))
@@ -2309,6 +2425,7 @@ object Pipeline {
     s"""WITH exact AS (SELECT vec_id FROM ($simSearchSql)),
        |cand AS (
        |  SELECT 'ivf' AS method, vec_id FROM ($annIvfSql)
+       |  UNION ALL SELECT 'ivf_nprobe', vec_id FROM ($annIvfNprobeSql)
        |  UNION ALL SELECT 'lsh', vec_id FROM ($annLshSql)
        |  UNION ALL SELECT 'lsh_multiprobe', vec_id FROM ($annLshMultiprobeSql)
        |  UNION ALL SELECT 'pq', vec_id FROM ($annPqSql))
@@ -2317,46 +2434,6 @@ object Pipeline {
        |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10 AS BIGINT) AS recall_pct
        |FROM cand c LEFT JOIN exact e ON c.vec_id = e.vec_id
        |GROUP BY method ORDER BY method""".stripMargin
-
-  /** Embedding outlier report: the 20 vectors farthest (squared L2,
-    * exact micro²-units) from their own label cell's centroid — the
-    * mislabeled/noise sweep a curation pipeline runs over a clustered
-    * embedding table before trusting the cells for IVF probing or
-    * [[pqCodes]]. Centroids are the same floor(mean) integers as the
-    * PQ codebook, here at full [[DIM]]; cells × 1 rows broadcast to
-    * one corpus pass, TakeOrderedAndProject moves 20 rows off the
-    * executors.
-    */
-  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cents = microDimSums(s, dir)
-      .select($"label", $"pos0",
-        floor($"sm".cast("double") / $"n").cast("long").as("c"))
-      .groupBy($"label")
-      .agg(collect_list(struct($"pos0", $"c")).as("pc"))
-      .select($"label",
-        transform(sort_array($"pc"), x => x.getField("c")).as("cvec"))
-    Tables(s, dir, "embeddings")
-      .select($"vec_id", $"label", microVec($"embedding").as("mvec"))
-      .join(broadcast(cents), "label")
-      .select($"vec_id", $"label", pqDist2($"mvec", $"cvec").as("dist_micro2"))
-      .orderBy($"dist_micro2".desc, $"vec_id")
-      .limit(20)
-  }
-
-  val embedOutliersSql: String = {
-    val d2 = (1 to DIM).map(j =>
-        s"(list_extract(mvec, $j) - list_extract(cvec, $j)) * (list_extract(mvec, $j) - list_extract(cvec, $j))")
-      .reduce((x, y) => s"$x + $y")
-    s"""WITH $microDimsCtesSql,
-       |cent AS (
-       |  SELECT label,
-       |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
-       |  FROM dims GROUP BY label)
-       |SELECT vec_id, label, CAST($d2 AS BIGINT) AS dist_micro2
-       |FROM mv JOIN cent USING (label)
-       |ORDER BY dist_micro2 DESC, vec_id LIMIT 20""".stripMargin
-  }
 
   // ---------------------------------------------------------------- maps
 
@@ -2407,6 +2484,7 @@ object Pipeline {
     "x_corpus_manifest" -> corpusManifest _,
     "x_minhash_est"    -> minhashEst _,
     "x_embed_outliers" -> embedOutliers _,
+    "x_ann_ivf_nprobe" -> annIvfNprobe _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _)
@@ -2458,6 +2536,7 @@ object Pipeline {
     "x_corpus_manifest" -> corpusManifestSql,
     "x_minhash_est"    -> minhashEstSql,
     "x_embed_outliers" -> embedOutliersSql,
+    "x_ann_ivf_nprobe" -> annIvfNprobeSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql)
