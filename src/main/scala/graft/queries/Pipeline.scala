@@ -380,32 +380,45 @@ object Pipeline {
     * handling can never diverge between an operator and the audit that
     * judges it. One groupBy(doc_id) produces the signature slots AND
     * the shingle set; bands explode map-side; groups are cut to
-    * [[BAND_CAP]]; pairs leave the capped groups carrying slot
-    * agreement (`eq`), intersection size, and both set sizes.
+    * [[BAND_CAP]]; pairs leave the capped groups carrying intersection
+    * size and both set sizes — plus slot agreement (`eq`) when
+    * `withSig` is set. Only [[minhashEst]] needs the 8-slot signature
+    * arrays; [[minhashLsh]] opts out so ~256 extra bytes per member
+    * never ride its band shuffle and collect_list groups (Catalyst
+    * can't prune a struct field out of a collect_list).
     */
-  private def minhashCandPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashCandPairs(s: SparkSession, dir: String,
+      withSig: Boolean): DataFrame = {
     import s.implicits._
     val sigAggs = (0 until 8)
       .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
     val doc = keptShinglesOf(repDocs(s, dir)).groupBy($"doc_id")
       .agg(collect_list($"s").as("ss"), sigAggs: _*)
-    val bands = doc.select($"doc_id", $"ss",
-      array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"),
+    val sigCol =
+      if (withSig) Seq(array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+      else Nil
+    val bands = doc.select(Seq($"doc_id", $"ss") ++ sigCol ++ Seq(
       posexplode(array((0 until 4).map(b =>
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
-        .as(Seq("band_idx", "band")))
+        .as(Seq("band_idx", "band"))): _*)
+    val member =
+      if (withSig) struct($"doc_id", $"ss", $"sig")
+      else struct($"doc_id", $"ss")
+    val eqCol =
+      if (withSig) Seq(aggregate(zip_with($"x.sig", $"y.sig",
+          (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v).as("eq"))
+      else Nil
     capBandGroups(bands).groupBy($"band_idx", $"band")
-      .agg(collect_list(struct($"doc_id", $"ss", $"sig")).as("g"))
+      .agg(collect_list(member).as("g"))
       .filter(size($"g") >= 2)
       .select(explode($"g").as("x"), $"g")
       .select($"x", explode($"g").as("y"))
       .filter($"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
-        aggregate(zip_with($"x.sig", $"y.sig",
-          (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, v) => acc + v).as("eq"),
+      .select(Seq($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")) ++ eqCol ++ Seq(
         size(array_intersect($"x.ss", $"y.ss")).cast("long").as("c"),
-        size($"x.ss").cast("long").as("na"), size($"y.ss").cast("long").as("nb"))
+        size($"x.ss").cast("long").as("na"),
+        size($"y.ss").cast("long").as("nb")): _*)
       .distinct() // a pair sharing k bands appears k times, identically
   }
 
@@ -451,7 +464,7 @@ object Pipeline {
     // banded candidate machinery is the shared [[minhashCandPairs]];
     // exact-Jaccard verification touches candidates only, never the
     // corpus.
-    minhashCandPairs(s, dir)
+    minhashCandPairs(s, dir, withSig = false)
       .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= 0.10)
       .orderBy($"a_id", $"b_id")
@@ -478,7 +491,7 @@ object Pipeline {
     */
   def minhashEst(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    minhashCandPairs(s, dir)
+    minhashCandPairs(s, dir, withSig = true)
       .select($"a_id", $"b_id",
         ($"eq" * 125000L).as("est_micro"),
         floor(($"c" * 1000000L).cast("double") / ($"na" + $"nb" - $"c"))
@@ -951,30 +964,46 @@ object Pipeline {
     * [[ensureEdgeGraph]] artifact, so the whole manifest costs one
     * dedup-decision join over the corpus.
     */
-  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document (doc_id, lang, keep_id, reason) — the single
+    * definition of the manifest decision shared by [[corpusManifest]]
+    * (which projects it) and [[manifestStats]] (which aggregates it),
+    * so the stats can never diverge from the manifest they summarize
+    * and neither consumer scans `documents` twice.
+    */
+  private def manifestCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", $"lang", $"text", words($"text").as("w"))
-      .select($"doc_id", qualityCol($"text", $"w").as("quality"),
+      .select($"doc_id", $"lang", qualityCol($"text", $"w").as("quality"),
         mixRateCol.as("rate"), mixBucketCol.as("bucket"))
       .join(dedupFull(s, dir), Seq("doc_id"))
-      .select($"doc_id", $"keep_id",
+      .select($"doc_id", $"lang", $"keep_id",
         when(!$"is_kept", lit("duplicate"))
           .when($"quality" < QUALITY_MIN, lit("low_quality"))
           .when($"bucket" >= $"rate", lit("mix_downsampled"))
           .otherwise(lit("kept")).as("reason"))
+  }
+
+  /** DuckDB twin of [[manifestCore]]. */
+  private val manifestCoreSql: String =
+    s"""SELECT d.doc_id, d.lang, f.keep_id,
+       |  CASE WHEN NOT f.is_kept THEN 'duplicate'
+       |    WHEN ${qualitySql("d.text")} < CAST($QUALITY_MIN AS DOUBLE) THEN 'low_quality'
+       |    WHEN ${mixBucketSql("d.doc_id")} >= ${mixRateSql("d.lang")} THEN 'mix_downsampled'
+       |    ELSE 'kept' END AS reason
+       |FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id""".stripMargin
+
+  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifestCore(s, dir)
+      .select($"doc_id", $"keep_id", $"reason")
       .withColumn("kept", $"reason" === "kept")
       .orderBy($"doc_id")
   }
 
   val corpusManifestSql: String =
-    s"""SELECT doc_id, keep_id, reason, reason = 'kept' AS kept FROM (
-       |  SELECT d.doc_id, f.keep_id,
-       |    CASE WHEN NOT f.is_kept THEN 'duplicate'
-       |      WHEN ${qualitySql("d.text")} < CAST($QUALITY_MIN AS DOUBLE) THEN 'low_quality'
-       |      WHEN ${mixBucketSql("d.doc_id")} >= ${mixRateSql("d.lang")} THEN 'mix_downsampled'
-       |      ELSE 'kept' END AS reason
-       |  FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id)
+    s"""SELECT doc_id, keep_id, reason, reason = 'kept' AS kept
+       |FROM ($manifestCoreSql)
        |ORDER BY doc_id""".stripMargin
 
   /** Manifest loss accounting — where did the corpus go, per
@@ -982,13 +1011,14 @@ object Pipeline {
     * share of the language in integer ppm. The one-page report a
     * pipeline owner reads after every [[corpusManifest]] rebuild
     * (is zh being over-dropped? did a quality tweak eat de?). Cost:
-    * the manifest itself plus one lang×reason-key aggregate; the
-    * share window runs after that bounded aggregate.
+    * one [[manifestCore]] pass (lang rides the core — no second
+    * documents scan, no corpus-sized re-join) plus one
+    * lang×reason-key aggregate; the share window runs after that
+    * bounded aggregate.
     */
   def manifestStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents").select($"doc_id", $"lang")
-      .join(corpusManifest(s, dir).select($"doc_id", $"reason"), Seq("doc_id"))
+    manifestCore(s, dir)
       .groupBy($"lang", $"reason")
       .agg(count(lit(1)).as("n"))
       .withColumn("share_ppm",
@@ -997,10 +1027,9 @@ object Pipeline {
   }
 
   val manifestStatsSql: String =
-    s"""WITH m AS ($corpusManifestSql),
-       |cm AS (
-       |  SELECT d.lang, m.reason, COUNT(*) AS n
-       |  FROM documents d JOIN m ON d.doc_id = m.doc_id GROUP BY 1, 2)
+    s"""WITH cm AS (
+       |  SELECT lang, reason, COUNT(*) AS n
+       |  FROM ($manifestCoreSql) GROUP BY 1, 2)
        |SELECT lang, reason, n,
        |  CAST((n * 1000000)
        |    // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS BIGINT)
@@ -2108,15 +2137,6 @@ object Pipeline {
         s"(list_extract($a, $j) - list_extract($b, $j)) * (list_extract($a, $j) - list_extract($b, $j))")
       .reduce((x, y) => s"$x + $y")
 
-  /** Product-quantization codebook: the [[DIM]]-dim space split into
-    * [[PQ_M]] subspaces of [[PQ_SUB]] dims; per (subspace, label cell)
-    * one centroid — the label column is the training assignment, as in
-    * [[annIvf]]. Centroid components are floor(mean) in micro-units:
-    * the int64 sum is exact, the one division happens in double on
-    * values far below 2^53, and floor is tie-free — both engines get
-    * the identical integer. Output is cells × [[PQ_M]] rows regardless
-    * of corpus size (one shuffle whose key count is cells × dims).
-    */
   /** Per-(label cell, dimension) exact micro-unit sums — the single
     * definition of the centroid numerator shared by [[pqCodebook]]
     * and [[embedOutliers]] (their centroids are the same floor(mean)
@@ -2130,6 +2150,15 @@ object Pipeline {
       .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
   }
 
+  /** Product-quantization codebook: the [[DIM]]-dim space split into
+    * [[PQ_M]] subspaces of [[PQ_SUB]] dims; per (subspace, label cell)
+    * one centroid — the label column is the training assignment, as in
+    * [[annIvf]]. Centroid components are floor(mean) in micro-units:
+    * the int64 sum is exact, the one division happens in double on
+    * values far below 2^53, and floor is tie-free — both engines get
+    * the identical integer. Output is cells × [[PQ_M]] rows regardless
+    * of corpus size (one shuffle whose key count is cells × dims).
+    */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     microDimSums(s, dir)
@@ -2284,15 +2313,6 @@ object Pipeline {
 
 
 
-  /** Embedding outlier report: the 20 vectors farthest (squared L2,
-    * exact micro²-units) from their own label cell's centroid — the
-    * mislabeled/noise sweep a curation pipeline runs over a clustered
-    * embedding table before trusting the cells for IVF probing or
-    * [[pqCodes]]. Centroids are the same floor(mean) integers as the
-    * PQ codebook, here at full [[DIM]]; cells × 1 rows broadcast to
-    * one corpus pass, TakeOrderedAndProject moves 20 rows off the
-    * executors.
-    */
   /** Full-[[DIM]] cell centroids in micro-units — shared by
     * [[embedOutliers]] and [[annIvfNprobe]] (same floor(mean)
     * integers as the PQ codebook, assembled at full width).
@@ -2323,6 +2343,15 @@ object Pipeline {
         s"(list_extract($a, $j) - list_extract($b, $j)) * (list_extract($a, $j) - list_extract($b, $j))")
       .reduce((x, y) => s"$x + $y")
 
+  /** Embedding outlier report: the 20 vectors farthest (squared L2,
+    * exact micro²-units) from their own label cell's centroid — the
+    * mislabeled/noise sweep a curation pipeline runs over a clustered
+    * embedding table before trusting the cells for IVF probing or
+    * [[pqCodes]]. Centroids are the same floor(mean) integers as the
+    * PQ codebook, here at full [[DIM]]; cells × 1 rows broadcast to
+    * one corpus pass, TakeOrderedAndProject moves 20 rows off the
+    * executors.
+    */
   def embedOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = cellCentroids(s, dir)
