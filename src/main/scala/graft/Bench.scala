@@ -62,6 +62,7 @@ object Bench {
     "x_ann_lsh_multiprobe" -> 0.68, // round-6 new op
     "x_ann_pq" -> 2.45, // round-6 new ops (recorded min-of-2 × 2)
     "x_ann_ivf_nprobe" -> 1.00,
+    "x_kmeans_iter" -> 1.70,
     "x_embed_outliers" -> 0.70,
     "x_minhash_est" -> 6.90,
     "x_ann_recall" -> 4.55,

@@ -2425,6 +2425,58 @@ object Pipeline {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** One k-means Lloyd iteration over the embedding corpus, seeded by
+    * the label-cell centroids ([[cellCentroids]] is iteration 0's
+    * M-step): every vector reassigns to its argmin-L2² centroid
+    * (exact micro² ints, ties to the smaller label — the [[pqCodes]]
+    * `min(struct(dist, label))` pattern), then centroids recompute as
+    * floor(mean) over the new members. This is the refinement loop
+    * that turns the trusted `label` column into actual clustering for
+    * [[annIvf]]'s cells; one deterministic round is the
+    * oracle-checkable unit, and a pipeline iterates it to a fixpoint.
+    * Output is the new codebook — (label, pos, c, n), ≤ cells ×
+    * [[DIM]] rows regardless of corpus size (a cell that attracts no
+    * members disappears, as in Lloyd's). The E-step is a broadcast
+    * nested-loop over cells×1 centroid rows fused into the corpus
+    * scan; map-side partial aggregation collapses the ×cells fan-out
+    * back to one row per vector before the only corpus-keyed shuffle;
+    * the M-step shuffle is keyed on cells × dims.
+    */
+  def kmeansIter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = cellCentroids(s, dir).withColumnRenamed("label", "k")
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", microVec($"embedding").as("mvec"))
+      .crossJoin(broadcast(cents))
+      .groupBy($"vec_id")
+      .agg(min(struct(pqDist2($"mvec", $"cvec").as("d2"), $"k")).as("best"),
+        first($"mvec").as("mvec"))
+      .select($"best.k".as("label"), posexplode($"mvec").as(Seq("pos", "mv")))
+      .groupBy($"label", $"pos")
+      .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+      .select($"label", $"pos",
+        floor($"sm".cast("double") / $"n").cast("long").as("c"), $"n")
+      .orderBy($"label", $"pos")
+  }
+
+  val kmeansIterSql: String =
+    s"""WITH $microDimsCtesSql,
+       |$cellCentroidsCteSql,
+       |assign AS (
+       |  SELECT vec_id, mvec, k AS label FROM (
+       |    SELECT mv.vec_id, mv.mvec, cent.label AS k,
+       |      row_number() OVER (PARTITION BY mv.vec_id
+       |        ORDER BY ${l2MicroSql("mv.mvec", "cent.cvec")}, cent.label) AS rn
+       |    FROM mv, cent)
+       |  WHERE rn = 1)
+       |SELECT label, pos - 1 AS pos,
+       |  CAST(floor(CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c,
+       |  COUNT(*) AS n
+       |FROM (SELECT label, unnest(mvec) AS v,
+       |        generate_subscripts(mvec, 1) AS pos FROM assign)
+       |GROUP BY label, pos
+       |ORDER BY label, pos""".stripMargin
+
   /** Recall@10 audit of every ANN variant against the brute-force
     * ground truth ([[simSearch]]) — the eval harness an ANN deployment
     * runs before trusting an index: k returned, true-neighbor hits,
@@ -2514,6 +2566,7 @@ object Pipeline {
     "x_minhash_est"    -> minhashEst _,
     "x_embed_outliers" -> embedOutliers _,
     "x_ann_ivf_nprobe" -> annIvfNprobe _,
+    "x_kmeans_iter"    -> kmeansIter _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _)
@@ -2566,6 +2619,7 @@ object Pipeline {
     "x_minhash_est"    -> minhashEstSql,
     "x_embed_outliers" -> embedOutliersSql,
     "x_ann_ivf_nprobe" -> annIvfNprobeSql,
+    "x_kmeans_iter"    -> kmeansIterSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql)

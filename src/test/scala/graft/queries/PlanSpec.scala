@@ -199,6 +199,18 @@ class PlanSpec extends AnyFunSuite {
       "top-10 result joins must broadcast:\n" + p.take(2000))
   }
 
+  test("x_kmeans_iter: centroids broadcast into the corpus scan, argmin partial-aggs") {
+    val p = plan("x_kmeans_iter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "E-step must broadcast the cells-sized centroid table:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never sort-merge against centroids:\n" + p.take(2000))
+    // partial_min before the vec_id exchange collapses the ×cells
+    // fan-out map-side
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      "argmin must partial-aggregate map-side:\n" + p.take(4000))
+  }
+
   test("x_hash_sample: deterministic sampling filter evaluates scan-side") {
     val p = plan("x_hash_sample")
     // the filter sits directly over the scan — no shuffle before it
