@@ -1592,6 +1592,100 @@ object Pipeline {
        |  FROM scored)
        |WHERE rn <= $TFIDF_TOP ORDER BY doc_id, rn""".stripMargin
 
+  /** The fixed keyword query [[bm25Search]] retrieves for — three
+    * fixture-vocabulary terms with distinct document frequencies.
+    */
+  private val BM25_QUERY = Seq("spark", "merge", "stream")
+
+  /** BM25 keyword retrieval (k1 = 1.2, b = 0.75): top-10 documents
+    * for [[BM25_QUERY]], scored with exact cross-engine arithmetic.
+    * IDF is the BM25 odds ratio (N − df + ½)/(df + ½) in integer
+    * micro-units WITHOUT the log — ln is not IEEE-reproducible across
+    * engines (JVM `Math.log` guarantees only 1 ulp), and dropping a
+    * monotone transform preserves each term's ordering while keeping
+    * the whole score bit-identical; the saturation term is cleared to
+    * ×10 integers (22·tf / (10·tf + 3 + 9·dl/avgdl)), every division
+    * one correctly-rounded double op over exact integers. Corpus
+    * stats (N, avgdl, per-term df) are one aggregate collapsed to a
+    * driver row — corpus-size-independent index metadata, the
+    * [[annPq]] pattern — so scoring is a single linear scan with
+    * per-row tf expressions, a posting-style `n_terms > 0` prune,
+    * and a TakeOrderedAndProject top-k. No shuffle touches the
+    * corpus.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tfCols = BM25_QUERY.zipWithIndex.map { case (t, i) =>
+      size(filter($"w", x => x === t)).cast("long").as(s"tf$i")
+    }
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .select(Seq($"doc_id", size($"w").cast("long").as("dl")) ++ tfCols: _*)
+    val statAggs = Seq(count(lit(1)).as("n"), sum($"dl").as("s")) ++
+      BM25_QUERY.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val st = docs.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = st.getLong(0)
+    val aMicro = math.floor(1000000.0d * st.getLong(1) / n).toLong
+    val idfMicro = BM25_QUERY.indices.map { i =>
+      val df = st.getLong(2 + i)
+      math.floor(1000000.0d * ((n - df + 0.5d) / (df + 0.5d))).toLong
+    }
+    val r = ($"dl" * lit(1000000.0d)) / lit(aMicro.toDouble)
+    val termScores = BM25_QUERY.indices.map { i =>
+      floor((lit(idfMicro(i).toDouble) * (lit(22.0d) * col(s"tf$i"))) /
+        (lit(10.0d) * col(s"tf$i") + lit(3.0d) + lit(9.0d) * r)).cast("long")
+    }
+    val nTerms = BM25_QUERY.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs
+      .select($"doc_id", nTerms.cast("long").as("n_terms"),
+        termScores.reduce(_ + _).as("score_micro"))
+      .filter($"n_terms" > 0)
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val bm25SearchSql: String = {
+    val tfDefs = BM25_QUERY.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfAggs = BM25_QUERY.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val idfDefs = BM25_QUERY.indices.map(i =>
+      s"""CAST(floor(CAST(1000000 AS DOUBLE) *
+         |      ((n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS idf$i""".stripMargin)
+      .mkString(",\n    ")
+    val r = "((dl * CAST(1000000 AS DOUBLE)) / a)"
+    val termScores = BM25_QUERY.indices.map(i =>
+      s"""CAST(floor((idf$i * (CAST(22 AS DOUBLE) * tf$i)) /
+         |      (CAST(10 AS DOUBLE) * tf$i + CAST(3 AS DOUBLE) + CAST(9 AS DOUBLE) * $r)) AS BIGINT)""".stripMargin)
+      .reduce((x, y) => s"$x + $y")
+    val nTerms = BM25_QUERY.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+      .reduce((x, y) => s"$x + $y")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM documents),
+       |st AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s, $dfAggs FROM d),
+       |c AS (
+       |  SELECT n, CAST(floor((CAST(1000000 AS DOUBLE) * s) / n) AS BIGINT) AS a,
+       |    $idfDefs
+       |  FROM st)
+       |SELECT doc_id, n_terms, score_micro FROM (
+       |  SELECT d.doc_id,
+       |    CAST($nTerms AS BIGINT) AS n_terms,
+       |    ($termScores) AS score_micro
+       |  FROM d, c)
+       |WHERE n_terms > 0
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   private[graft] val STRATUM_N = 20
 
   /** Stratified sample: the first [[STRATUM_N]] documents per language,
@@ -2442,16 +2536,39 @@ object Pipeline {
     * back to one row per vector before the only corpus-keyed shuffle;
     * the M-step shuffle is keyed on cells × dims.
     */
-  def kmeansIter(s: SparkSession, dir: String): DataFrame = {
+  /** The Lloyd E-step — (vec_id, old_label, label, mvec) after
+    * argmin-L2² reassignment — shared by [[kmeansIter]] (M-step
+    * consumer) and [[kmeansMoves]] (convergence consumer) so the
+    * assignment rule has one definition per engine.
+    */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = cellCentroids(s, dir).withColumnRenamed("label", "k")
     Tables(s, dir, "embeddings")
-      .select($"vec_id", microVec($"embedding").as("mvec"))
+      .select($"vec_id", $"label".as("old_label"), microVec($"embedding").as("mvec"))
       .crossJoin(broadcast(cents))
       .groupBy($"vec_id")
       .agg(min(struct(pqDist2($"mvec", $"cvec").as("d2"), $"k")).as("best"),
-        first($"mvec").as("mvec"))
-      .select($"best.k".as("label"), posexplode($"mvec").as(Seq("pos", "mv")))
+        first($"old_label").as("old_label"), first($"mvec").as("mvec"))
+      .select($"vec_id", $"old_label", $"best.k".as("label"), $"mvec")
+  }
+
+  /** DuckDB twin of [[kmeansAssign]], as a CTE (reads `mv` and `cent`
+    * from [[microDimsCtesSql]] / [[cellCentroidsCteSql]]).
+    */
+  private val kmeansAssignCteSql: String =
+    s"""assign AS (
+       |  SELECT vec_id, old_label, mvec, k AS label FROM (
+       |    SELECT mv.vec_id, mv.label AS old_label, mv.mvec, cent.label AS k,
+       |      row_number() OVER (PARTITION BY mv.vec_id
+       |        ORDER BY ${l2MicroSql("mv.mvec", "cent.cvec")}, cent.label) AS rn
+       |    FROM mv, cent)
+       |  WHERE rn = 1)""".stripMargin
+
+  def kmeansIter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansAssign(s, dir)
+      .select($"label", posexplode($"mvec").as(Seq("pos", "mv")))
       .groupBy($"label", $"pos")
       .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
       .select($"label", $"pos",
@@ -2462,13 +2579,7 @@ object Pipeline {
   val kmeansIterSql: String =
     s"""WITH $microDimsCtesSql,
        |$cellCentroidsCteSql,
-       |assign AS (
-       |  SELECT vec_id, mvec, k AS label FROM (
-       |    SELECT mv.vec_id, mv.mvec, cent.label AS k,
-       |      row_number() OVER (PARTITION BY mv.vec_id
-       |        ORDER BY ${l2MicroSql("mv.mvec", "cent.cvec")}, cent.label) AS rn
-       |    FROM mv, cent)
-       |  WHERE rn = 1)
+       |$kmeansAssignCteSql
        |SELECT label, pos - 1 AS pos,
        |  CAST(floor(CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c,
        |  COUNT(*) AS n
@@ -2476,6 +2587,30 @@ object Pipeline {
        |        generate_subscripts(mvec, 1) AS pos FROM assign)
        |GROUP BY label, pos
        |ORDER BY label, pos""".stripMargin
+
+  /** Lloyd convergence report: the old→new assignment transition
+    * matrix out of one [[kmeansAssign]] E-step — diagonal rows are
+    * vectors that stayed, off-diagonal rows are the movement a
+    * pipeline watches go to zero before freezing the [[annIvf]]
+    * cells. ≤ cells² rows at any corpus size; cost is the E-step plus
+    * one bounded-key aggregate.
+    */
+  def kmeansMoves(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansAssign(s, dir)
+      .groupBy($"old_label", $"label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("moved", $"old_label" =!= $"label")
+      .orderBy($"old_label", $"label")
+  }
+
+  val kmeansMovesSql: String =
+    s"""WITH $microDimsCtesSql,
+       |$cellCentroidsCteSql,
+       |$kmeansAssignCteSql
+       |SELECT old_label, label, COUNT(*) AS n, old_label <> label AS moved
+       |FROM assign GROUP BY 1, 2
+       |ORDER BY old_label, label""".stripMargin
 
   /** Recall@10 audit of every ANN variant against the brute-force
     * ground truth ([[simSearch]]) — the eval harness an ANN deployment
@@ -2567,6 +2702,8 @@ object Pipeline {
     "x_embed_outliers" -> embedOutliers _,
     "x_ann_ivf_nprobe" -> annIvfNprobe _,
     "x_kmeans_iter"    -> kmeansIter _,
+    "x_kmeans_moves"   -> kmeansMoves _,
+    "x_bm25_search"    -> bm25Search _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _)
@@ -2620,6 +2757,8 @@ object Pipeline {
     "x_embed_outliers" -> embedOutliersSql,
     "x_ann_ivf_nprobe" -> annIvfNprobeSql,
     "x_kmeans_iter"    -> kmeansIterSql,
+    "x_kmeans_moves"   -> kmeansMovesSql,
+    "x_bm25_search"    -> bm25SearchSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql)
