@@ -327,7 +327,14 @@ object Pipeline {
     * twice (cached or not), which is where the old formulation lost
     * 2-5× wall-clock nondeterministically.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate-pair intersection counts — the shared core of
+    * [[ngramJaccard]] (the near-dup operator) and [[jaccardSweep]]
+    * (its threshold-tuning audit): per unordered pair the shared
+    * kept-shingle count `c` and both set sizes `na`/`nb`, from which
+    * either consumer derives Jaccard without a second pass over the
+    * shingle index.
+    */
+  private def ngramPairCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val kept = keptShingles(s, dir)
@@ -343,22 +350,71 @@ object Pipeline {
       .filter($"x.doc_id" < $"y.doc_id")
       .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+  }
+
+  /** DuckDB twin of [[ngramPairCounts]] as a CTE chain ending in
+    * `pc(a_id, b_id, c, na, nb)`.
+    */
+  private val ngramPairCountsCtesSql: String =
+    s"""sh AS ($keptShinglesSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT a_id, b_id, c, na.n AS na, nb.n AS nb
+       |  FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id)""".stripMargin
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramPairCounts(s, dir)
       .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= 0.10)
       .orderBy($"a_id", $"b_id")
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh AS ($keptShinglesSql),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
-       |FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id
-       |WHERE c / (na.n + nb.n - c) >= 0.10
+    s"""WITH $ngramPairCountsCtesSql
+       |SELECT a_id, b_id, c / (na + nb - c) AS jaccard
+       |FROM pc
+       |WHERE c / (na + nb - c) >= 0.10
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Threshold-sensitivity sweep over the near-dup candidate pairs —
+    * the tuning curve read before freezing [[ngramJaccard]]'s 0.10
+    * cutoff: per Jaccard decile the pair count and the cumulative
+    * pairs at-or-above it (what a threshold at that decile would
+    * keep). The bucket is exact integer arithmetic
+    * (`(10·c) div (|A∪B|)` — no double rounding at bucket edges), the
+    * histogram key domain is fixed at 10 buckets, and the cumulative
+    * window runs over those ≤10 aggregated rows — the whole report
+    * costs one [[ngramPairCounts]] pass plus a constant-size tail at
+    * any corpus size.
+    */
+  def jaccardSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ngramPairCounts(s, dir)
+      .select(expr("(10 * c) div (na + nb - c)").as("bucket"))
+      .filter($"bucket" >= 1)
+      .groupBy($"bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs", sum($"n_pairs").over(w))
+      .orderBy($"bucket")
+  }
+
+  val jaccardSweepSql: String =
+    s"""WITH $ngramPairCountsCtesSql,
+       |bk AS (
+       |  SELECT (10 * c) // (na + nb - c) AS bucket FROM pc
+       |  WHERE (10 * c) // (na + nb - c) >= 1),
+       |h AS (SELECT bucket, COUNT(*) AS n_pairs FROM bk GROUP BY 1)
+       |SELECT bucket, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
+       |FROM h ORDER BY bucket""".stripMargin
 
   /** MinHash signature (k=8 hash functions) per document.
     * hash_i(shingle) := md5('<i>|' || shingle); min over shingles of a
@@ -1036,6 +1092,48 @@ object Pipeline {
        |    AS share_ppm
        |FROM cm ORDER BY lang, reason""".stripMargin
 
+  /** Pipeline attrition funnel — the stage-ordered view of the
+    * [[corpusManifest]] decision: per stage (in production order:
+    * dedup, quality, mix) the documents it dropped and the corpus
+    * remaining after it; the final `kept` row's `surviving` is the
+    * training corpus size. The dual of [[manifestStats]] (which
+    * slices the same decision by language): one [[manifestCore]] pass
+    * plus an aggregate whose key domain is the fixed 4-stage reason
+    * set, with the running-survivor window over those ≤4 rows.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.orderBy($"stage_ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifestCore(s, dir)
+      .groupBy($"reason").agg(count(lit(1)).as("n_docs"))
+      .withColumn("stage_ord",
+        when($"reason" === "duplicate", 1L)
+          .when($"reason" === "low_quality", 2L)
+          .when($"reason" === "mix_downsampled", 3L)
+          .otherwise(4L))
+      .withColumn("surviving",
+        sum($"n_docs").over(Window.partitionBy())
+          - sum(when($"reason" === "kept", lit(0L)).otherwise($"n_docs")).over(w))
+      .select($"stage_ord", $"reason".as("stage"), $"n_docs", $"surviving")
+      .orderBy($"stage_ord")
+  }
+
+  val filterFunnelSql: String =
+    s"""WITH cm AS (
+       |  SELECT reason, COUNT(*) AS n_docs,
+       |    CASE reason WHEN 'duplicate' THEN 1 WHEN 'low_quality' THEN 2
+       |      WHEN 'mix_downsampled' THEN 3 ELSE 4 END AS stage_ord
+       |  FROM ($manifestCoreSql) GROUP BY 1)
+       |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, reason AS stage, n_docs,
+       |  CAST(SUM(n_docs) OVER () -
+       |    SUM(CASE WHEN reason = 'kept' THEN 0 ELSE n_docs END)
+       |      OVER (ORDER BY stage_ord
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS surviving
+       |FROM cm ORDER BY stage_ord""".stripMargin
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID by marker-token counts (n-gram heuristic): pure
@@ -1466,6 +1564,140 @@ object Pipeline {
        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_chunks
        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Fan-out of each level of the [[exclusivePrefixSum]] scan tree. */
+  private val SCAN_FANOUT = 1000
+
+  /** Distributed exclusive prefix sum over `(key, value)` rows in
+    * `key` order — the classic two-level scan tree, the primitive a
+    * global running total needs WITHOUT the single-partition
+    * `Window.orderBy` that would serialize the whole corpus through
+    * one task. Level 1 buckets rows by `key div` [[SCAN_FANOUT]] and
+    * runs the running sum inside each ≤[[SCAN_FANOUT]]-row bucket;
+    * level 2 does the same over the per-bucket totals; only the
+    * per-SUPER-bucket totals — `N / FANOUT²` rows, ≤100k at 10¹¹
+    * input rows — meet a global-order window, and they broadcast back
+    * as the top offsets. Deeper corpora add another `div FANOUT`
+    * level; two suffice for any corpus this engine will meet. The
+    * bucket-offset join keys on `b1`, the same key level 1 already
+    * hash-partitioned by, so AQE reuses the exchange rather than
+    * re-shuffling the data rows.
+    *
+    * Returns the input columns plus `cum_before` = sum of `value`
+    * over all rows with strictly smaller `key`. Keys must be unique
+    * (they are doc ids / bucket ids at every call site). The input is
+    * read twice (row path + bucket-totals path) — the
+    * [[repDocsOf]] groupBy+join trade: both passes are narrow
+    * projections of the scan, cheaper than serializing the corpus
+    * through one window task.
+    */
+  private[queries] def exclusivePrefixSum(df: DataFrame, key: String, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b1 = expr(s"$key div $SCAN_FANOUT")
+    val b2 = expr(s"b1 div $SCAN_FANOUT")
+    val wIn = Window.partitionBy(col("b1")).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB1 = Window.partitionBy(col("b2")).orderBy(col("b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB2 = Window.orderBy(col("b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = df.withColumn("b1", b1)
+      .withColumn("off1", coalesce(sum(col(value)).over(wIn), lit(0L)))
+    val bucketTotals = df.withColumn("b1", b1)
+      .groupBy(col("b1")).agg(sum(col(value)).as("t1"))
+      .withColumn("b2", b2)
+    val bucketOffsets = bucketTotals
+      .withColumn("off2", coalesce(sum(col("t1")).over(wB1), lit(0L)))
+    val superOffsets = bucketTotals
+      .groupBy(col("b2")).agg(sum(col("t1")).as("t2"))
+      .withColumn("off3", coalesce(sum(col("t2")).over(wB2), lit(0L)))
+    rows
+      .join(bucketOffsets.select(col("b1"), col("b2"), col("off2")), Seq("b1"))
+      .join(broadcast(superOffsets.select(col("b2"), col("off3"))), Seq("b2"))
+      .withColumn("cum_before", col("off1") + col("off2") + col("off3"))
+      .drop("b1", "b2", "off1", "off2", "off3")
+  }
+
+  /** Token budget per training shard in [[shardPlan]]. */
+  private val SHARD_TOKEN_BUDGET = 4096L
+
+  /** Shard packing — the last step before a corpus becomes training
+    * input: assign every document, in deterministic `doc_id` order,
+    * to the output shard in which its token span begins, shards
+    * holding [[SHARD_TOKEN_BUDGET]] tokens each. `shard_id` is a pure
+    * function of the exclusive running token total, which
+    * [[exclusivePrefixSum]] computes as a scan tree — this is the
+    * operator that motivates that primitive, because the naive
+    * formulation (one global-order window over the corpus) is the
+    * textbook single-task bottleneck at scale. Packing by running
+    * total (documents straddle budget boundaries) keeps assignment
+    * independent of partitioning and engine.
+    */
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", size(words($"text")).cast("long").as("n_tokens"))
+    exclusivePrefixSum(toks, "doc_id", "n_tokens")
+      .select($"doc_id", $"n_tokens", $"cum_before",
+        expr(s"cum_before div $SHARD_TOKEN_BUDGET").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
+  val shardPlanSql: String =
+    s"""SELECT doc_id, n_tokens, cum_before, cum_before // $SHARD_TOKEN_BUDGET AS shard_id
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Documents per bucket of the [[vocabGrowth]] curve. */
+  private val VOCAB_BUCKET_DOCS = 50
+
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct 3-gram
+    * shingle count as the corpus grows in `doc_id` order, one point
+    * per [[VOCAB_BUCKET_DOCS]] documents — the saturation diagnostic
+    * that tells a crawl whether new data still brings new language.
+    * Shingles, not single tokens: the unigram vocabulary of any
+    * closed-domain corpus saturates almost immediately (this
+    * fixture's does in its first bucket), while the n-gram space is
+    * combinatorial and keeps discriminating. "Cumulative distinct"
+    * distributes because first occurrence is a `min`: one
+    * shingle-keyed groupBy (map-side partials absorb boilerplate
+    * skew) finds each shingle's first document, a bounded aggregate
+    * counts first occurrences per bucket, and the running total over
+    * buckets — corpus_size / [[VOCAB_BUCKET_DOCS]] rows, unbounded in
+    * principle — goes through the same [[exclusivePrefixSum]] scan
+    * tree as [[shardPlan]] rather than a single-partition window.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perBucket = shinglesOf(Tables(s, dir, "documents"))
+      .groupBy($"s").agg(min($"doc_id").as("first_doc"))
+      .groupBy(expr(s"first_doc div $VOCAB_BUCKET_DOCS").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    exclusivePrefixSum(perBucket, "bucket", "new_terms")
+      .select($"bucket", $"new_terms",
+        ($"cum_before" + $"new_terms").as("vocab_size"))
+      .orderBy($"bucket")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH fo AS (
+       |  SELECT s, MIN(doc_id) AS first_doc FROM (${shinglesSqlFrom("documents")})
+       |  GROUP BY s),
+       |nb AS (
+       |  SELECT first_doc // $VOCAB_BUCKET_DOCS AS bucket, COUNT(*) AS new_terms
+       |  FROM fo GROUP BY 1)
+       |SELECT bucket, new_terms,
+       |  CAST(SUM(new_terms) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS vocab_size
+       |FROM nb ORDER BY bucket""".stripMargin
 
   /** Document-frequency cap for the token-rarity score: tokens in more
     * than this many documents are common vocabulary and contribute no
@@ -2706,7 +2938,11 @@ object Pipeline {
     "x_bm25_search"    -> bm25Search _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
-    "x_manifest_stats" -> manifestStats _)
+    "x_manifest_stats" -> manifestStats _,
+    "x_jaccard_sweep"  -> jaccardSweep _,
+    "x_filter_funnel"  -> filterFunnel _,
+    "x_shard_plan"     -> shardPlan _,
+    "x_vocab_growth"   -> vocabGrowth _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
@@ -2761,5 +2997,9 @@ object Pipeline {
     "x_bm25_search"    -> bm25SearchSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
-    "x_manifest_stats" -> manifestStatsSql)
+    "x_manifest_stats" -> manifestStatsSql,
+    "x_jaccard_sweep"  -> jaccardSweepSql,
+    "x_filter_funnel"  -> filterFunnelSql,
+    "x_shard_plan"     -> shardPlanSql,
+    "x_vocab_growth"   -> vocabGrowthSql)
 }

@@ -491,6 +491,40 @@ object Relational {
       |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** UNPIVOT — [[pivotOrders]]'s inverse: the per-returnflag metric
+    * columns melted into (metric, value) rows, the wide→long reshape
+    * reporting layers ask of an engine. Native `Dataset.unpivot`
+    * (Catalyst `Expand` under the hood — one pass, no join); sums are
+    * exact decimal before the single presentation cast, so the melted
+    * doubles hash identically cross-engine.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_discount").as("sum_disc"))
+      .unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_base_price", $"sum_disc"),
+        "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      |UNION ALL SELECT l_returnflag, 'sum_base_price', sum_base_price FROM a
+      |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** RANGE-frame window: trailing-7-day order count and revenue per
     * customer, anchored on each order. The frame is defined on event
     * time (seconds), not row position — a different frame engine than
@@ -536,7 +570,8 @@ object Relational {
     "q_rollup"          -> rollupOrders _,
     "q_topk"            -> topK _,
     "q_lateral_topn"    -> lateralTopN _,
-    "q_grouping_sets"   -> groupingSets _)
+    "q_grouping_sets"   -> groupingSets _,
+    "q_unpivot"         -> unpivotMetrics _)
 
   val oracle: Map[String, String] = Map(
     "q_pivot"           -> pivotOrdersSql,
@@ -557,5 +592,6 @@ object Relational {
     "q_rollup"          -> rollupOrdersSql,
     "q_topk"            -> topKSql,
     "q_lateral_topn"    -> lateralTopNSql,
-    "q_grouping_sets"   -> groupingSetsSql)
+    "q_grouping_sets"   -> groupingSetsSql,
+    "q_unpivot"         -> unpivotMetricsSql)
 }

@@ -1,0 +1,58 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The distributed scan tree ([[Pipeline.exclusivePrefixSum]]) against
+  * a driver-side running sum, and the shard-packing semantics built on
+  * it. The tree's whole reason to exist is that results must not
+  * depend on how rows land in partitions, so every case shuffles the
+  * input into a deliberately unhelpful partitioning first.
+  */
+class PrefixSumSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("exclusivePrefixSum matches a sequential scan across all tree levels") {
+    import spark.implicits._
+    // sparse, irregular keys spanning multiple level-1 (div 1000) and
+    // level-2 (div 1000000) buckets, so every tier of the tree carries
+    // non-zero offsets; fixed seed keeps the case reproducible
+    val rnd = new Random(42)
+    val keys = rnd.shuffle((0 until 2000).map(i => i.toLong * 1711L + rnd.nextInt(1000)))
+      .distinct
+    val rows = keys.map(k => (k, (k % 97) + 1)) // positive, key-derived values
+    val df = rows.toDF("k", "v").repartition(7) // arbitrary, key-unaligned split
+    val got = Pipeline.exclusivePrefixSum(df, "k", "v")
+      .select("k", "cum_before").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      assert(got(k) === acc, s"key $k")
+      acc += v
+    }
+  }
+
+  test("shardPlan packs documents at the running token total, deterministically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("prefix-sum-").toString
+    // 5000-token docs: budget 4096 → every doc starts a later shard
+    // than its predecessor ends in; doc k starts at 5000k tokens
+    (0L until 10L).map(i => (i, Seq.fill(5000)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.shardPlan(spark, dir)
+      .select("doc_id", "cum_before", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got.foreach { case (id, cum, shard) =>
+      assert(cum === id * 5000L)
+      assert(shard === (id * 5000L) / 4096L)
+    }
+  }
+}
