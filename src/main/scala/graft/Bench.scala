@@ -109,7 +109,16 @@ object Bench {
     "x_token_rarity" -> 0.91,
     "x_token_sketch" -> 2.09,
     "x_top_ngrams" -> 1.59,
-    "x_weighted_mix" -> 0.38)
+    "x_weighted_mix" -> 0.38,
+    // late-round-6 ops (recorded min-of-2 × 2, two identical-code runs)
+    "q_unpivot" -> 1.58,
+    "x_jaccard_sweep" -> 4.58,
+    "x_filter_funnel" -> 5.01,
+    "x_shard_plan" -> 1.04,
+    "x_shard_stats" -> 0.98, // single recording run (0.49 min-of-2 × 2)
+    "x_vocab_growth" -> 2.02,
+    "x_bm25_search" -> 0.89,
+    "x_kmeans_moves" -> 1.41)
 
   private val RegressionFactor = 3.0
 

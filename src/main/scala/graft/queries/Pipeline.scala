@@ -1633,18 +1633,27 @@ object Pipeline {
     * total (documents straddle budget boundaries) keeps assignment
     * independent of partitioning and engine.
     */
-  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+  /** The unordered shard assignment — shared core of [[shardPlan]]
+    * (the per-document plan) and [[shardStats]] (its fill audit).
+    */
+  private def shardAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
       .select($"doc_id", size(words($"text")).cast("long").as("n_tokens"))
     exclusivePrefixSum(toks, "doc_id", "n_tokens")
       .select($"doc_id", $"n_tokens", $"cum_before",
         expr(s"cum_before div $SHARD_TOKEN_BUDGET").as("shard_id"))
-      .orderBy($"doc_id")
   }
 
-  val shardPlanSql: String =
-    s"""SELECT doc_id, n_tokens, cum_before, cum_before // $SHARD_TOKEN_BUDGET AS shard_id
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shardAssign(s, dir).orderBy($"doc_id")
+  }
+
+  /** DuckDB twin of [[shardAssign]] as a parenthesized FROM source. */
+  private val shardAssignSql: String =
+    s"""(SELECT doc_id, n_tokens, cum_before,
+       |  cum_before // $SHARD_TOKEN_BUDGET AS shard_id
        |FROM (
        |  SELECT doc_id, n_tokens,
        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1652,8 +1661,38 @@ object Pipeline {
        |      AS cum_before
        |  FROM (SELECT doc_id,
        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |        FROM documents))
+       |        FROM documents)))""".stripMargin
+
+  val shardPlanSql: String =
+    s"""SELECT doc_id, n_tokens, cum_before, shard_id
+       |FROM $shardAssignSql
        |ORDER BY doc_id""".stripMargin
+
+  /** Shard-fill audit over [[shardPlan]] — the packing-quality check
+    * run before shipping a shard layout to training: per shard the
+    * document count, token total, and fill ratio against
+    * [[SHARD_TOKEN_BUDGET]] in integer ppm. Shards overfill slightly
+    * (a document belongs to the shard its span STARTS in) and the
+    * final shard underfills; both are visible here, not hidden. One
+    * bounded aggregate on `shard_id` — corpus_tokens / budget keys —
+    * on top of the shared [[shardAssign]] core.
+    */
+  def shardStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shardAssign(s, dir)
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"(n_tokens * 1000000) div $SHARD_TOKEN_BUDGET"))
+      .orderBy($"shard_id")
+  }
+
+  val shardStatsSql: String =
+    s"""SELECT shard_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(n_tokens) AS BIGINT) * 1000000) // $SHARD_TOKEN_BUDGET AS fill_ppm
+       |FROM $shardAssignSql
+       |GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   /** Documents per bucket of the [[vocabGrowth]] curve. */
   private val VOCAB_BUCKET_DOCS = 50
@@ -2942,6 +2981,7 @@ object Pipeline {
     "x_jaccard_sweep"  -> jaccardSweep _,
     "x_filter_funnel"  -> filterFunnel _,
     "x_shard_plan"     -> shardPlan _,
+    "x_shard_stats"    -> shardStats _,
     "x_vocab_growth"   -> vocabGrowth _)
 
   val oracle: Map[String, String] = Map(
@@ -3001,5 +3041,6 @@ object Pipeline {
     "x_jaccard_sweep"  -> jaccardSweepSql,
     "x_filter_funnel"  -> filterFunnelSql,
     "x_shard_plan"     -> shardPlanSql,
+    "x_shard_stats"    -> shardStatsSql,
     "x_vocab_growth"   -> vocabGrowthSql)
 }
