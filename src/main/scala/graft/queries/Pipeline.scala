@@ -580,15 +580,28 @@ object Pipeline {
 
   private val SIMHASH_BITS = 64
 
-  /** 64-bit frequency-weighted SimHash per document: every token votes
-    * ±1 on each of 64 bit positions drawn from md5(token); bit j of the
-    * fingerprint is set iff the vote sum is positive. One explode + one
-    * groupBy — a single shuffle at any scale.
+  /** 64-bit SimHash per document over its DISTINCT 3-gram shingles:
+    * every shingle votes ±1 on each of 64 bit positions drawn from
+    * md5(shingle); bit j of the fingerprint is set iff the vote sum is
+    * positive. One explode + one groupBy — a single shuffle at any
+    * scale. Documents under 3 tokens carry no shingles and no
+    * fingerprint — an operator that hashes context windows has no
+    * signal to offer them (mirrored in the oracle).
+    *
+    * Shingles, NOT token frequencies: in frequency-weighted
+    * token-level SimHash the most frequent token (a stopword, weight
+    * ~n/4 on natural text) outvotes the ~√n expected magnitude of n
+    * unique-token votes on EVERY bit, so all long English documents
+    * collapse toward sign(md5("the")) — measured hamming 0–2 between
+    * disjoint-vocabulary synthetic docs (`CurationPipelineSpec`
+    * corpus). Distinct shingles each vote once, no feature dominates,
+    * and similarity is contextual — the same feature universe as the
+    * MinHash/Jaccard side of the family.
     *
     * Bit extraction goes through two `conv(hex8, 16, 10)` integer
-    * parses + shift/mask per token (not per-hex-digit string ops —
-    * ~8× less expression work per token), and 64 bits (not 32) so the
-    * pair join below can block on 16-bit bands.
+    * parses + shift/mask per shingle (not per-hex-digit string ops —
+    * ~8× less expression work), and 64 bits (not 32) so the pair join
+    * below can block on 16-bit bands.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -602,9 +615,8 @@ object Pipeline {
   private def fingerprintsOf(docs: DataFrame): DataFrame = {
     // conv() yields the 32-bit halves as non-negative longs; bit j of
     // the 128-bit md5 prefix, j=0 the least-significant bit of `lo`.
-    val tok = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("t"))
-      .withColumn("h", md5(col("t").cast("binary")))
+    val tok = shinglesOf(docs)
+      .withColumn("h", md5(col("s").cast("binary")))
       .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     def bit(j: Int): Column = {
@@ -633,7 +645,7 @@ object Pipeline {
       .map(j => s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .reduce((a, b) => s"$a + $b")
     s"""WITH tok AS (
-       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM $src),
+       |  SELECT doc_id, md5(s) AS h FROM (${shinglesSqlFrom(src)})),
        |halves AS (
        |  SELECT doc_id,
        |    ('0x' || substr(h, 1, 8))::BIGINT AS hi,
@@ -783,7 +795,7 @@ object Pipeline {
     * code change, or a stale /tmp graph from an earlier build would
     * silently diverge from the refreshed oracle.
     */
-  private val EDGE_FMT_VERSION = 1
+  private val EDGE_FMT_VERSION = 2 // v2: SimHash votes over shingles, not tokens
 
   /** One-time build of the near-dup edge graph — the
     * `ngramJaccard ∪ simhashPairs` pair set materialized to parquet,

@@ -1,0 +1,83 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The capstone composition the individual operators exist for:
+  * corpus → keep/drop manifest → curated corpus → token-budget shard
+  * packing, with the fill audit agreeing with the plan. Each stage is
+  * oracle-gated on its own (driver Verify); this proves they COMPOSE —
+  * the manifest's kept set is exactly what packing consumes, the way a
+  * production curation pipeline chains them.
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // quality tokens with a periodic stopword: clears QUALITY_MIN
+  // comfortably; per-salt vocabulary, length, AND stopword density all
+  // differ, so the three kept docs are genuinely distinct documents —
+  // not template variants a near-dup operator should link
+  private def goodText(salt: Int): String = {
+    val n = 60 + salt * 13
+    val period = 3 + salt
+    (0 until n).map(i =>
+      if (i % period == 0) "the" else s"w$salt-$i-${(i * 7 + salt * 31) % 97}").mkString(" ")
+  }
+
+  test("manifest → curated corpus → shard plan compose; audit agrees with plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("curation-").toString
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> goodText(0),
+      1L -> goodText(1),
+      2L -> goodText(0), // exact dup of 0 → dropped as duplicate
+      3L -> "xx yy", // low quality → dropped
+      4L -> goodText(2),
+      5L -> goodText(1)) // exact dup of 1 → dropped as duplicate
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val manifest = Pipeline.corpusManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(manifest(2L) === "duplicate")
+    assert(manifest(5L) === "duplicate")
+    assert(manifest(3L) === "low_quality")
+    val keptIds = manifest.collect { case (id, "kept") => id }.toSet
+    assert(keptIds === Set(0L, 1L, 4L))
+
+    // materialize the curated corpus — the artifact boundary a real
+    // pipeline writes between curation and sequence construction
+    val curated = Files.createTempDirectory("curation-kept-").toString
+    val keptDf = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id".isInCollection(keptIds))
+    keptDf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$curated/documents.parquet")
+
+    val plan = Pipeline.shardPlan(spark, curated)
+      .select("doc_id", "n_tokens", "cum_before", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // exactly the kept docs, each packed once, in doc_id order
+    assert(plan.map(_._1).toSeq === keptIds.toSeq.sorted)
+    var acc = 0L
+    plan.foreach { case (_, n, cum, shard) =>
+      assert(cum === acc) // the running total IS the pack position
+      assert(shard === cum / 4096L)
+      acc += n
+    }
+
+    // the fill audit must agree with the plan it audits
+    val stats = Pipeline.shardStats(spark, curated)
+      .select("shard_id", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val fromPlan = plan.groupBy(_._4).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(stats.map(s => s._1 -> ((s._2, s._3))).toMap === fromPlan)
+    assert(stats.map(_._3).sum === plan.map(_._2).sum)
+  }
+}

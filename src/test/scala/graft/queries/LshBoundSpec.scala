@@ -46,13 +46,14 @@ class LshBoundSpec extends AnyFunSuite {
   }
 
   test("simhashPairs: 1000 distinct docs sharing every band stay bounded") {
-    // doc i = the token "w" repeated i times: all texts distinct (no
-    // exact-dup collapse), all fingerprints identical (every token
-    // votes the same way), so all 1000 docs land in ONE band value per
-    // band index — the worst case the cap exists for. Only the
-    // BAND_CAP lowest doc_ids may survive into any group, so the
+    // doc i = the token "w" repeated i+2 times (≥ 3, so every doc
+    // carries the single shingle "w w w"): all texts distinct (no
+    // exact-dup collapse), all fingerprints identical (one shared
+    // shingle votes the same way), so all 1000 docs land in ONE band
+    // value per band index — the worst case the cap exists for. Only
+    // the BAND_CAP lowest doc_ids may survive into any group, so the
     // output is exactly the C(cap, 2) pairs among doc_ids 1..cap.
-    val dir = corpusDir((1L to 1000L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "))))
+    val dir = corpusDir((1L to 1000L).map(i => (i, Seq.fill(i.toInt + 2)("w").mkString(" "))))
     val rows = Pipeline.simhashPairs(spark, dir).collect()
     val cap = Pipeline.BAND_CAP
     assert(rows.length === cap * (cap - 1) / 2)
