@@ -220,4 +220,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeIdx < 0 || filterIdx > exchangeIdx,
       "sample filter must run before any exchange")
   }
+
+  test("x_shard_plan: global running total never serializes corpus rows through one task") {
+    val p = plan("x_shard_plan")
+    // the scan tree's whole point: corpus rows meet only b1-partitioned
+    // windows; exactly ONE SinglePartition exchange exists — the top
+    // level over the per-super-bucket totals (N / FANOUT² rows)
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 1,
+      s"expected exactly 1 tiny top-level SinglePartition exchange, got $single:\n" + p.take(3000))
+    // row-level windows are partitioned by the scan-tree bucket
+    assert("Window .*windowspecdefinition\\(b1#".r.findFirstIn(p).isDefined,
+      "row-level running sum must partition by b1:\n" + p.take(3000))
+  }
 }
