@@ -1118,33 +1118,39 @@ object Pipeline {
     import s.implicits._
     val w = Window.orderBy($"stage_ord")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    manifestCore(s, dir)
-      .groupBy($"reason").agg(count(lit(1)).as("n_docs"))
-      .withColumn("stage_ord",
-        when($"reason" === "duplicate", 1L)
-          .when($"reason" === "low_quality", 2L)
-          .when($"reason" === "mix_downsampled", 3L)
-          .otherwise(4L))
+    // fixed 4-row stage spine: a stage that dropped nothing must
+    // report n_docs = 0, not vanish — the funnel's shape is part of
+    // its contract (consumers read it positionally, and an all-dropped
+    // corpus still carries a kept row with surviving = 0)
+    val spine = Seq(
+      (1L, "duplicate"), (2L, "low_quality"), (3L, "mix_downsampled"), (4L, "kept"))
+      .toDF("stage_ord", "stage")
+    val counts = manifestCore(s, dir)
+      .groupBy($"reason").agg(count(lit(1)).as("n"))
+    spine.join(counts, spine("stage") === counts("reason"), "left")
+      .withColumn("n_docs", coalesce($"n", lit(0L)))
       .withColumn("surviving",
         sum($"n_docs").over(Window.partitionBy())
-          - sum(when($"reason" === "kept", lit(0L)).otherwise($"n_docs")).over(w))
-      .select($"stage_ord", $"reason".as("stage"), $"n_docs", $"surviving")
+          - sum(when($"stage" === "kept", lit(0L)).otherwise($"n_docs")).over(w))
+      .select($"stage_ord", $"stage", $"n_docs", $"surviving")
       .orderBy($"stage_ord")
   }
 
   val filterFunnelSql: String =
-    s"""WITH cm AS (
-       |  SELECT reason, COUNT(*) AS n_docs,
-       |    CASE reason WHEN 'duplicate' THEN 1 WHEN 'low_quality' THEN 2
-       |      WHEN 'mix_downsampled' THEN 3 ELSE 4 END AS stage_ord
-       |  FROM ($manifestCoreSql) GROUP BY 1)
-       |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, reason AS stage, n_docs,
-       |  CAST(SUM(n_docs) OVER () -
-       |    SUM(CASE WHEN reason = 'kept' THEN 0 ELSE n_docs END)
+    s"""WITH spine(stage_ord, stage) AS (
+       |  VALUES (1, 'duplicate'), (2, 'low_quality'),
+       |         (3, 'mix_downsampled'), (4, 'kept')),
+       |cm AS (
+       |  SELECT reason, COUNT(*) AS n FROM ($manifestCoreSql) GROUP BY 1)
+       |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       |  CAST(COALESCE(n, 0) AS BIGINT) AS n_docs,
+       |  CAST(SUM(COALESCE(n, 0)) OVER () -
+       |    SUM(CASE WHEN stage = 'kept' THEN 0 ELSE COALESCE(n, 0) END)
        |      OVER (ORDER BY stage_ord
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |    AS surviving
-       |FROM cm ORDER BY stage_ord""".stripMargin
+       |FROM spine LEFT JOIN cm ON spine.stage = cm.reason
+       |ORDER BY stage_ord""".stripMargin
 
   // ------------------------------------------------------- text analysis
 
@@ -1682,29 +1688,52 @@ object Pipeline {
 
   /** Shard-fill audit over [[shardPlan]] — the packing-quality check
     * run before shipping a shard layout to training: per shard the
-    * document count, token total, and fill ratio against
+    * ASSIGNED document count, token total, and fill ratio against
     * [[SHARD_TOKEN_BUDGET]] in integer ppm. Shards overfill slightly
-    * (a document belongs to the shard its span STARTS in) and the
-    * final shard underfills; both are visible here, not hidden. One
+    * (a document belongs to the shard its span STARTS in), the final
+    * shard underfills, and a document spanning several budgets leaves
+    * empty shards in between — all three are visible, not hidden: the
+    * shard spine is every shard any document's span TOUCHES (per-doc
+    * `sequence` explode, fan-out bounded by doc_tokens / budget), so
+    * a skipped shard reports n_docs = 0, fill_ppm = 0 instead of
+    * silently missing from the id range a training job iterates. One
     * bounded aggregate on `shard_id` — corpus_tokens / budget keys —
     * on top of the shared [[shardAssign]] core.
     */
   def shardStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    shardAssign(s, dir)
+    val assign = shardAssign(s, dir)
+    val spine = assign
+      .select(explode(sequence($"shard_id",
+        expr(s"(cum_before + n_tokens - 1) div $SHARD_TOKEN_BUDGET"))).as("shard_id"))
+      .distinct()
+    val stats = assign
       .groupBy($"shard_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
-      .withColumn("fill_ppm",
-        expr(s"(n_tokens * 1000000) div $SHARD_TOKEN_BUDGET"))
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
+    spine.join(stats, Seq("shard_id"), "left")
+      .select($"shard_id",
+        coalesce($"n", lit(0L)).as("n_docs"),
+        coalesce($"t", lit(0L)).as("n_tokens"),
+        expr(s"(coalesce(t, cast(0 as bigint)) * 1000000) div $SHARD_TOKEN_BUDGET")
+          .as("fill_ppm"))
       .orderBy($"shard_id")
   }
 
   val shardStatsSql: String =
-    s"""SELECT shard_id, COUNT(*) AS n_docs,
-       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       |  (CAST(SUM(n_tokens) AS BIGINT) * 1000000) // $SHARD_TOKEN_BUDGET AS fill_ppm
-       |FROM $shardAssignSql
-       |GROUP BY shard_id ORDER BY shard_id""".stripMargin
+    s"""WITH sa AS (SELECT * FROM $shardAssignSql),
+       |spine AS (
+       |  SELECT DISTINCT unnest(range(shard_id,
+       |    (cum_before + n_tokens - 1) // $SHARD_TOKEN_BUDGET + 1)) AS shard_id
+       |  FROM sa),
+       |st AS (
+       |  SELECT shard_id, COUNT(*) AS n, CAST(SUM(n_tokens) AS BIGINT) AS t
+       |  FROM sa GROUP BY shard_id)
+       |SELECT spine.shard_id,
+       |  CAST(COALESCE(n, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(t, 0) AS BIGINT) AS n_tokens,
+       |  (CAST(COALESCE(t, 0) AS BIGINT) * 1000000) // $SHARD_TOKEN_BUDGET AS fill_ppm
+       |FROM spine LEFT JOIN st ON spine.shard_id = st.shard_id
+       |ORDER BY spine.shard_id""".stripMargin
 
   /** Documents per bucket of the [[vocabGrowth]] curve. */
   private val VOCAB_BUCKET_DOCS = 50
@@ -1727,28 +1756,40 @@ object Pipeline {
     */
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // bucket spine = every bucket that CONTAINS documents, so a
+    // fully-saturated stretch of corpus reports new_terms = 0 instead
+    // of disappearing — the flat tail IS the saturation signal this
+    // curve exists to show
+    val spine = Tables(s, dir, "documents")
+      .select(expr(s"doc_id div $VOCAB_BUCKET_DOCS").as("bucket"))
+      .distinct()
     val perBucket = shinglesOf(Tables(s, dir, "documents"))
       .groupBy($"s").agg(min($"doc_id").as("first_doc"))
       .groupBy(expr(s"first_doc div $VOCAB_BUCKET_DOCS").as("bucket"))
-      .agg(count(lit(1)).as("new_terms"))
-    exclusivePrefixSum(perBucket, "bucket", "new_terms")
+      .agg(count(lit(1)).as("nt"))
+    val filled = spine.join(perBucket, Seq("bucket"), "left")
+      .select($"bucket", coalesce($"nt", lit(0L)).as("new_terms"))
+    exclusivePrefixSum(filled, "bucket", "new_terms")
       .select($"bucket", $"new_terms",
         ($"cum_before" + $"new_terms").as("vocab_size"))
       .orderBy($"bucket")
   }
 
   val vocabGrowthSql: String =
-    s"""WITH fo AS (
+    s"""WITH spine AS (
+       |  SELECT DISTINCT doc_id // $VOCAB_BUCKET_DOCS AS bucket FROM documents),
+       |fo AS (
        |  SELECT s, MIN(doc_id) AS first_doc FROM (${shinglesSqlFrom("documents")})
        |  GROUP BY s),
        |nb AS (
-       |  SELECT first_doc // $VOCAB_BUCKET_DOCS AS bucket, COUNT(*) AS new_terms
+       |  SELECT first_doc // $VOCAB_BUCKET_DOCS AS bucket, COUNT(*) AS nt
        |  FROM fo GROUP BY 1)
-       |SELECT bucket, new_terms,
-       |  CAST(SUM(new_terms) OVER (ORDER BY bucket
+       |SELECT spine.bucket, CAST(COALESCE(nt, 0) AS BIGINT) AS new_terms,
+       |  CAST(SUM(COALESCE(nt, 0)) OVER (ORDER BY spine.bucket
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |    AS vocab_size
-       |FROM nb ORDER BY bucket""".stripMargin
+       |FROM spine LEFT JOIN nb ON spine.bucket = nb.bucket
+       |ORDER BY spine.bucket""".stripMargin
 
   /** Document-frequency cap for the token-rarity score: tokens in more
     * than this many documents are common vocabulary and contribute no

@@ -71,13 +71,14 @@ class CurationPipelineSpec extends AnyFunSuite {
       acc += n
     }
 
-    // the fill audit must agree with the plan it audits
+    // the fill audit must agree with the plan it audits (non-empty
+    // shards match exactly; any empty-shard rows carry explicit zeros)
     val stats = Pipeline.shardStats(spark, curated)
       .select("shard_id", "n_docs", "n_tokens")
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
     val fromPlan = plan.groupBy(_._4).view
       .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
-    assert(stats.map(s => s._1 -> ((s._2, s._3))).toMap === fromPlan)
+    assert(stats.filter(_._2 > 0).map(s => s._1 -> ((s._2, s._3))).toMap === fromPlan)
     assert(stats.map(_._3).sum === plan.map(_._2).sum)
   }
 }

@@ -54,5 +54,21 @@ class PrefixSumSpec extends AnyFunSuite {
       assert(cum === id * 5000L)
       assert(shard === (id * 5000L) / 4096L)
     }
+    // 5000-token docs on a 4096 budget skip shard ids (doc 4 starts in
+    // shard 4, doc 5 in shard 6): the fill audit must surface skipped
+    // shards as explicit zero rows, not omit them
+    val stats = Pipeline.shardStats(spark, dir)
+      .select("shard_id", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // the spine runs to the last shard the final doc's span TOUCHES
+    // (50000 total tokens → shard 12), past the last ASSIGNED shard (10)
+    val maxTouched = (10L * 5000L - 1L) / 4096L
+    assert(stats.map(_._1).toSeq === (0L to maxTouched),
+      "audit must cover every shard id a document's span touches")
+    val assigned = got.map(_._3).toSet
+    stats.foreach { case (id, nDocs, nToks) =>
+      if (assigned(id)) assert(nDocs > 0)
+      else { assert(nDocs === 0L); assert(nToks === 0L) }
+    }
   }
 }
