@@ -397,11 +397,18 @@ object Pipeline {
     import s.implicits._
     val w = Window.orderBy($"bucket".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ngramPairCounts(s, dir)
+    // fixed 10-decile spine: a decile with no pairs is a readable
+    // point on the tuning curve (n_pairs = 0, cum_pairs = pairs
+    // above), not a hole — every candidate threshold must be readable
+    val spine = (1L to 10L).toDF("bucket")
+    val hist = ngramPairCounts(s, dir)
       .select(expr("(10 * c) div (na + nb - c)").as("bucket"))
       .filter($"bucket" >= 1)
-      .groupBy($"bucket").agg(count(lit(1)).as("n_pairs"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    spine.join(hist, Seq("bucket"), "left")
+      .withColumn("n_pairs", coalesce($"n", lit(0L)))
       .withColumn("cum_pairs", sum($"n_pairs").over(w))
+      .select($"bucket", $"n_pairs", $"cum_pairs")
       .orderBy($"bucket")
   }
 
@@ -410,11 +417,13 @@ object Pipeline {
        |bk AS (
        |  SELECT (10 * c) // (na + nb - c) AS bucket FROM pc
        |  WHERE (10 * c) // (na + nb - c) >= 1),
-       |h AS (SELECT bucket, COUNT(*) AS n_pairs FROM bk GROUP BY 1)
-       |SELECT bucket, n_pairs,
-       |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+       |h AS (SELECT bucket, COUNT(*) AS n FROM bk GROUP BY 1),
+       |spine AS (SELECT unnest(range(1, 11)) AS bucket)
+       |SELECT spine.bucket, CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(COALESCE(n, 0)) OVER (ORDER BY spine.bucket DESC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
-       |FROM h ORDER BY bucket""".stripMargin
+       |FROM spine LEFT JOIN h ON spine.bucket = h.bucket
+       |ORDER BY spine.bucket""".stripMargin
 
   /** MinHash signature (k=8 hash functions) per document.
     * hash_i(shingle) := md5('<i>|' || shingle); min over shingles of a
