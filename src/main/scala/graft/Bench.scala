@@ -112,6 +112,7 @@ object Bench {
     "x_weighted_mix" -> 0.38,
     // late-round-6 ops (recorded min-of-2 × 2, two identical-code runs)
     "q_unpivot" -> 1.58,
+    "q_range_join" -> 1.16, // single recording run (0.58 min-of-2 × 2)
     "x_jaccard_sweep" -> 4.58,
     "x_filter_funnel" -> 5.01,
     "x_shard_plan" -> 1.04,

@@ -491,6 +491,43 @@ object Relational {
       |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Range (non-equi) join: every lineitem matched to its price band
+    * — the interval-lookup shape (rate tables, SLA tiers, histogram
+    * binning) equi-joins can't express. The band table is a handful
+    * of rows, so the right plan is a BROADCAST nested-loop with the
+    * BETWEEN predicate evaluated stream-side — each lineitem scans k
+    * bands in memory, the fact table never shuffles. (With both sides
+    * large this becomes the classic range-join problem — bin the
+    * interval space and equi-join on bin, the [[graft.queries.Pipeline]]
+    * blocking pattern; at k bands the broadcast NLJ is strictly
+    * better.) Aggregation after the join keys on the band's fixed
+    * domain.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (1L, 0L, 10000L), (2L, 10000L, 25000L), (3L, 25000L, 50000L),
+      (4L, 50000L, 200000L))
+      .toDF("band_id", "lo", "hi")
+    Tables(s, dir, "lineitem")
+      .join(broadcast(bands),
+        $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+      .groupBy($"band_id", $"lo", $"hi")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"band_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH bands(band_id, lo, hi) AS (
+      |  VALUES (1, 0, 10000), (2, 10000, 25000), (3, 25000, 50000),
+      |         (4, 50000, 200000))
+      |SELECT CAST(band_id AS BIGINT) AS band_id, CAST(lo AS BIGINT) AS lo,
+      |  CAST(hi AS BIGINT) AS hi, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN bands
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
+
   /** UNPIVOT — [[pivotOrders]]'s inverse: the per-returnflag metric
     * columns melted into (metric, value) rows, the wide→long reshape
     * reporting layers ask of an engine. Native `Dataset.unpivot`
@@ -571,7 +608,8 @@ object Relational {
     "q_topk"            -> topK _,
     "q_lateral_topn"    -> lateralTopN _,
     "q_grouping_sets"   -> groupingSets _,
-    "q_unpivot"         -> unpivotMetrics _)
+    "q_unpivot"         -> unpivotMetrics _,
+    "q_range_join"      -> rangeJoin _)
 
   val oracle: Map[String, String] = Map(
     "q_pivot"           -> pivotOrdersSql,
@@ -593,5 +631,6 @@ object Relational {
     "q_topk"            -> topKSql,
     "q_lateral_topn"    -> lateralTopNSql,
     "q_grouping_sets"   -> groupingSetsSql,
-    "q_unpivot"         -> unpivotMetricsSql)
+    "q_unpivot"         -> unpivotMetricsSql,
+    "q_range_join"      -> rangeJoinSql)
 }

@@ -221,6 +221,14 @@ class PlanSpec extends AnyFunSuite {
       "sample filter must run before any exchange")
   }
 
+  test("q_range_join: non-equi band lookup broadcasts, fact side never shuffles pre-join") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "interval lookup against k bands must be a broadcast NLJ:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "band join must not plan as a cartesian product:\n" + p.take(2000))
+  }
+
   test("x_shard_plan: global running total never serializes corpus rows through one task") {
     val p = plan("x_shard_plan")
     // the scan tree's whole point: corpus rows meet only b1-partitioned
