@@ -313,26 +313,23 @@ object Pipeline {
       |  SELECT 1 FROM d c WHERE c.doc_id % 10 <> 7 AND c.h = b.h)
       |ORDER BY doc_id""".stripMargin
 
-  /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 via an
-    * inverted shingle index (no O(n²) cross join, and no self-join at
-    * all): group the index by shingle (group size bounded by
-    * [[SHINGLE_DF_CAP]], so `collect_list` is safe at any corpus
-    * size), generate candidate pairs INSIDE each group, and count
-    * shared shingles per pair; |A∪B| = |A|+|B|−|A∩B| with the
-    * per-doc size carried along in the group structs. The whole plan
-    * is one linear pipeline — shuffle on doc_id (sizes), shuffle on
-    * shingle (index), shuffle on pair (intersection counts) — with no
-    * plan diamond: a self-join over a shared subtree lets the
+  /** Candidate-pair intersection counts via an inverted shingle index
+    * (no O(n²) cross join, and no self-join at all) — the shared core
+    * of [[ngramJaccard]] (the near-dup operator) and [[jaccardSweep]]
+    * (its threshold-tuning audit): per unordered pair the shared
+    * kept-shingle count `c` and both set sizes `na`/`nb`
+    * (|A∪B| = |A|+|B|−|A∩B|), from which either consumer derives
+    * Jaccard without a second pass over the index. Group the index by
+    * shingle (group size bounded by [[SHINGLE_DF_CAP]], so
+    * `collect_list` is safe at any corpus size), generate candidate
+    * pairs INSIDE each group, and count shared shingles per pair with
+    * the per-doc size carried along in the group structs. The whole
+    * plan is one linear pipeline — shuffle on doc_id (sizes), shuffle
+    * on shingle (index), shuffle on pair (intersection counts) — with
+    * no plan diamond: a self-join over a shared subtree lets the
     * scheduler launch both sides concurrently and compute the subtree
     * twice (cached or not), which is where the old formulation lost
     * 2-5× wall-clock nondeterministically.
-    */
-  /** Candidate-pair intersection counts — the shared core of
-    * [[ngramJaccard]] (the near-dup operator) and [[jaccardSweep]]
-    * (its threshold-tuning audit): per unordered pair the shared
-    * kept-shingle count `c` and both set sizes `na`/`nb`, from which
-    * either consumer derives Jaccard without a second pass over the
-    * shingle index.
     */
   private def ngramPairCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -366,6 +363,10 @@ object Pipeline {
        |  SELECT a_id, b_id, c, na.n AS na, nb.n AS nb
        |  FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id)""".stripMargin
 
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 — the
+    * [[ngramPairCounts]] pipeline with the similarity derived and
+    * thresholded.
+    */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ngramPairCounts(s, dir)
@@ -1135,8 +1136,8 @@ object Pipeline {
       (1L, "duplicate"), (2L, "low_quality"), (3L, "mix_downsampled"), (4L, "kept"))
       .toDF("stage_ord", "stage")
     val counts = manifestCore(s, dir)
-      .groupBy($"reason").agg(count(lit(1)).as("n"))
-    spine.join(counts, spine("stage") === counts("reason"), "left")
+      .groupBy($"reason".as("stage")).agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("stage"), "left")
       .withColumn("n_docs", coalesce($"n", lit(0L)))
       .withColumn("surviving",
         sum($"n_docs").over(Window.partitionBy())
@@ -1648,18 +1649,6 @@ object Pipeline {
   /** Token budget per training shard in [[shardPlan]]. */
   private val SHARD_TOKEN_BUDGET = 4096L
 
-  /** Shard packing — the last step before a corpus becomes training
-    * input: assign every document, in deterministic `doc_id` order,
-    * to the output shard in which its token span begins, shards
-    * holding [[SHARD_TOKEN_BUDGET]] tokens each. `shard_id` is a pure
-    * function of the exclusive running token total, which
-    * [[exclusivePrefixSum]] computes as a scan tree — this is the
-    * operator that motivates that primitive, because the naive
-    * formulation (one global-order window over the corpus) is the
-    * textbook single-task bottleneck at scale. Packing by running
-    * total (documents straddle budget boundaries) keeps assignment
-    * independent of partitioning and engine.
-    */
   /** The unordered shard assignment — shared core of [[shardPlan]]
     * (the per-document plan) and [[shardStats]] (its fill audit).
     */
@@ -1672,6 +1661,18 @@ object Pipeline {
         expr(s"cum_before div $SHARD_TOKEN_BUDGET").as("shard_id"))
   }
 
+  /** Shard packing — the last step before a corpus becomes training
+    * input: assign every document, in deterministic `doc_id` order,
+    * to the output shard in which its token span begins, shards
+    * holding [[SHARD_TOKEN_BUDGET]] tokens each. `shard_id` is a pure
+    * function of the exclusive running token total, which
+    * [[exclusivePrefixSum]] computes as a scan tree — this is the
+    * operator that motivates that primitive, because the naive
+    * formulation (one global-order window over the corpus) is the
+    * textbook single-task bottleneck at scale. Packing by running
+    * total (documents straddle budget boundaries) keeps assignment
+    * independent of partitioning and engine.
+    */
   def shardPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     shardAssign(s, dir).orderBy($"doc_id")
@@ -1711,38 +1712,41 @@ object Pipeline {
     */
   def shardStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val assign = shardAssign(s, dir)
-    val spine = assign
-      .select(explode(sequence($"shard_id",
-        expr(s"(cum_before + n_tokens - 1) div $SHARD_TOKEN_BUDGET"))).as("shard_id"))
-      .distinct()
-    val stats = assign
-      .groupBy($"shard_id")
-      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
-    spine.join(stats, Seq("shard_id"), "left")
-      .select($"shard_id",
-        coalesce($"n", lit(0L)).as("n_docs"),
-        coalesce($"t", lit(0L)).as("n_tokens"),
-        expr(s"(coalesce(t, cast(0 as bigint)) * 1000000) div $SHARD_TOKEN_BUDGET")
-          .as("fill_ppm"))
+    // one pass over the assignment: each doc explodes into every shard
+    // its span touches (fan-out bounded by doc_tokens / budget), and
+    // the aggregate attributes the doc and its tokens only to the
+    // shard it STARTS in — touched-but-empty shards fall out as
+    // explicit zero rows without a second scan-tree evaluation or a
+    // spine self-join
+    shardAssign(s, dir)
+      .select($"shard_id".as("start_shard"), $"n_tokens",
+        explode(sequence($"shard_id",
+          expr(s"(cum_before + n_tokens - 1) div $SHARD_TOKEN_BUDGET"))).as("sid"))
+      .groupBy($"sid")
+      .agg(
+        count(when($"sid" === $"start_shard", lit(1))).as("n_docs"),
+        coalesce(sum(when($"sid" === $"start_shard", $"n_tokens")), lit(0L))
+          .as("n_tokens"))
+      .select($"sid".as("shard_id"), $"n_docs", $"n_tokens",
+        expr(s"(n_tokens * 1000000) div $SHARD_TOKEN_BUDGET").as("fill_ppm"))
       .orderBy($"shard_id")
   }
 
   val shardStatsSql: String =
-    s"""WITH sa AS (SELECT * FROM $shardAssignSql),
-       |spine AS (
-       |  SELECT DISTINCT unnest(range(shard_id,
-       |    (cum_before + n_tokens - 1) // $SHARD_TOKEN_BUDGET + 1)) AS shard_id
-       |  FROM sa),
+    s"""WITH touched AS (
+       |  SELECT shard_id AS start_shard, n_tokens,
+       |    unnest(range(shard_id,
+       |      (cum_before + n_tokens - 1) // $SHARD_TOKEN_BUDGET + 1)) AS sid
+       |  FROM $shardAssignSql),
        |st AS (
-       |  SELECT shard_id, COUNT(*) AS n, CAST(SUM(n_tokens) AS BIGINT) AS t
-       |  FROM sa GROUP BY shard_id)
-       |SELECT spine.shard_id,
-       |  CAST(COALESCE(n, 0) AS BIGINT) AS n_docs,
-       |  CAST(COALESCE(t, 0) AS BIGINT) AS n_tokens,
-       |  (CAST(COALESCE(t, 0) AS BIGINT) * 1000000) // $SHARD_TOKEN_BUDGET AS fill_ppm
-       |FROM spine LEFT JOIN st ON spine.shard_id = st.shard_id
-       |ORDER BY spine.shard_id""".stripMargin
+       |  SELECT sid,
+       |    COUNT(*) FILTER (sid = start_shard) AS n_docs,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (sid = start_shard), 0) AS BIGINT)
+       |      AS n_tokens
+       |  FROM touched GROUP BY sid)
+       |SELECT sid AS shard_id, n_docs, n_tokens,
+       |  (n_tokens * 1000000) // $SHARD_TOKEN_BUDGET AS fill_ppm
+       |FROM st ORDER BY shard_id""".stripMargin
 
   /** Documents per bucket of the [[vocabGrowth]] curve. */
   private val VOCAB_BUCKET_DOCS = 50
