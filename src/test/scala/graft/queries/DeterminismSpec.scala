@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The "identical on 1 core or 1000 executors" claim, tested: every
+  * query family that aggregates, hashes, samples, or prefix-sums must
+  * produce byte-identical rows when the shuffle partition count — the
+  * knob that changes task boundaries, partial-aggregate grouping, and
+  * row arrival order — is varied. This is the local stand-in for
+  * changing cluster width: a query that survives 32 → 3 → 64
+  * partitions has no partition-count-dependent arithmetic (double
+  * accumulation order, first()/head-of-partition picks, seeded RNG).
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // one representative per determinism-risk class: decimal-exact agg,
+  // banded LSH + collect_list, connected components over checkpoints,
+  // scan-tree prefix sum, md5 sampling, percentile interpolation
+  private val probes = Seq(
+    "q_pricing_summary", "x_minhash_lsh", "x_dedup_full",
+    "x_shard_plan", "x_hash_sample", "x_len_percentiles")
+
+  test("results are invariant under shuffle-partition count (32 → 3 → 64)") {
+    val conf = spark.conf
+    val original = conf.get("spark.sql.shuffle.partitions")
+    def snapshot(): Map[String, Seq[String]] =
+      probes.map { name =>
+        name -> graft.SparkEntry.queries(name)(spark, dir)
+          .collect().map(_.toString).toSeq
+      }.toMap
+    try {
+      val base = snapshot()
+      for (n <- Seq("3", "64")) {
+        conf.set("spark.sql.shuffle.partitions", n)
+        val alt = snapshot()
+        for (name <- probes)
+          assert(alt(name) === base(name),
+            s"$name differs at shuffle.partitions=$n")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", original)
+  }
+}
