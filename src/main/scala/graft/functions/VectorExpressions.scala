@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Sequential (left-to-right) dot product of two float-array columns,
   * accumulated in double.
@@ -79,6 +79,135 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Float vector → exact int64 micro-units: element-wise
+  * `floor((double)v * 1e6)` as long. Semantically identical to the
+  * `transform(c, v => floor(v.cast(double) * 1e6).cast(long))` HOF it
+  * replaces (float→double widening exact, floor tie-free), but
+  * codegen'd: higher-order functions fall out of whole-stage codegen,
+  * and this runs once per corpus row in every micro-unit pipeline
+  * (PQ, k-means, outliers). Null if the array or any element is null
+  * (the HOF would propagate a null element to a null sum one step
+  * later — indistinguishable on any input the downstream sum observes).
+  */
+case class MicroVec(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null on a null ELEMENT, not just a null input — without this
+  // override the default (child.nullable) lets codegen elide the
+  // isNull flag for non-nullable inputs and the null is lost
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_micro_vec"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      out(i) = math.floor(x.getFloat(i).toDouble * 1000000.0d).toLong
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $x.numElements();
+         |long[] $arr = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $arr[$i] = (long) java.lang.Math.floor((double) $x.getFloat($i) * 1000000.0d);
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Squared L2 distance between two equal-length int64 vectors — exact
+  * integer arithmetic, no float accumulation order to disagree about.
+  * Semantically identical to the `aggregate(zip_with(a, b, (x, y) =>
+  * (x-y)*(x-y)), 0L, _+_)` HOF it replaces — including null on
+  * length mismatch (zip_with's null padding poisons the sum) and null
+  * on a null element — but codegen'd: this is the per-row × cells
+  * kernel of the k-means E-step and PQ encode, the dominant per-row
+  * cost at scale, and HOFs run interpreted.
+  */
+case class L2Micro2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  // null on length mismatch or a null element even when both inputs
+  // are non-nullable — see MicroVec.nullable
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2_micro2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |long $sum = 0L;
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $x.getLong($i) - $y.getLong($i);
+         |    $sum += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -87,20 +216,41 @@ object VectorFunctions {
     * (`spark.sql.extensions`-based injection). */
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      exprs => DotProduct(exprs(0), exprs(1))))
+    Seq(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        exprs => DotProduct(exprs(0), exprs(1))),
+      (FunctionIdentifier("graft_micro_vec"),
+        new ExpressionInfo(classOf[MicroVec].getName, "graft_micro_vec"),
+        exprs => MicroVec(exprs(0))),
+      (FunctionIdentifier("graft_l2_micro2"),
+        new ExpressionInfo(classOf[L2Micro2].getName, "graft_l2_micro2"),
+        exprs => L2Micro2(exprs(0), exprs(1))))
 
   /** Idempotently registers graft's native expressions with the session
-    * function registry (also usable from SQL as `graft_dot(a, b)`).
+    * function registry (also usable from SQL as `graft_dot(a, b)` etc.).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_micro_vec", exprs => MicroVec(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2_micro2", exprs => L2Micro2(exprs(0), exprs(1)), "built-in")
+  }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  def microVec(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("graft_micro_vec", a)
+  }
+
+  def l2Micro2(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_l2_micro2", a, b)
   }
 }

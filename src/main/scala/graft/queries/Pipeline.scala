@@ -2549,19 +2549,25 @@ object Pipeline {
 
   /** Float vector → exact int64 micro-units ([[centroids]]' trick):
     * float→double widening is exact, the multiply is IEEE-identical in
-    * both engines, floor has no rounding ties.
+    * both engines, floor has no rounding ties. Backed by the codegen'd
+    * [[graft.functions.MicroVec]] expression — the
+    * `transform(...)` HOF it replaces runs interpreted, and this is a
+    * once-per-corpus-row step of every micro-unit pipeline.
     */
-  private def microVec(c: Column): Column =
-    transform(c, v => floor(v.cast("double") * 1000000.0d).cast("long"))
+  private def microVec(s: SparkSession, c: Column): Column =
+    graft.functions.VectorFunctions.microVec(s, c)
 
   /** Squared L2 distance between two equal-length int64 vectors —
     * exact integer arithmetic, no float accumulation order to disagree
     * about. Micro-unit components are ≤ ~1.2e6 apart, so the sum is
-    * ≤ ~1.2e13 — comfortably inside int64.
+    * ≤ ~1.2e13 — comfortably inside int64. Backed by the codegen'd
+    * [[graft.functions.L2Micro2]] expression: the
+    * `aggregate(zip_with(...))` HOF it replaces falls out of
+    * whole-stage codegen, and this kernel is the per-row × cells hot
+    * path of the k-means E-step and PQ encode.
     */
-  private def pqDist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  private def pqDist2(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.l2Micro2(s, a, b)
 
   private def pqDist2Sql(a: String, b: String): String =
     (1 to PQ_SUB).map(j =>
@@ -2576,7 +2582,7 @@ object Pipeline {
   private def microDimSums(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "embeddings")
-      .select($"label", posexplode(microVec($"embedding")).as(Seq("pos0", "mv")))
+      .select($"label", posexplode(microVec(s, $"embedding")).as(Seq("pos0", "mv")))
       .groupBy($"label", $"pos0")
       .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
   }
@@ -2609,7 +2615,7 @@ object Pipeline {
   private def pqSubvectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "embeddings")
-      .select($"vec_id", microVec($"embedding").as("mvec"))
+      .select($"vec_id", microVec(s, $"embedding").as("mvec"))
       .select($"vec_id", explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), $"mvec")
       .select($"vec_id", $"m",
         slice($"mvec", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
@@ -2661,7 +2667,7 @@ object Pipeline {
     import s.implicits._
     pqSubvectors(s, dir)
       .join(broadcast(pqCodebook(s, dir)), "m")
-      .withColumn("dist2", pqDist2($"svec", $"cvec"))
+      .withColumn("dist2", pqDist2(s, $"svec", $"cvec"))
       .groupBy($"vec_id", $"m")
       .agg(min(struct($"dist2", $"label")).as("best"))
       .groupBy($"vec_id")
@@ -2715,7 +2721,7 @@ object Pipeline {
     pqSubvectors(s, dir)
       .filter($"vec_id" =!= 0)
       .join(broadcast(cbDf), "m")
-      .withColumn("dist2", pqDist2($"svec", $"cvec"))
+      .withColumn("dist2", pqDist2(s, $"svec", $"cvec"))
       .join(broadcast(qtab), Seq("m", "label"))
       .groupBy($"vec_id", $"m")
       .agg(min(struct($"dist2", $"label", $"qd")).as("best"))
@@ -2787,9 +2793,9 @@ object Pipeline {
     import s.implicits._
     val cents = cellCentroids(s, dir)
     Tables(s, dir, "embeddings")
-      .select($"vec_id", $"label", microVec($"embedding").as("mvec"))
+      .select($"vec_id", $"label", microVec(s, $"embedding").as("mvec"))
       .join(broadcast(cents), "label")
-      .select($"vec_id", $"label", pqDist2($"mvec", $"cvec").as("dist_micro2"))
+      .select($"vec_id", $"label", pqDist2(s, $"mvec", $"cvec").as("dist_micro2"))
       .orderBy($"dist_micro2".desc, $"vec_id")
       .limit(20)
   }
@@ -2813,8 +2819,11 @@ object Pipeline {
     * driver over collected index metadata (cells × 1 centroid rows,
     * corpus-size-independent — the [[annPq]] pattern); the corpus
     * scan then touches only the probed cells' rows and the top-k is
-    * a TakeOrderedAndProject. At 100 TB over the [[ensureIvfLayout]]
-    * partitioning this is an [[IVF_NPROBE]]-directory scan.
+    * a TakeOrderedAndProject. The corpus read goes through the
+    * [[ensureIvfLayout]] cell-partitioned layout, so the probe is an
+    * [[IVF_NPROBE]]-directory scan (PartitionFilters, plan-asserted
+    * in PlanSpec) — at 100 TB the scan lists and touches only the
+    * probed cells' files, never the corpus.
     */
   def annIvfNprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2829,8 +2838,11 @@ object Pipeline {
         }.sum
         (d2, label)
       }.sorted.take(IVF_NPROBE).map(_._2).toIndexedSeq
-    val e = Tables(s, dir, "embeddings")
-    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val part = ensureIvfLayout(s, dir)
+    val e = s.read.parquet(part.toString)
+      .select($"vec_id", $"label".cast("int").as("label"), $"embedding")
+    val q = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
     e.filter($"label".isin(cells: _*))
       .crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)
@@ -2882,10 +2894,10 @@ object Pipeline {
     import s.implicits._
     val cents = cellCentroids(s, dir).withColumnRenamed("label", "k")
     Tables(s, dir, "embeddings")
-      .select($"vec_id", $"label".as("old_label"), microVec($"embedding").as("mvec"))
+      .select($"vec_id", $"label".as("old_label"), microVec(s, $"embedding").as("mvec"))
       .crossJoin(broadcast(cents))
       .groupBy($"vec_id")
-      .agg(min(struct(pqDist2($"mvec", $"cvec").as("d2"), $"k")).as("best"),
+      .agg(min(struct(pqDist2(s, $"mvec", $"cvec").as("d2"), $"k")).as("best"),
         first($"old_label").as("old_label"), first($"mvec").as("mvec"))
       .select($"vec_id", $"old_label", $"best.k".as("label"), $"mvec")
   }

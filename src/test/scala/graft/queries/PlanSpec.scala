@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
       "expected PartitionFilters on label, got: " + scanLine)
   }
 
+  test("x_ann_ivf_nprobe: the nprobe cell filter prunes partitions") {
+    val p = plan("x_ann_ivf_nprobe")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // the IN (cell1, cell2, cell3) probe list must reach the scan as a
+    // partition filter — at 100 TB this is the difference between a
+    // 3-directory listing and a full-corpus file walk
+    assert(scanLine.contains("label") && scanLine.contains("IN"),
+      "expected PartitionFilters label IN (probed cells), got: " + scanLine)
+  }
+
   test("q_local_supplier: one fact-fact shuffle join, all dims broadcast") {
     val p = plan("q_local_supplier")
     // lineitem ⋈ orders may shuffle (SMJ/shuffled-hash); the four

@@ -108,7 +108,7 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must register cleanly
     assert(graft.functions.VectorFunctions.injections.map(_._1.funcName) ==
-      Seq("graft_dot"))
+      Seq("graft_dot", "graft_micro_vec", "graft_l2_micro2"))
   }
 
   test("graft_dot evaluates from plain SQL after registration") {
@@ -117,5 +117,35 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
       "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
     assert(r.getDouble(0) == 11.0)
+  }
+
+  test("graft_micro_vec / graft_l2_micro2 match their HOF definitions") {
+    graft.functions.VectorFunctions.register(spark)
+    // micro_vec: floor((double)f * 1e6) per element, incl. negatives
+    val mv = spark.sql(
+      "SELECT graft_micro_vec(array(cast(1.5 as float), cast(-0.0000015 as float))) AS v")
+      .head().getSeq[Long](0)
+    assert(mv == Seq(1500000L, -2L)) // floor(-1.5) = -2: floor, not truncate
+    // l2_micro2: exact integer Σ(a-b)²; null on length mismatch (the
+    // zip_with-pad semantics the HOF had)
+    val d = spark.sql(
+      "SELECT graft_l2_micro2(array(3L, 5L), array(1L, 2L)) AS d").head().getLong(0)
+    assert(d == 4L + 9L)
+    val mism = spark.sql(
+      "SELECT graft_l2_micro2(array(3L, 5L), array(1L)) AS d").head()
+    assert(mism.isNullAt(0))
+    // the swap must be bit-identical to the HOFs it replaced — the
+    // CORRECTNESS hashes of every micro-unit query depend on it
+    val both = spark.sql(
+      """SELECT graft_micro_vec(v) AS fast,
+        |  transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT)) AS slow,
+        |  graft_l2_micro2(graft_micro_vec(v), graft_micro_vec(w)) AS dfast,
+        |  aggregate(zip_with(graft_micro_vec(v), graft_micro_vec(w),
+        |    (x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e) AS dslow
+        |FROM VALUES (array(cast(0.25 as float), cast(-1.75 as float), cast(3.1 as float)),
+        |             array(cast(1.0 as float), cast(2.0 as float), cast(-0.5 as float))) AS t(v, w)
+        |""".stripMargin).head()
+    assert(both.getSeq[Long](0) == both.getSeq[Long](1))
+    assert(both.getLong(2) == both.getLong(3))
   }
 }
