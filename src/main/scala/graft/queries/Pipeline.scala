@@ -805,33 +805,67 @@ object Pipeline {
     * code change, or a stale /tmp graph from an earlier build would
     * silently diverge from the refreshed oracle.
     */
-  private val EDGE_FMT_VERSION = 2 // v2: SimHash votes over shingles, not tokens
+  private val EDGE_FMT_VERSION = 3 // v3: + semantic embed edges, fam provenance column
 
   /** One-time build of the near-dup edge graph — the
-    * `ngramJaccard ∪ simhashPairs` pair set materialized to parquet,
+    * `ngramJaccard ∪ simhashPairs` lexical pair set PLUS the
+    * [[embedNearDup]] semantic pair set, materialized to parquet and
     * keyed by (fixture path, size+mtime stamp, [[EDGE_FMT_VERSION]]).
-    * The [[ensureIvfLayout]] setup pattern: pair generation is the
-    * most expensive stage of the dedup pipeline, and a real pipeline
-    * runs it exactly once, then feeds clustering, keep/drop, and
-    * reporting from the stored graph. Without this, every
-    * graph-consuming query re-derives both edge pipelines from the
-    * raw corpus — at 100 TB that triples the dominant cost. The edge
-    * pipelines themselves stay first-class measured queries
-    * (`x_ngram_jaccard`, `x_simhash_pairs`); this artifact is their
+    * The corpus convention links embeddings row-aligned to documents
+    * (`vec_id = doc_id` — both 0..N-1 over the same corpus), so the
+    * embedding pairs are document edges directly; a corpus with a
+    * separate link table would join it in here, once. Each edge
+    * carries its family (`fam`: 'lex' | 'sem') so consumers can use
+    * the union ([[nearDupEdges]]) or audit one stage's marginal
+    * contribution ([[dedupSemantic]]) without re-deriving pair
+    * pipelines from the raw corpus — at 100 TB re-derivation would
+    * quadruple the dominant cost. The edge pipelines themselves stay
+    * first-class measured queries (`x_ngram_jaccard`,
+    * `x_simhash_pairs`, `x_embed_near_dup`); this artifact is their
     * consumer-side amortization.
     */
-  def ensureEdgeGraph(s: SparkSession, dir: String): java.nio.file.Path =
-    ensureArtifact("graft-edges", dir, "documents", "|v" + EDGE_FMT_VERSION) { staging =>
+  def ensureEdgeGraph(s: SparkSession, dir: String): java.nio.file.Path = {
+    // the artifact's stamp covers documents via ensureArtifact; the
+    // semantic edges read embeddings too, so its size+mtime joins the
+    // cache key — a regenerated embedding table must invalidate the
+    // graph. A corpus WITHOUT an embedding table (text-only pipelines,
+    // the degenerate-corpus specs) gets the lexical graph.
+    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embStamp =
+      if (java.nio.file.Files.exists(embSrc))
+        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
+      else "none"
+    ensureArtifact("graft-edges", dir, "documents",
+        s"|v$EDGE_FMT_VERSION|e$embStamp") { staging =>
       import s.implicits._
-      ngramJaccard(s, dir).select($"a_id", $"b_id")
+      val lex = ngramJaccard(s, dir).select($"a_id", $"b_id")
         .union(simhashPairs(s, dir).select($"a_id", $"b_id"))
         .distinct()
-        .write.mode("overwrite").parquet(staging.toString)
+        .select($"a_id", $"b_id", lit("lex").as("fam"))
+      val all =
+        if (java.nio.file.Files.exists(embSrc))
+          lex.union(embedNearDup(s, dir)
+            .select($"a_id", $"b_id", lit("sem").as("fam")))
+        else lex
+      all.write.mode("overwrite").parquet(staging.toString)
     }
+  }
 
-  /** The materialized near-dup edge set (see [[ensureEdgeGraph]]). */
-  private def nearDupEdges(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(ensureEdgeGraph(s, dir).toString)
+  /** The materialized near-dup edge set, both families unioned (see
+    * [[ensureEdgeGraph]]).
+    */
+  private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(ensureEdgeGraph(s, dir).toString)
+    e.select(e("a_id"), e("b_id")).distinct()
+  }
+
+  /** The lexical (Jaccard ∪ SimHash) half of the edge artifact — the
+    * pre-semantic graph [[dedupSemantic]] audits against.
+    */
+  private def lexEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(ensureEdgeGraph(s, dir).toString)
+    e.filter(e("fam") === "lex").select(e("a_id"), e("b_id"))
+  }
 
   /** Duplicate-cluster assignment — the stage a real dedup pipeline
     * runs after pair generation: the union of the exact-Jaccard
@@ -858,15 +892,27 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  /** The near-dup cluster CTE chain for [[dedupClustersSql]].
-    * ([[dedupFullSql]] builds its own closure because its edge set
-    * additionally contains the exact-dup edges.)
+  /** The lexical edge CTEs shared by every graph oracle. (Lazy, as is
+    * every val downstream of it: the chain references
+    * [[embedNearDupSql]], declared later in the file — all are forced
+    * only by the end-of-object oracle map, after every dependency has
+    * initialized.)
     */
-  private val dedupClusterCtesSql: String =
+  private lazy val lexEdgeCtesSql: String =
     s"""jp AS ($ngramJaccardSql),
        |sp AS ($simhashPairsSql),
+       |lex_edges AS (
+       |  SELECT a_id, b_id FROM jp UNION SELECT a_id, b_id FROM sp)""".stripMargin
+
+  /** The near-dup (lexical ∪ semantic) cluster CTE chain for
+    * [[dedupClustersSql]]. ([[dedupFullSql]] builds its own closure
+    * because its edge set additionally contains the exact-dup edges.)
+    */
+  private lazy val dedupClusterCtesSql: String =
+    s"""$lexEdgeCtesSql,
+       |ep AS ($embedNearDupSql),
        |edges AS (
-       |  SELECT a_id, b_id FROM jp UNION SELECT a_id, b_id FROM sp),
+       |  SELECT a_id, b_id FROM lex_edges UNION SELECT a_id, b_id FROM ep),
        |sym AS (
        |  SELECT a_id AS src, b_id AS dst FROM edges
        |  UNION SELECT b_id, a_id FROM edges),
@@ -875,17 +921,64 @@ object Pipeline {
        |  UNION
        |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)""".stripMargin
 
-  val dedupClustersSql: String =
+  lazy val dedupClustersSql: String =
     s"""WITH RECURSIVE
        |$dedupClusterCtesSql
        |SELECT id AS doc_id, MIN(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Semantic-dedup audit — the marginal contribution of the embedding
+    * stage over the lexical pipeline: one row per semantic near-dup
+    * pair ([[embedNearDup]]), `new_link` = true iff the two documents
+    * were NOT already in the same lexical (Jaccard ∪ SimHash) cluster
+    * — i.e. this edge merges components the lexical stages could not,
+    * exactly what a pipeline owner inspects before unioning a new edge
+    * family into the production graph (paraphrase detection: same
+    * meaning, different tokens). Both sides ride the
+    * [[ensureEdgeGraph]] artifact's amortization: lexical components
+    * come from the stored 'lex' edges (one [[connectedComponents]]
+    * pass over the pair set, never the raw corpus), semantic pairs
+    * re-run the measured [[embedNearDup]] probe for their cos scores.
+    * Unclustered docs count as their own singleton cluster
+    * (`coalesce(label, id)`), so a semantic edge between two lexically
+    * untouched docs is correctly a new link.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = connectedComponents(lexEdges(s, dir))
+    val sem = embedNearDup(s, dir).select($"a_id", $"b_id", $"cos")
+    sem
+      .join(lex.select($"id".as("a_id"), $"label".as("a_cl")), Seq("a_id"), "left")
+      .join(lex.select($"id".as("b_id"), $"label".as("b_cl")), Seq("b_id"), "left")
+      .select($"a_id", $"b_id", $"cos",
+        (coalesce($"a_cl", $"a_id") =!= coalesce($"b_cl", $"b_id")).as("new_link"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  lazy val dedupSemanticSql: String =
+    s"""WITH RECURSIVE
+       |$lexEdgeCtesSql,
+       |lsym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM lex_edges
+       |  UNION SELECT b_id, a_id FROM lex_edges),
+       |lreach(id, r) AS (
+       |  SELECT src, src FROM lsym
+       |  UNION
+       |  SELECT s.dst, r.r FROM lreach r JOIN lsym s ON s.src = r.id),
+       |lcl AS (SELECT id, MIN(r) AS cluster FROM lreach GROUP BY id),
+       |ep AS ($embedNearDupSql)
+       |SELECT ep.a_id, ep.b_id, ep.cos,
+       |  COALESCE(ca.cluster, ep.a_id) <> COALESCE(cb.cluster, ep.b_id) AS new_link
+       |FROM ep LEFT JOIN lcl ca ON ep.a_id = ca.id
+       |        LEFT JOIN lcl cb ON ep.b_id = cb.id
+       |ORDER BY ep.a_id, ep.b_id""".stripMargin
+
   /** The capstone dedup decision — for EVERY document, the id to keep
-    * in its place after BOTH dedup stages: one connected-components
-    * pass over the UNION of the near-dup edges (Jaccard + SimHash) and
-    * the exact-dup edges (doc ↔ its normalized-text-hash
-    * representative). Folding the exact edges into the same graph —
+    * in its place after ALL dedup stages: one connected-components
+    * pass over the UNION of the near-dup edges (lexical Jaccard +
+    * SimHash plus semantic [[embedNearDup]] — the modern
+    * lexical+semantic pipeline, v3 edge graph) and the exact-dup
+    * edges (doc ↔ its normalized-text-hash representative). Folding the exact edges into the same graph —
     * rather than composing two maps — is what makes `keep_id` truly
     * final: a component minimum has, by definition, no smaller exact
     * twin and no smaller near-dup, so its own keep_id is itself.
@@ -928,15 +1021,15 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  val dedupFullSql: String =
+  lazy val dedupFullSql: String =
     s"""WITH RECURSIVE
-       |jp AS ($ngramJaccardSql),
-       |sp AS ($simhashPairsSql),
+       |$lexEdgeCtesSql,
+       |ep AS ($embedNearDupSql),
        |reps AS (
        |  SELECT doc_id, min(doc_id) OVER (
        |    PARTITION BY md5(lower(trim(text)))) AS rep FROM documents),
        |edges AS (
-       |  SELECT a_id, b_id FROM jp UNION SELECT a_id, b_id FROM sp
+       |  SELECT a_id, b_id FROM lex_edges UNION SELECT a_id, b_id FROM ep
        |  UNION SELECT rep, doc_id FROM reps WHERE doc_id <> rep),
        |sym AS (
        |  SELECT a_id AS src, b_id AS dst FROM edges
@@ -968,7 +1061,7 @@ object Pipeline {
       .orderBy($"cluster_size")
   }
 
-  val clusterSizesSql: String =
+  lazy val clusterSizesSql: String =
     s"""SELECT cluster_size, COUNT(*) AS n_clusters FROM (
        |  SELECT keep_id, COUNT(*) AS cluster_size FROM ($dedupFullSql)
        |  GROUP BY keep_id)
@@ -1063,7 +1156,7 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[manifestCore]]. */
-  private val manifestCoreSql: String =
+  private lazy val manifestCoreSql: String =
     s"""SELECT d.doc_id, d.lang, f.keep_id,
        |  CASE WHEN NOT f.is_kept THEN 'duplicate'
        |    WHEN ${qualitySql("d.text")} < CAST($QUALITY_MIN AS DOUBLE) THEN 'low_quality'
@@ -1079,7 +1172,7 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  val corpusManifestSql: String =
+  lazy val corpusManifestSql: String =
     s"""SELECT doc_id, keep_id, reason, reason = 'kept' AS kept
        |FROM ($manifestCoreSql)
        |ORDER BY doc_id""".stripMargin
@@ -1104,7 +1197,7 @@ object Pipeline {
       .orderBy($"lang", $"reason")
   }
 
-  val manifestStatsSql: String =
+  lazy val manifestStatsSql: String =
     s"""WITH cm AS (
        |  SELECT lang, reason, COUNT(*) AS n
        |  FROM ($manifestCoreSql) GROUP BY 1, 2)
@@ -1146,7 +1239,7 @@ object Pipeline {
       .orderBy($"stage_ord")
   }
 
-  val filterFunnelSql: String =
+  lazy val filterFunnelSql: String =
     s"""WITH spine(stage_ord, stage) AS (
        |  VALUES (1, 'duplicate'), (2, 'low_quality'),
        |         (3, 'mix_downsampled'), (4, 'kept')),
@@ -1561,6 +1654,78 @@ object Pipeline {
        |    PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) = 1 AS is_kept
        |FROM ($chunksSql)
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Sub-document span CLEANING — the remove-the-duplication operator
+    * [[chunkDedup]] only reports: per document, drop every span whose
+    * content hash already appeared (in a smaller doc_id, or earlier in
+    * this one) and re-emit the cleaned text plus exact bytes removed —
+    * the boilerplate/mirror-passage scrubber a training pipeline runs
+    * between dedup and packing. Spans here are DISJOINT
+    * [[CHUNK_TOKENS]]-token partitions, not [[chunksOf]]'s overlapping
+    * stride windows: overlapping spans cannot be subtracted from a
+    * document (their shared tokens would be removed twice), so the
+    * cleaning variant re-chunks at stride = window. Space-tokenized
+    * rebuild is exact: split-on-' ' then join-' ' is the identity on
+    * any text, so `bytes_removed` is precisely the dropped spans plus
+    * their separators. Shapes: the hash dedup is [[chunkDedup]]'s
+    * groupBy-min + hash join (map-side partial agg over repeated
+    * boilerplate, no window over the hot hash); the rebuild is ONE
+    * doc_id-keyed exchange whose per-group state is bounded by
+    * document length.
+    */
+  def chunkClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id", $"text", $"w",
+        explode(sequence(lit(0),
+          greatest(floor((size($"w") - 1) / lit(CHUNK_TOKENS.toDouble)).cast("int"),
+            lit(0)))).as("k"))
+      .select($"doc_id", $"text", $"k".cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice($"w", $"k" * CHUNK_TOKENS + 1, lit(CHUNK_TOKENS))).as("ctext"))
+    val keep = ch
+      .select(md5($"ctext".cast("binary")).as("h"), $"doc_id", $"chunk_id")
+      .groupBy($"h").agg(min(struct($"doc_id", $"chunk_id")).as("kk"))
+      .select($"h", $"kk.doc_id".as("k_doc"), $"kk.chunk_id".as("k_chunk"))
+    ch.withColumn("h", md5($"ctext".cast("binary")))
+      .join(keep, Seq("h"))
+      .withColumn("is_kept", $"doc_id" === $"k_doc" && $"chunk_id" === $"k_chunk")
+      .groupBy($"doc_id", $"text")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!$"is_kept", 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when($"is_kept", struct($"chunk_id", $"ctext")))),
+          x => x.getField("ctext"))).as("cleaned_text"))
+      .select($"doc_id", $"n_chunks", $"n_dropped", $"cleaned_text",
+        (length($"text") - length($"cleaned_text")).cast("long").as("bytes_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val chunkCleanSql: String =
+    s"""WITH dch AS (
+       |  SELECT doc_id, text, CAST(k AS BIGINT) AS chunk_id,
+       |    array_to_string(w[k * $CHUNK_TOKENS + 1 : k * $CHUNK_TOKENS + $CHUNK_TOKENS], ' ') AS ctext
+       |  FROM (
+       |    SELECT doc_id, text, w,
+       |      unnest(range(0, greatest((len(w) + ${CHUNK_TOKENS - 1}) // $CHUNK_TOKENS, 1))) AS k
+       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
+       |mk AS (
+       |  SELECT doc_id, text, chunk_id, ctext,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY md5(ctext) ORDER BY doc_id, chunk_id) = 1 AS is_kept
+       |  FROM dch)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE NOT is_kept) AS BIGINT) AS n_dropped,
+       |  COALESCE(string_agg(ctext, ' ' ORDER BY chunk_id) FILTER (WHERE is_kept), '')
+       |    AS cleaned_text,
+       |  CAST(length(text) - length(COALESCE(
+       |      string_agg(ctext, ' ' ORDER BY chunk_id) FILTER (WHERE is_kept), ''))
+       |    AS BIGINT) AS bytes_removed
+       |FROM mk
+       |GROUP BY doc_id, text
+       |ORDER BY doc_id""".stripMargin
 
   /** Cross-source content-overlap matrix — the "is source B (partly)
     * a mirror of source A?" diagnostic a curation pipeline runs
@@ -2021,6 +2186,114 @@ object Pipeline {
        |WHERE n_terms > 0
        |ORDER BY score_micro DESC, doc_id
        |LIMIT 10""".stripMargin
+  }
+
+  /** The probe batch [[bm25Batch]] scores — the [[bm25Search]] query
+    * plus a second with a deliberately rare term (`dup`, df ≈ 5% of
+    * the corpus) so the idf spread is exercised. Flows through the
+    * plan as a broadcast TABLE, not driver constants: the corpus-side
+    * cost is query-count-independent, which is the whole point of
+    * batching probes.
+    */
+  private val BM25_QUERIES: Seq[(Int, String)] =
+    Seq(1 -> "spark", 1 -> "merge", 1 -> "stream",
+      2 -> "dup", 2 -> "join", 2 -> "scan")
+
+  /** Batched BM25 retrieval — many probes, ONE corpus pass: the shape
+    * a training-data pipeline actually runs (thousands of benchmark /
+    * contamination probes against one corpus). Where [[bm25Search]]
+    * compiles its three terms into per-row expressions, this scores
+    * every query in [[BM25_QUERIES]] from one posting build: tokens
+    * explode map-side, broadcast-join the query-term table (matched
+    * postings only — the fan-out is bounded by query terms, not
+    * vocabulary), and one (query_id, term, doc_id) aggregation yields
+    * tf. The posting table is MATERIALIZED once (`localCheckpoint`,
+    * the [[connectedComponents]] pattern — a cluster swaps in a
+    * reliable checkpoint): its two consumers — the per-term df
+    * aggregate and the scoring join — would otherwise each replay the
+    * corpus scan (column pruning specializes the two subtrees, which
+    * defeats Spark's exchange reuse), and postings bounded by
+    * query-term matches are exactly what a retrieval system stores
+    * while the corpus is read once. PlanSpec asserts the scoring plan
+    * holds NO corpus file scan — the one scan happened into the
+    * checkpoint. idf/saturation use [[bm25Search]]'s exact
+    * integer-micro arithmetic; per-query top-10 is a map-side
+    * WindowGroupLimit. N and avgdl are the same two driver-row index
+    * metadata scalars [[bm25Search]] collects (corpus-size-
+    * independent, the [[annPq]] pattern).
+    */
+  def bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("dl"), $"w")
+    val st = docs.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
+    val n = st.getLong(0)
+    val aMicro = math.floor(1000000.0d * st.getLong(1) / n).toLong
+    val qt = BM25_QUERIES.toDF("query_id", "term")
+    val post = docs
+      .select($"doc_id", $"dl", explode($"w").as("tok"))
+      .join(broadcast(qt), $"tok" === $"term")
+      .groupBy($"query_id", $"term", $"doc_id", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = post.select($"term", $"doc_id").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = floor(lit(1000000.0d) *
+      ((lit(n.toDouble) - $"df" + lit(0.5d)) / ($"df" + lit(0.5d)))).cast("long")
+    val r = ($"dl" * lit(1000000.0d)) / lit(aMicro.toDouble)
+    val termScore = floor(($"idf".cast("double") * (lit(22.0d) * $"tf")) /
+      (lit(10.0d) * $"tf" + lit(3.0d) + lit(9.0d) * r)).cast("long")
+    post
+      .join(broadcast(df.select($"term", idf.as("idf"))), "term")
+      .select($"query_id", $"doc_id", termScore.as("ts"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum($"ts").as("score_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id")))
+      .filter($"rn" <= 10)
+      .select($"query_id", $"doc_id", $"n_terms", $"score_micro")
+      .orderBy($"query_id", $"score_micro".desc, $"doc_id")
+  }
+
+  val bm25BatchSql: String = {
+    val qvals = BM25_QUERIES.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $qvals),
+       |d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS w
+       |  FROM documents),
+       |st AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(floor((CAST(1000000 AS DOUBLE) * CAST(SUM(dl) AS BIGINT)) / COUNT(*)) AS BIGINT) AS a
+       |  FROM d),
+       |post AS (
+       |  SELECT q.query_id, q.term, t.doc_id, t.dl, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d) t
+       |  JOIN qt q ON t.tok = q.term
+       |  GROUP BY 1, 2, 3, 4),
+       |df AS (
+       |  SELECT term,
+       |    CAST(floor(CAST(1000000 AS DOUBLE) *
+       |      ((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS idf
+       |  FROM (SELECT term, COUNT(*) AS df FROM (
+       |          SELECT DISTINCT term, doc_id FROM post) GROUP BY term), st),
+       |scored AS (
+       |  SELECT p.query_id, p.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(CAST(floor((f.idf * (CAST(22 AS DOUBLE) * p.tf)) /
+       |      (CAST(10 AS DOUBLE) * p.tf + CAST(3 AS DOUBLE) +
+       |       CAST(9 AS DOUBLE) * ((p.dl * CAST(1000000 AS DOUBLE)) / st.a))) AS BIGINT)) AS BIGINT)
+       |      AS score_micro
+       |  FROM post p JOIN df f ON p.term = f.term, st
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_terms, score_micro FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10
+       |ORDER BY query_id, score_micro DESC, doc_id""".stripMargin
   }
 
   private[graft] val STRATUM_N = 20
@@ -2892,9 +3165,23 @@ object Pipeline {
     */
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents = cellCentroids(s, dir).withColumnRenamed("label", "k")
-    Tables(s, dir, "embeddings")
-      .select($"vec_id", $"label".as("old_label"), microVec(s, $"embedding").as("mvec"))
+    kmeansAssignFrom(s,
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", $"label", microVec(s, $"embedding").as("mvec")),
+      cellCentroids(s, dir).withColumnRenamed("label", "k"))
+  }
+
+  /** The E-step over an explicit (corpus, centroids) pair — the unit
+    * [[kmeansConverge]] chains. `corpus` is (vec_id, label, mvec)
+    * where `label` is the CURRENT assignment (it becomes `old_label`
+    * in the output); `cents` is (k, cvec). Plan per round: centroids
+    * broadcast into the corpus scan, map-side partial argmin collapses
+    * the ×cells fan-out before the one vec_id-keyed exchange.
+    */
+  private def kmeansAssignFrom(
+      s: SparkSession, corpus: DataFrame, cents: DataFrame): DataFrame = {
+    import s.implicits._
+    corpus.select($"vec_id", $"label".as("old_label"), $"mvec")
       .crossJoin(broadcast(cents))
       .groupBy($"vec_id")
       .agg(min(struct(pqDist2(s, $"mvec", $"cvec").as("d2"), $"k")).as("best"),
@@ -2902,17 +3189,140 @@ object Pipeline {
       .select($"vec_id", $"old_label", $"best.k".as("label"), $"mvec")
   }
 
+  /** The M-step over an assignment — floor(mean) micro-unit centroids
+    * reassembled to (k, cvec), the same integers [[cellCentroids]]
+    * produces for the label column. Shuffle key count is cells × dims.
+    */
+  private def centroidsFromAssign(s: SparkSession, assign: DataFrame): DataFrame = {
+    import s.implicits._
+    assign.select($"label", posexplode($"mvec").as(Seq("pos0", "mv")))
+      .groupBy($"label", $"pos0")
+      .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+      .select($"label", $"pos0",
+        floor($"sm".cast("double") / $"n").cast("long").as("c"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"pos0", $"c")).as("pc"))
+      .select($"label".as("k"),
+        transform(sort_array($"pc"), x => x.getField("c")).as("cvec"))
+  }
+
+  /** Lloyd's algorithm run to a fixed horizon — the fixpoint loop a
+    * real pipeline iterates, reported as per-round moved-vector
+    * counts (the convergence curve an operator watches go to zero
+    * before freezing the [[annIvf]] cells): three chained
+    * E-step/M-step rounds seeded by the label-cell centroids, each
+    * row (round, n_moved, n_total). Three rounds is the
+    * oracle-checkable deterministic unit; the round count is a
+    * horizon, not a convergence test, so the query shape is identical
+    * at any corpus size. Plan: every round is the same broadcast
+    * E-step ([[kmeansAssignFrom]]) — centroids are cells×1 index
+    * metadata recomputed in-plan and broadcast, never a corpus-sized
+    * shuffle — and Spark's exchange reuse dedups the shared
+    * round-(r-1) subtree between round r's corpus and centroid
+    * inputs. (At 100 TB a pipeline materializes each round's
+    * assignment to storage between iterations — the
+    * [[ensureEdgeGraph]] amortization pattern — which this query
+    * deliberately does NOT do, so the measured cost is the honest
+    * three-round recompute.)
+    */
+  def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var cents = cellCentroids(s, dir).withColumnRenamed("label", "k")
+    var corpus = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", microVec(s, $"embedding").as("mvec"))
+    val reports = (1 to 3).map { r =>
+      val assign = kmeansAssignFrom(s, corpus, cents)
+      val report = assign.agg(
+          sum(when($"label" =!= $"old_label", 1L).otherwise(0L)).as("n_moved"),
+          count(lit(1)).as("n_total"))
+        .select(lit(r).as("round"), $"n_moved", $"n_total")
+      cents = centroidsFromAssign(s, assign)
+      corpus = assign.select($"vec_id", $"label", $"mvec")
+      report
+    }
+    reports.reduce(_ union _).orderBy($"round")
+  }
+
+  /** One assign CTE: `src` (vec_id, label, mvec — label is the current
+    * assignment) × `cent` (label, cvec) → `out` (vec_id, old_label,
+    * label, mvec). The single definition of the oracle's E-step,
+    * instantiated per round by [[kmeansConvergeSql]] and once as
+    * `assign` for [[kmeansIterSql]]/[[kmeansMovesSql]].
+    */
+  private def kmeansAssignSqlFrom(src: String, cent: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, old_label, mvec, k AS label FROM (
+       |    SELECT s.vec_id, s.label AS old_label, s.mvec, c.label AS k,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${l2MicroSql("s.mvec", "c.cvec")}, c.label) AS rn
+       |    FROM $src s, $cent c)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The converge oracle works in LONG form — (vec_id, pos, mv) rows,
+    * never per-round micro-vector LISTS: a 3-round chain of
+    * list-materializing CTEs (the [[kmeansAssignCteSql]] shape ×3)
+    * empirically exhausts DuckDB's block allocator mid-connection and
+    * poisons UNRELATED queries run after it ("failed to allocate
+    * 16384 bytes" with RSS at 1.3 GB on a 100 GiB limit). Distance is
+    * Σ(v−c)² grouped over (vec_id, k) — integer sums are
+    * order-independent, so long form is bit-identical to the list
+    * fold, just allocator-friendly.
+    */
+  lazy val kmeansConvergeSql: String = {
+    def dist(cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT v.vec_id, c.label AS k,
+         |    CAST(SUM((v.mv - c.c) * (v.mv - c.c)) AS BIGINT) AS d2
+         |  FROM mvl v JOIN $cent c ON v.pos = c.pos
+         |  GROUP BY v.vec_id, c.label)""".stripMargin
+    def assign(distT: String, prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, old_label, label FROM (
+         |    SELECT p.vec_id, p.label AS old_label, d.k AS label,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY d.d2, d.k) AS rn
+         |    FROM $prev p JOIN $distT d ON p.vec_id = d.vec_id)
+         |  WHERE rn = 1)""".stripMargin
+    def cent(assignT: String, out: String): String =
+      s"""$out AS (
+         |  SELECT a.label, v.pos,
+         |    CAST(floor(CAST(CAST(SUM(v.mv) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM mvl v JOIN $assignT a USING (vec_id)
+         |  GROUP BY a.label, v.pos)""".stripMargin
+    def moved(src: String, r: Int): String =
+      s"SELECT $r AS round, COUNT(*) FILTER (WHERE label <> old_label) AS n_moved, " +
+        s"COUNT(*) AS n_total FROM $src"
+    s"""WITH mvl AS (
+       |  SELECT vec_id, pos,
+       |    CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mv
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+       |c0 AS (
+       |  SELECT e.label, v.pos,
+       |    CAST(floor(CAST(CAST(SUM(v.mv) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM mvl v JOIN embeddings e USING (vec_id)
+       |  GROUP BY e.label, v.pos),
+       |p0 AS (SELECT vec_id, label FROM embeddings),
+       |${dist("c0", "d1")},
+       |${assign("d1", "p0", "a1")},
+       |${cent("a1", "c1")},
+       |${dist("c1", "d2")},
+       |${assign("d2", "a1", "a2")},
+       |${cent("a2", "c2")},
+       |${dist("c2", "d3")},
+       |${assign("d3", "a2", "a3")}
+       |SELECT * FROM (
+       |  ${moved("a1", 1)}
+       |  UNION ALL ${moved("a2", 2)}
+       |  UNION ALL ${moved("a3", 3)})
+       |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB twin of [[kmeansAssign]], as a CTE (reads `mv` and `cent`
-    * from [[microDimsCtesSql]] / [[cellCentroidsCteSql]]).
+    * from [[microDimsCtesSql]] / [[cellCentroidsCteSql]]; one
+    * instantiation of the shared [[kmeansAssignSqlFrom]] E-step).
     */
   private val kmeansAssignCteSql: String =
-    s"""assign AS (
-       |  SELECT vec_id, old_label, mvec, k AS label FROM (
-       |    SELECT mv.vec_id, mv.label AS old_label, mv.mvec, cent.label AS k,
-       |      row_number() OVER (PARTITION BY mv.vec_id
-       |        ORDER BY ${l2MicroSql("mv.mvec", "cent.cvec")}, cent.label) AS rn
-       |    FROM mv, cent)
-       |  WHERE rn = 1)""".stripMargin
+    kmeansAssignSqlFrom("mv", "cent", "assign")
 
   def kmeansIter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3013,6 +3423,7 @@ object Pipeline {
     "x_simhash"        -> simhash _,
     "x_simhash_pairs"  -> simhashPairs _,
     "x_dedup_clusters" -> dedupClusters _,
+    "x_dedup_semantic" -> dedupSemantic _,
     "x_dedup_full"     -> dedupFull _,
     "x_cluster_sizes"  -> clusterSizes _,
     "x_lang_id"        -> langId _,
@@ -3028,6 +3439,7 @@ object Pipeline {
     "x_weighted_mix"   -> weightedMix _,
     "x_chunk_windows"  -> chunkWindows _,
     "x_chunk_dedup"    -> chunkDedup _,
+    "x_chunk_clean"    -> chunkClean _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_token_sketch"   -> tokenSketch _,
@@ -3052,7 +3464,9 @@ object Pipeline {
     "x_ann_ivf_nprobe" -> annIvfNprobe _,
     "x_kmeans_iter"    -> kmeansIter _,
     "x_kmeans_moves"   -> kmeansMoves _,
+    "x_kmeans_converge" -> kmeansConverge _,
     "x_bm25_search"    -> bm25Search _,
+    "x_bm25_batch"     -> bm25Batch _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -3073,6 +3487,7 @@ object Pipeline {
     "x_simhash"        -> simhashSql,
     "x_simhash_pairs"  -> simhashPairsSql,
     "x_dedup_clusters" -> dedupClustersSql,
+    "x_dedup_semantic" -> dedupSemanticSql,
     "x_dedup_full"     -> dedupFullSql,
     "x_cluster_sizes"  -> clusterSizesSql,
     "x_lang_id"        -> langIdSql,
@@ -3088,6 +3503,7 @@ object Pipeline {
     "x_weighted_mix"   -> weightedMixSql,
     "x_chunk_windows"  -> chunkWindowsSql,
     "x_chunk_dedup"    -> chunkDedupSql,
+    "x_chunk_clean"    -> chunkCleanSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_token_sketch"   -> tokenSketchSql,
@@ -3112,7 +3528,9 @@ object Pipeline {
     "x_ann_ivf_nprobe" -> annIvfNprobeSql,
     "x_kmeans_iter"    -> kmeansIterSql,
     "x_kmeans_moves"   -> kmeansMovesSql,
+    "x_kmeans_converge" -> kmeansConvergeSql,
     "x_bm25_search"    -> bm25SearchSql,
+    "x_bm25_batch"     -> bm25BatchSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

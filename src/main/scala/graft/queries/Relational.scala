@@ -501,17 +501,21 @@ object Relational {
     * interval space and equi-join on bin, the [[graft.queries.Pipeline]]
     * blocking pattern; at k bands the broadcast NLJ is strictly
     * better.) Aggregation after the join keys on the band's fixed
-    * domain.
+    * domain. The top band is OPEN-ENDED (`hi` = NULL = unbounded): a
+    * closed top band would silently drop any row above it from the
+    * report with no signal, so the band table's contract is total
+    * coverage of the non-negative price domain by construction.
     */
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = Seq(
-      (1L, 0L, 10000L), (2L, 10000L, 25000L), (3L, 25000L, 50000L),
-      (4L, 50000L, 200000L))
+      (1L, 0L, Some(10000L)), (2L, 10000L, Some(25000L)),
+      (3L, 25000L, Some(50000L)), (4L, 50000L, None: Option[Long]))
       .toDF("band_id", "lo", "hi")
     Tables(s, dir, "lineitem")
       .join(broadcast(bands),
-        $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+        $"l_extendedprice" >= $"lo" &&
+          ($"hi".isNull || $"l_extendedprice" < $"hi"))
       .groupBy($"band_id", $"lo", $"hi")
       .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
       .orderBy($"band_id")
@@ -520,12 +524,12 @@ object Relational {
   val rangeJoinSql: String =
     """WITH bands(band_id, lo, hi) AS (
       |  VALUES (1, 0, 10000), (2, 10000, 25000), (3, 25000, 50000),
-      |         (4, 50000, 200000))
+      |         (4, 50000, CAST(NULL AS INTEGER)))
       |SELECT CAST(band_id AS BIGINT) AS band_id, CAST(lo AS BIGINT) AS lo,
       |  CAST(hi AS BIGINT) AS hi, COUNT(*) AS n_items,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM lineitem JOIN bands
-      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |  ON l_extendedprice >= lo AND (hi IS NULL OR l_extendedprice < hi)
       |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
 
   /** UNPIVOT — [[pivotOrders]]'s inverse: the per-returnflag metric

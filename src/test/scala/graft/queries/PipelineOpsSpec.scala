@@ -136,6 +136,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, all0), (1L, all0), (2L, all0), (3L, all1)))
   }
 
+  test("chunkClean: cross-doc and within-doc duplicate spans removed, text rebuilt exactly") {
+    import spark.implicits._
+    val span = (0 until 32).map(i => s"w$i").mkString(" ") // exactly one 32-token chunk
+    val dir = writeDocs(Seq(
+      1L -> "a b", // unique short doc: single chunk, survives intact
+      2L -> s"$span $span", // within-doc duplication: chunk 1 repeats chunk 0
+      3L -> "a b")) // exact cross-doc dup of 1: whole text cleaned away
+    val got = Pipeline.chunkClean(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, "a b", 0L),
+      (2L, 2L, 1L, span, (span.length + 1).toLong), // dropped span + its separator
+      (3L, 1L, 1L, "", 3L)))
+  }
+
+  test("dedupSemantic: flags only the pairs the lexical graph could not link") {
+    import spark.implicits._
+    // docs 1,2 lexically near-dup (shared shingles); docs 3,4 lexically
+    // unrelated BUT semantically identical (equal embeddings)
+    val dir = writeDocs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different text here now",
+      4L -> "unrelated words make another document entirely"))
+    def unit(axis: Int): Array[Float] =
+      (0 until 64).map(i => if (i == axis) 1.0f else 0.0f).toArray
+    Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(1), 0), (4L, unit(1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.dedupSemantic(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    // (1,2): already one lexical cluster → not a new link; (3,4): the
+    // semantic stage's genuine contribution. Cross-axis pairs have
+    // cos 0 and never reach the report.
+    assert(got === Seq((1L, 2L, false), (3L, 4L, true)))
+  }
+
+  test("kmeansConverge: a mislabeled vector moves in round 1, then the run is stable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kmeans-conv-").toString
+    val a = Array.fill(64)(0.0f)
+    val b = Array.fill(64)(1.0f)
+    // vec 3 sits at cluster 0's location but carries label 1: round 1
+    // must reassign it (1 move), after which centroids are exact and
+    // rounds 2-3 are fixpoints
+    Seq((0L, a, 0), (1L, a, 0), (2L, b, 1), (3L, a, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.kmeansConverge(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 1L, 4L), (2, 0L, 4L), (3, 0L, 4L)))
+  }
+
   test("embedQuantize: on-grid vectors have zero error, zero vectors are excluded") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pipeline-ops-").toString

@@ -53,6 +53,27 @@ class PlanSpec extends AnyFunSuite {
       "expected PartitionFilters on label, got: " + scanLine)
   }
 
+  test("x_bm25_batch: corpus consumed once — scoring plan reads the posting checkpoint") {
+    val p = plan("x_bm25_batch")
+    // the documents scan happens exactly once, INTO the posting
+    // checkpoint; a corpus file scan in the scoring plan means the
+    // df/scoring consumers each replayed it (2× the dominant cost)
+    assert(!p.contains("documents"),
+      "scoring plan must not rescan the corpus:\n" + p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-10 must apply map-side:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "index-metadata joins must broadcast, not sort-merge")
+  }
+
+  test("x_kmeans_converge: every round is a broadcast E-step, never a corpus sort-merge") {
+    val p = plan("x_kmeans_converge")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj >= 3, s"expected ≥3 broadcast E-steps (one per round), got $bnlj")
+    assert(!p.contains("SortMergeJoin"),
+      "centroids are cells×1 metadata and must broadcast:\n" + p.take(2000))
+  }
+
   test("x_ann_ivf_nprobe: the nprobe cell filter prunes partitions") {
     val p = plan("x_ann_ivf_nprobe")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
