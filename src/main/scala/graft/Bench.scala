@@ -18,109 +18,119 @@ package graft
   * regressing 5× from ordinary ±3 s machine noise.
   */
 object Bench {
-  /** Per-query regression baseline at sf0.1, re-recorded round 6 for
-    * the min-of-2 protocol: for each query, the MAX of its min-of-2
-    * seconds across two full identical-code runs, DOUBLED. The ×2 is
-    * an explicit contention allowance — the recording runs executed
-    * on a quiet machine, while the driver's per-round bench runs
-    * alongside its own harness processes, which round-5 adjudication
-    * measured inflating identical code 1.3–2.6× uniformly. Sustained
-    * contention slows BOTH back-to-back attempts (the min doesn't
-    * filter it, unlike one-off stalls), so the headroom lives in the
-    * ceiling; a real plan regression (a lost broadcast, a new
-    * shuffle) costs 5×+ and still clears [[RegressionFactor]] × this
-    * ceiling easily.
+  /** Per-query regression baseline at sf0.1, re-recorded IN FULL
+    * round 7 (every ceiling from the same two identical-code runs —
+    * no single-run entries remain): for each query, the MAX of its
+    * min-of-2 seconds across two full runs, DOUBLED. The round-7
+    * refresh matters beyond protocol hygiene: the codegen'd
+    * MicroVec/L2Micro2 kernels roughly halved the k-means/PQ family
+    * and the v3 edge graph changed the dedup family's work, so the
+    * round-6 ceilings were loose (stale 2-4× headroom hides real
+    * regressions). The ×2 is an explicit contention allowance — the
+    * recording runs executed on a quiet machine, while the driver's
+    * per-round bench runs alongside its own harness processes, which
+    * round-5 adjudication measured inflating identical code 1.3–2.6×
+    * uniformly. Sustained contention slows BOTH back-to-back attempts
+    * (the min doesn't filter it, unlike one-off stalls), so the
+    * headroom lives in the ceiling; a real plan regression (a lost
+    * broadcast, a new shuffle) costs 5×+ and still clears
+    * [[RegressionFactor]] × this ceiling easily — and a stall that
+    * somehow survives min-of-2 gets the third attempt before
+    * flagging.
     */
   private val BaselineSec: Map[String, Double] = Map(
-    "q_cube" -> 1.14,
-    "q_date_funcs" -> 1.00,
-    "q_events_tumbling" -> 1.06,
-    "q_grouping_sets" -> 1.38,
-    "q_join_orders" -> 1.26,
-    "q_json_funcs" -> 1.44,
-    "q_lateral_topn" -> 0.81,
-    "q_local_supplier" -> 2.36,
-    "q_moving_window" -> 1.36,
-    "q_outer_join" -> 1.03,
-    "q_pivot" -> 0.51,
-    "q_pricing_summary" -> 1.76,
-    "q_rollup" -> 0.98,
-    "q_scalar_funcs" -> 0.53,
-    "q_scalar_subquery" -> 1.02,
-    "q_semi_anti" -> 1.15,
-    "q_setops" -> 0.71,
-    "q_topk" -> 0.51,
-    "q_window_rank" -> 0.90,
-    "roundtrip_cast" -> 2.88,
-    "roundtrip_distributed" -> 1.68,
-    "roundtrip_identity" -> 1.54,
-    "roundtrip_order" -> 0.80,
-    "roundtrip_rowgroups" -> 2.64,
-    "roundtrip_sharded" -> 1.52,
-    "x_ann_ivf" -> 0.48,
-    "x_ann_ivf_pruned" -> 0.77,
-    "x_ann_lsh" -> 0.47,
-    "x_ann_lsh_multiprobe" -> 0.68, // round-6 new op
-    "x_ann_pq" -> 2.45, // round-6 new ops (recorded min-of-2 × 2)
-    "x_ann_ivf_nprobe" -> 1.00,
-    "x_kmeans_iter" -> 1.70,
-    "x_embed_outliers" -> 0.70,
-    "x_minhash_est" -> 6.90,
-    "x_ann_recall" -> 4.55,
-    "x_corpus_manifest" -> 3.90,
-    "x_pq_codes" -> 1.90,
-    "x_tfidf_terms" -> 1.00,
-    "x_asof_join" -> 0.86,
-    "x_centroids" -> 0.45,
-    "x_chunk_dedup" -> 1.28, // round-6 new op
-    "x_chunk_windows" -> 0.60,
-    "x_cluster_sizes" -> 3.66, // consumes the round-6 edge-graph artifact
-    "x_contamination" -> 3.28,
-    "x_dedup_clusters" -> 2.46, // consumes the round-6 edge-graph artifact
-    "x_dedup_docs" -> 0.48,
-    "x_dedup_full" -> 3.56, // consumes the round-6 edge-graph artifact
-    "x_dup_src_matrix" -> 0.75, // round-6 new ops (recorded min-of-2 × 2)
-    "x_lang_confusion" -> 0.75,
-    "x_manifest_stats" -> 3.35,
-    "x_dup_stats" -> 0.53,
-    "x_embed_near_dup" -> 2.53,
-    "x_embed_quantize" -> 0.67,
-    "x_exact_dedup" -> 0.47,
-    "x_fingerprint" -> 1.43,
-    "x_frame_sample" -> 0.37,
-    "x_hash_sample" -> 0.31,
-    "x_incremental_dedup" -> 0.62,
-    "x_lang_id" -> 0.78,
-    "x_len_percentiles" -> 0.45,
-    "x_media_decode" -> 0.83,
-    "x_media_meta" -> 0.43,
-    "x_minhash_lsh" -> 7.30,
-    "x_ngram_jaccard" -> 5.49,
-    "x_quality_score" -> 0.68,
-    "x_redact" -> 0.96,
-    "x_repetition" -> 1.04,
-    "x_session_window" -> 1.63,
-    "x_sessionize" -> 1.94,
-    "x_sim_search" -> 0.39,
-    "x_simhash" -> 3.37,
-    "x_simhash_pairs" -> 3.56,
-    "x_stratified_sample" -> 0.49,
-    "x_text_stats" -> 0.40,
-    "x_token_count" -> 0.52,
-    "x_token_rarity" -> 0.91,
-    "x_token_sketch" -> 2.09,
-    "x_top_ngrams" -> 1.59,
-    "x_weighted_mix" -> 0.38,
-    // late-round-6 ops (recorded min-of-2 × 2, two identical-code runs)
-    "q_unpivot" -> 1.58,
-    "q_range_join" -> 1.16, // single recording run (0.58 min-of-2 × 2)
-    "x_jaccard_sweep" -> 4.58,
-    "x_filter_funnel" -> 5.01,
-    "x_shard_plan" -> 1.04,
-    "x_shard_stats" -> 0.98, // single recording run (0.49 min-of-2 × 2)
-    "x_vocab_growth" -> 2.02,
-    "x_bm25_search" -> 0.89,
-    "x_kmeans_moves" -> 1.41)
+    "q_cube" -> 1.07,
+    "q_date_funcs" -> 0.82,
+    "q_events_tumbling" -> 0.79,
+    "q_grouping_sets" -> 1.10,
+    "q_join_orders" -> 1.19,
+    "q_json_funcs" -> 1.46,
+    "q_lateral_topn" -> 0.79,
+    "q_local_supplier" -> 1.98,
+    "q_moving_window" -> 1.05,
+    "q_outer_join" -> 1.04,
+    "q_pivot" -> 0.55,
+    "q_pricing_summary" -> 1.68,
+    "q_range_join" -> 1.26,
+    "q_rollup" -> 0.96,
+    "q_scalar_funcs" -> 0.49,
+    "q_scalar_subquery" -> 0.81,
+    "q_semi_anti" -> 0.76,
+    "q_setops" -> 0.69,
+    "q_topk" -> 0.42,
+    "q_unpivot" -> 1.74,
+    "q_window_rank" -> 0.79,
+    "roundtrip_cast" -> 2.51,
+    "roundtrip_distributed" -> 1.79,
+    "roundtrip_identity" -> 1.46,
+    "roundtrip_order" -> 0.75,
+    "roundtrip_rowgroups" -> 2.19,
+    "roundtrip_sharded" -> 1.21,
+    "x_ann_ivf" -> 0.36,
+    "x_ann_ivf_nprobe" -> 1.11,
+    "x_ann_ivf_pruned" -> 0.54,
+    "x_ann_lsh" -> 0.39,
+    "x_ann_lsh_multiprobe" -> 0.41,
+    "x_ann_pq" -> 1.66,
+    "x_ann_recall" -> 3.88,
+    "x_asof_join" -> 0.69,
+    "x_bm25_batch" -> 1.60,
+    "x_bm25_search" -> 0.92,
+    "x_centroids" -> 0.43,
+    "x_chunk_clean" -> 1.24,
+    "x_chunk_dedup" -> 0.86,
+    "x_chunk_windows" -> 0.51,
+    "x_cluster_sizes" -> 3.43,
+    "x_contamination" -> 2.43,
+    "x_corpus_manifest" -> 3.24,
+    "x_dedup_clusters" -> 2.07,
+    "x_dedup_docs" -> 0.45,
+    "x_dedup_full" -> 2.77,
+    "x_dedup_semantic" -> 2.61,
+    "x_dup_src_matrix" -> 0.63,
+    "x_dup_stats" -> 0.45,
+    "x_embed_near_dup" -> 1.57,
+    "x_embed_outliers" -> 0.54,
+    "x_embed_quantize" -> 0.52,
+    "x_exact_dedup" -> 0.38,
+    "x_filter_funnel" -> 3.13,
+    "x_fingerprint" -> 1.41,
+    "x_frame_sample" -> 0.35,
+    "x_hash_sample" -> 0.26,
+    "x_incremental_dedup" -> 0.45,
+    "x_jaccard_sweep" -> 4.39,
+    "x_kmeans_converge" -> 2.68,
+    "x_kmeans_iter" -> 1.00,
+    "x_kmeans_moves" -> 0.97,
+    "x_lang_confusion" -> 0.79,
+    "x_lang_id" -> 0.80,
+    "x_len_percentiles" -> 0.37,
+    "x_manifest_stats" -> 3.41,
+    "x_media_decode" -> 0.68,
+    "x_media_meta" -> 0.32,
+    "x_minhash_est" -> 5.38,
+    "x_minhash_lsh" -> 4.86,
+    "x_ngram_jaccard" -> 3.89,
+    "x_pq_codes" -> 1.13,
+    "x_quality_score" -> 0.63,
+    "x_redact" -> 0.79,
+    "x_repetition" -> 0.87,
+    "x_session_window" -> 1.06,
+    "x_sessionize" -> 1.24,
+    "x_shard_plan" -> 0.81,
+    "x_shard_stats" -> 1.15,
+    "x_sim_search" -> 0.56,
+    "x_simhash" -> 2.37,
+    "x_simhash_pairs" -> 3.64,
+    "x_stratified_sample" -> 0.35,
+    "x_text_stats" -> 0.32,
+    "x_tfidf_terms" -> 0.90,
+    "x_token_count" -> 0.35,
+    "x_token_rarity" -> 0.72,
+    "x_token_sketch" -> 1.28,
+    "x_top_ngrams" -> 1.11,
+    "x_vocab_growth" -> 1.92,
+    "x_weighted_mix" -> 0.27)
 
   private val RegressionFactor = 3.0
 

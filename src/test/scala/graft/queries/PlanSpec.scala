@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
       "index-metadata joins must broadcast, not sort-merge")
   }
 
+  test("x_chunk_clean: no window over the hot chunk hash") {
+    val p = plan("x_chunk_clean")
+    // keep-first must stay groupBy-min + join: a window partitioned by
+    // chunk_hash sorts every copy of a billion-repeat boilerplate
+    // chunk in one task (the chunkDedup rationale, pinned here too)
+    assert(!p.contains("Window"),
+      "chunk keep-first must not be a window over chunk_hash:\n" + p.take(2000))
+  }
+
   test("x_kmeans_converge: every round is a broadcast E-step, never a corpus sort-merge") {
     val p = plan("x_kmeans_converge")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
