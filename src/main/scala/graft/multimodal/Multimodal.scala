@@ -186,13 +186,43 @@ object Multimodal {
        |  md5(substr(p, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
        |FROM f ORDER BY asset_id, frame_idx""".stripMargin
 
+  /** Exact media dedup by content checksum — the first pass every
+    * multimodal training pipeline runs (identical images/clips mirror
+    * across crawls far more than text does): keep the smallest
+    * asset_id per payload md5, mark the rest dropped. Same
+    * groupBy-min + hash-join shape as the text-side `x_exact_dedup` —
+    * only (asset_id, kind, 32-byte hash) rows shuffle, the binary
+    * payloads never leave the scan, and there is no window over a hot
+    * checksum (a billion-copy logo collapses map-side).
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = assets(s, dir).select($"asset_id", $"kind", md5($"payload").as("h"))
+    val keep = a.groupBy($"h").agg(min($"asset_id").as("keep_id"))
+    a.join(keep, Seq("h"))
+      .select($"asset_id", $"kind", $"keep_id",
+        ($"asset_id" === $"keep_id").as("is_kept"))
+      .orderBy($"asset_id")
+  }
+
+  val mediaDedupSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, $kindSql AS kind, md5($payloadSql) AS h
+       |  FROM documents),
+       |k AS (SELECT h, MIN(asset_id) AS keep_id FROM a GROUP BY h)
+       |SELECT a.asset_id, a.kind, k.keep_id, a.asset_id = k.keep_id AS is_kept
+       |FROM a JOIN k USING (h)
+       |ORDER BY a.asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_media_meta"   -> mediaMeta _,
     "x_media_decode" -> mediaDecode _,
-    "x_frame_sample" -> frameSample _)
+    "x_frame_sample" -> frameSample _,
+    "x_media_dedup"  -> mediaDedup _)
 
   val oracle: Map[String, String] = Map(
     "x_media_meta"   -> mediaMetaSql,
     "x_media_decode" -> mediaDecodeSql,
-    "x_frame_sample" -> frameSampleSql)
+    "x_frame_sample" -> frameSampleSql,
+    "x_media_dedup"  -> mediaDedupSql)
 }

@@ -20,10 +20,14 @@ class DeterminismSpec extends AnyFunSuite {
 
   // one representative per determinism-risk class: decimal-exact agg,
   // banded LSH + collect_list, connected components over checkpoints,
-  // scan-tree prefix sum, md5 sampling, percentile interpolation
+  // scan-tree prefix sum, md5 sampling, percentile interpolation —
+  // plus the round-7 classes: chained iterative aggregation
+  // (k-means rounds), checkpoint-fed multi-consumer plans (batched
+  // BM25 postings), and per-group ordered string rebuild (chunk clean)
   private val probes = Seq(
     "q_pricing_summary", "x_minhash_lsh", "x_dedup_full",
-    "x_shard_plan", "x_hash_sample", "x_len_percentiles")
+    "x_shard_plan", "x_hash_sample", "x_len_percentiles",
+    "x_kmeans_converge", "x_bm25_batch", "x_chunk_clean")
 
   test("results are invariant under shuffle-partition count (32 → 3 → 64)") {
     val conf = spark.conf
