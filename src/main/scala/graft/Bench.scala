@@ -106,6 +106,7 @@ object Bench {
     "x_lang_id" -> 0.80,
     "x_len_percentiles" -> 0.37,
     "x_manifest_stats" -> 3.41,
+    "x_media_dedup" -> 0.65, // recorded two-run protocol, runs 3+4
     "x_media_decode" -> 0.68,
     "x_media_meta" -> 0.32,
     "x_minhash_est" -> 5.38,

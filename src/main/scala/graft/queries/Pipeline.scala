@@ -1071,7 +1071,7 @@ object Pipeline {
     * percentile on the fixture corpus) a document is dropped from the
     * training manifest.
     */
-  private val QUALITY_MIN = 0.30d
+  private[graft] val QUALITY_MIN = 0.30d
 
   /** Per-language keep rates for [[weightedMix]] and
     * [[corpusManifest]] (declared here, before both SQL consumers —
@@ -1104,8 +1104,12 @@ object Pipeline {
 
   /** The quality formula — `w` is the pre-split token array. Fixed
     * expression order, so the double is bit-identical across engines.
+    * `private[graft]`: the streaming quality gate
+    * ([[graft.streaming.Streams.qualityGate]]) applies the SAME
+    * formula per micro-batch row, so batch and stream can never score
+    * a document differently.
     */
-  private def qualityCol(text: Column, w: Column): Column = {
+  private[graft] def qualityCol(text: Column, w: Column): Column = {
     val nTok = size(w).cast("long")
     val nChars = length(text).cast("long")
     val stop = size(filter(w, x => x === "the" || x === "a")).cast("long")

@@ -41,6 +41,26 @@ object Streams {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming quality gate — the ingestion-side twin of the batch
+    * `x_quality_score` / manifest stage: score each arriving document
+    * with the SAME shared formula ([[graft.queries.Pipeline.qualityCol]]
+    * — one definition per engine, so a doc can never pass the stream
+    * and fail the batch recompute) and keep rows at or above
+    * `minQuality` (default: the manifest's QUALITY_MIN). Pure per-row
+    * expressions: stateless, no watermark, no shuffle — the gate adds
+    * zero streaming state at any ingest rate, which is why quality
+    * filtering belongs in the stream while dedup (stateful) rides the
+    * watermark. Compose with [[toShardSink]] for the full
+    * filter-then-shard ingestion path.
+    */
+  def qualityGate(
+      df: DataFrame,
+      minQuality: Double = graft.queries.Pipeline.QUALITY_MIN): DataFrame = {
+    val w = split(col("text"), " ")
+    df.withColumn("quality", graft.queries.Pipeline.qualityCol(col("text"), w))
+      .filter(col("quality") >= minQuality)
+  }
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

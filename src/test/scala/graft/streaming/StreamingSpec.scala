@@ -35,6 +35,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("qualityGate: stream keeps exactly the docs the batch formula keeps") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and then the fox naps under a tree for a while today",
+      2L -> "x", // one token, no stopwords → far below the threshold
+      3L -> ("the a " * 30).trim, // stopword-saturated → high score
+      4L -> "zz yy xx ww vv uu tt ss") // no stopwords, short tokens
+    // ground truth from the SAME shared column expression, batch-side
+    val batchKept = docs.toDF("doc_id", "text")
+      .withColumn("q", graft.queries.Pipeline.qualityCol(col("text"), split(col("text"), " ")))
+      .filter(col("q") >= graft.queries.Pipeline.QUALITY_MIN)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept != docs.map(_._1).toSet,
+      "fixture must exercise both sides of the gate")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("quality-kept").toString
+    val q = Streams.qualityGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-q").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamKept === batchKept)
+  }
+
   test("StreamingShardSink: foreachBatch micro-batches become sized, indexed shards") {
     val spark0 = spark
     import spark0.implicits._
