@@ -98,6 +98,8 @@ object Bench {
     "x_frame_sample" -> 0.35,
     "x_hash_sample" -> 0.26,
     "x_incremental_dedup" -> 0.45,
+    "x_incremental_neardup" -> 3.28, // recorded two-run protocol, runs 5+6
+    "x_shingle_novelty" -> 2.07, // recorded two-run protocol, runs 5+6
     "x_jaccard_sweep" -> 4.39,
     "x_kmeans_converge" -> 2.68,
     "x_kmeans_iter" -> 1.00,

@@ -426,6 +426,103 @@ object Pipeline {
        |FROM spine LEFT JOIN h ON spine.bucket = h.bucket
        |ORDER BY spine.bucket""".stripMargin
 
+  /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy twin,
+    * the check a daily ingest runs after exact dedup passes: for each
+    * incoming-batch document (`doc_id % 10 == 7`, the established
+    * batch marker), every CORPUS document with 3-gram Jaccard ≥ 0.10.
+    * The pair generation is ONE-SIDED through the same inverted
+    * shingle index as [[ngramPairCounts]]: inside each shingle group,
+    * candidates are batch members × corpus members only — bounded by
+    * the [[SHINGLE_DF_CAP]] squared per group like the symmetric
+    * operator, and structurally incapable of the corpus × corpus
+    * blow-up (a batch is always small next to the corpus, so the
+    * probe's cost scales with the batch, not the archive). The df cap
+    * carries over: a batch doc whose every shingle is capped-out
+    * boilerplate can only be caught by [[incrementalDedup]]'s exact
+    * hash — same documented trade as [[ngramJaccard]].
+    */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val kept = keptShingles(s, dir)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("is_batch", $"doc_id" % 10 === 7)
+    val index = kept.groupBy($"s")
+      .agg(collect_list(struct($"doc_id", $"n", $"is_batch")).as("g"))
+      .filter(size($"g") >= 2)
+    index
+      .select(explode($"g").as("x"), $"g")
+      .filter($"x.is_batch")
+      .select($"x", explode($"g").as("y"))
+      .filter(!$"y.is_batch")
+      .groupBy($"x.doc_id".as("batch_id"), $"y.doc_id".as("corpus_id"))
+      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+      .select($"batch_id", $"corpus_id",
+        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.10)
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
+  val incrementalNearDupSql: String =
+    s"""WITH sh AS ($keptShinglesSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+       |  GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT batch_id, corpus_id, c, na.n AS na, nb.n AS nb
+       |  FROM inter JOIN sz na ON batch_id = na.doc_id
+       |              JOIN sz nb ON corpus_id = nb.doc_id)
+       |SELECT batch_id, corpus_id, c / (na + nb - c) AS jaccard
+       |FROM pc WHERE c / (na + nb - c) >= 0.10
+       |ORDER BY batch_id, corpus_id""".stripMargin
+
+  /** Per-batch-document novelty score — the crawl-curation signal
+    * [[vocabGrowth]] gives at corpus level, here per incoming
+    * document: of a batch doc's distinct 3-gram shingles, how many
+    * the corpus has never seen (count + exact integer ppm). High
+    * novelty = genuinely new content worth ingesting; near-zero
+    * novelty = a rehash the near-dup probes should confirm. Uses the
+    * UNCAPPED shingle universe — novelty must see boilerplate too (a
+    * doc of pure boilerplate is the opposite of novel, and the df cap
+    * would hide exactly that). Plan: one shingle-keyed anti join
+    * (md5-uniform key, corpus side pre-distinct, map-side partial
+    * aggs both sides) plus two batch-sized aggregates — cost scales
+    * with the batch, the corpus side is one distinct pass. Docs under
+    * 3 tokens have no shingles and no novelty row (the same
+    * short-text boundary as the near-dup family, SURVEY §2.3).
+    */
+  def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shinglesOf(Tables(s, dir, "documents"))
+    val batch = sh.filter($"doc_id" % 10 === 7)
+    val corpus = sh.filter($"doc_id" % 10 =!= 7).select($"s").distinct()
+    val totals = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = batch.join(corpus, Seq("s"), "left_anti")
+      .groupBy($"doc_id").agg(count(lit(1)).as("nn"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles", coalesce($"nn", lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val shingleNoveltySql: String =
+    s"""WITH sh AS (${shinglesSqlFrom("documents")}),
+       |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
+       |c AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 7),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM b GROUP BY 1),
+       |nov AS (
+       |  SELECT doc_id, COUNT(*) AS nn FROM b
+       |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.s = b.s)
+       |  GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(COALESCE(nn, 0) AS BIGINT) AS n_novel,
+       |  CAST((COALESCE(nn, 0) * 1000000) // t.n_shingles AS BIGINT) AS novelty_ppm
+       |FROM tot t LEFT JOIN nov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** MinHash signature (k=8 hash functions) per document.
     * hash_i(shingle) := md5('<i>|' || shingle); min over shingles of a
     * uniformly-distributed fixed-width hex string is a valid min-hash,
@@ -3420,6 +3517,8 @@ object Pipeline {
     "x_exact_dedup"    -> exactDedup _,
     "x_dup_stats"      -> dupStats _,
     "x_incremental_dedup" -> incrementalDedup _,
+    "x_incremental_neardup" -> incrementalNearDup _,
+    "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
@@ -3484,6 +3583,8 @@ object Pipeline {
     "x_exact_dedup"    -> exactDedupSql,
     "x_dup_stats"      -> dupStatsSql,
     "x_incremental_dedup" -> incrementalDedupSql,
+    "x_incremental_neardup" -> incrementalNearDupSql,
+    "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,

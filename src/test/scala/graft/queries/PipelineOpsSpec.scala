@@ -136,6 +136,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, all0), (1L, all0), (2L, all0), (3L, all1)))
   }
 
+  test("incrementalNearDup: batch probes corpus only — batch-batch pairs never reported") {
+    val near = "the quick brown fox jumps over the lazy dog"
+    val dir = writeDocs(Seq(
+      1L -> (near + " today"), // corpus
+      3L -> "completely unrelated corpus text right here", // corpus
+      7L -> (near + " tonight"), // batch
+      17L -> (near + " tonight"))) // batch: exact copy of 7 — high Jaccard, wrong side
+    val got = Pipeline.incrementalNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // both batch docs match corpus doc 1; the 7↔17 batch pair is the
+    // exact-dedup stage's job (x_incremental_dedup), not this probe's
+    assert(got === Seq((7L, 1L), (17L, 1L)))
+  }
+
+  test("shingleNovelty: exact ppm against the corpus shingle universe") {
+    val dir = writeDocs(Seq(
+      1L -> "a b c d e", // corpus shingles: abc, bcd, cde
+      7L -> "a b c x y", // batch: abc seen, bcx/cxy novel → 2/3
+      17L -> "p q r s")) // batch: pqr, qrs both novel → 2/2
+    val got = Pipeline.shingleNovelty(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (7L, 3L, 2L, 666666L),
+      (17L, 2L, 2L, 1000000L)))
+  }
+
   test("chunkClean: cross-doc and within-doc duplicate spans removed, text rebuilt exactly") {
     import spark.implicits._
     val span = (0 until 32).map(i => s"w$i").mkString(" ") // exactly one 32-token chunk
