@@ -215,7 +215,11 @@ object Bench {
       if (gated && best >= 0 && exceedsCeiling(name, best)) {
         retried ::= name
         val third = attempt(name, fn)
-        if (third >= 0) best = math.min(best, third)
+        // a crashed retry lands the name in `failed` (attempt() did
+        // that), so the reported time must be -1 like every other
+        // failure — a positive time next to a `failed` entry would
+        // read as a measured result
+        best = if (third >= 0) math.min(best, third) else -1.0
       }
       name -> best
     }

@@ -85,9 +85,15 @@ case class DotProduct(left: Expression, right: Expression)
   * replaces (float→double widening exact, floor tie-free), but
   * codegen'd: higher-order functions fall out of whole-stage codegen,
   * and this runs once per corpus row in every micro-unit pipeline
-  * (PQ, k-means, outliers). Null if the array or any element is null
-  * (the HOF would propagate a null element to a null sum one step
-  * later — indistinguishable on any input the downstream sum observes).
+  * (PQ, k-means, outliers). Null if the array or any element is null.
+  * NOTE this is deliberately STRICTER than the HOF on a null element:
+  * `transform` kept a null element that `posexplode` + `sum` would
+  * then SKIP while `count` still counted it — a half-seen vector
+  * silently skewing floor(mean) centroids. Here a corrupt vector
+  * drops out of every downstream aggregate at once (and a null
+  * element reaching [[L2Micro2]] nulled the distance under both
+  * formulations). No fixture carries null elements; the choice is
+  * about which failure mode a corrupt 100 TB shard gets.
   */
 case class MicroVec(child: Expression) extends UnaryExpression {
 

@@ -25,7 +25,9 @@ object Pipeline {
 
   // ---------------------------------------------------------------- text
 
-  private def words(c: Column): Column = split(c, " ")
+  // private[graft]: the streaming quality gate must tokenize with THE
+  // SAME splitter as every batch consumer of qualityCol
+  private[graft] def words(c: Column): Column = split(c, " ")
 
   /** Distinct word 3-gram shingles of a MATERIALIZED token-array
     * column. The tokens must be a bound attribute, not an inline
@@ -928,8 +930,13 @@ object Pipeline {
     // graph. A corpus WITHOUT an embedding table (text-only pipelines,
     // the degenerate-corpus specs) gets the lexical graph.
     val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    // captured ONCE and reused inside the build closure: checking
+    // again at build time could disagree with the stamp (a table
+    // appearing between the two) and cache content under a key that
+    // promises the opposite
+    val hasEmb = java.nio.file.Files.exists(embSrc)
     val embStamp =
-      if (java.nio.file.Files.exists(embSrc))
+      if (hasEmb)
         s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
       else "none"
     ensureArtifact("graft-edges", dir, "documents",
@@ -940,7 +947,7 @@ object Pipeline {
         .distinct()
         .select($"a_id", $"b_id", lit("lex").as("fam"))
       val all =
-        if (java.nio.file.Files.exists(embSrc))
+        if (hasEmb)
           lex.union(embedNearDup(s, dir)
             .select($"a_id", $"b_id", lit("sem").as("fam")))
         else lex
@@ -949,11 +956,14 @@ object Pipeline {
   }
 
   /** The materialized near-dup edge set, both families unioned (see
-    * [[ensureEdgeGraph]]).
+    * [[ensureEdgeGraph]]). No `.distinct()` over the fam duplicates:
+    * the only consumers feed [[connectedComponents]], whose `sym`
+    * union dedups anyway — a pre-distinct would be one extra
+    * edge-set shuffle per graph query for no semantic effect.
     */
   private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(ensureEdgeGraph(s, dir).toString)
-    e.select(e("a_id"), e("b_id")).distinct()
+    e.select(e("a_id"), e("b_id"))
   }
 
   /** The lexical (Jaccard ∪ SimHash) half of the edge artifact — the
@@ -1107,9 +1117,10 @@ object Pipeline {
       .join(minPerHash.as("r"), $"d.h" <=> $"r.h")
       .filter($"d.doc_id" =!= $"r.rep")
       .select($"r.rep".as("a_id"), $"d.doc_id".as("b_id"))
+    // no .distinct() on the union — connectedComponents' sym pass
+    // dedups (see nearDupEdges)
     val edges = nearDupEdges(s, dir)
       .union(exactEdges)
-      .distinct()
     connectedComponents(edges)
       .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "cluster_id"))
       .join(Tables(s, dir, "documents").select($"doc_id"), Seq("doc_id"), "right")

@@ -56,7 +56,9 @@ object Streams {
   def qualityGate(
       df: DataFrame,
       minQuality: Double = graft.queries.Pipeline.QUALITY_MIN): DataFrame = {
-    val w = split(col("text"), " ")
+    // shared tokenizer too, not just the shared formula — an inline
+    // split here could drift from the batch side's words()
+    val w = graft.queries.Pipeline.words(col("text"))
     df.withColumn("quality", graft.queries.Pipeline.qualityCol(col("text"), w))
       .filter(col("quality") >= minQuality)
   }
