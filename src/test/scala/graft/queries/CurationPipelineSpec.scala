@@ -28,6 +28,8 @@ class CurationPipelineSpec extends AnyFunSuite {
       if (i % period == 0) "the" else s"w$salt-$i-${(i * 7 + salt * 31) % 97}").mkString(" ")
   }
 
+  // NOTE this corpus ships NO embeddings table, so it also pins the
+  // v3 edge graph's lexical-only degradation path end-to-end
   test("manifest → curated corpus → shard plan compose; audit agrees with plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("curation-").toString
@@ -80,5 +82,44 @@ class CurationPipelineSpec extends AnyFunSuite {
       .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
     assert(stats.filter(_._2 > 0).map(s => s._1 -> ((s._2, s._3))).toMap === fromPlan)
     assert(stats.map(_._3).sum === plan.map(_._2).sum)
+  }
+
+  test("semantic stage composes: an embedding twin flips a kept doc to duplicate") {
+    import spark.implicits._
+    // the SAME corpus as the lexical test, PLUS row-aligned embeddings
+    // where doc 4 is doc 0's semantic twin — the paraphrase case
+    // (different tokens, same meaning) only the v3 embedding edges can
+    // catch. Without the semantic stage doc 4 was kept (the lexical
+    // test above asserts exactly that); with it, the manifest must
+    // fold 4 into 0's cluster and the curated corpus shrinks by one.
+    val dir = Files.createTempDirectory("curation-sem-").toString
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> goodText(0),
+      1L -> goodText(1),
+      2L -> goodText(0), // exact dup of 0
+      3L -> "xx yy", // low quality
+      4L -> goodText(2), // lexically distinct — semantically identical to 0
+      5L -> goodText(1)) // exact dup of 1
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def unit(axis: Int): Array[Float] =
+      (0 until 64).map(i => if (i == axis) 1.0f else 0.0f).toArray
+    // exact copies share their original's embedding (realistic: the
+    // embedder is deterministic), doc 4 carries doc 0's meaning
+    Seq((0L, unit(0), 0), (1L, unit(1), 0), (2L, unit(0), 0),
+      (3L, unit(2), 0), (4L, unit(0), 0), (5L, unit(1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val manifest = Pipeline.corpusManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(manifest(4L) === "duplicate", "semantic twin must be dropped")
+    assert(manifest.collect { case (id, "kept") => id }.toSet === Set(0L, 1L))
+    // and the capstone keep decision points the twin at its survivor
+    val full = Pipeline.dedupFull(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(4L) === 0L)
   }
 }
