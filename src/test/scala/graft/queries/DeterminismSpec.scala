@@ -27,7 +27,10 @@ class DeterminismSpec extends AnyFunSuite {
   private val probes = Seq(
     "q_pricing_summary", "x_minhash_lsh", "x_dedup_full",
     "x_shard_plan", "x_hash_sample", "x_len_percentiles",
-    "x_kmeans_converge", "x_bm25_batch", "x_chunk_clean")
+    "x_kmeans_converge", "x_bm25_batch", "x_chunk_clean",
+    // per-pair cosine doubles next to a components pass — the doubles
+    // must come out bit-identical at any task width
+    "x_dedup_semantic")
 
   test("results are invariant under shuffle-partition count (32 → 3 → 64)") {
     val conf = spark.conf
