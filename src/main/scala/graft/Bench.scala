@@ -41,6 +41,7 @@ object Bench {
   private val BaselineSec: Map[String, Double] = Map(
     "q_cube" -> 1.07,
     "q_date_funcs" -> 0.82,
+    "q_event_funnel" -> 2.03, // recorded two-run protocol, runs 8+9
     "q_events_tumbling" -> 0.79,
     "q_grouping_sets" -> 1.10,
     "q_join_orders" -> 1.19,

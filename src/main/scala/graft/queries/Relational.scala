@@ -592,7 +592,61 @@ object Relational {
       |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Sequential-conversion funnel over the event stream — the
+    * behavioral-analytics shape plain joins/windows don't directly
+    * express: how many users progressed view → click → purchase, in
+    * that order, with first-touch semantics (stage k's clock starts at
+    * the FIRST time the user reached stage k-1; same-instant events
+    * count as progress — `>=`, deterministic under ties because every
+    * stage time is a min). Built as chained per-user min-aggregations
+    * + user_id-keyed joins, never a window sort over a user's whole
+    * event history: each stage is one exchange on user_id (partial
+    * aggs map-side), so a power user with a billion events costs a
+    * mergeable min, not an in-task sort. Output is 3 rows; conversion
+    * is exact integer ppm vs stage 1.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"t2").groupBy($"user_id").agg(min($"ts").as("t3"))
+    def stage(df: DataFrame, k: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(k).as("stage"), lit(name).as("event_type"), $"n_users")
+    stage(v, 1, "view")
+      .union(stage(c, 2, "click"))
+      .union(stage(p, 3, "purchase"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("nv"))))
+      .select($"stage", $"event_type", $"n_users",
+        expr("(n_users * 1000000) div nv").as("conv_ppm"))
+      .orderBy($"stage")
+  }
+
+  val eventFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1),
+      |stages AS (
+      |  SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p)
+      |SELECT stage, event_type, n_users,
+      |  CAST((n_users * 1000000) // nv AS BIGINT) AS conv_ppm
+      |FROM stages, (SELECT COUNT(*) AS nv FROM v)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_funnel"    -> eventFunnel _,
     "q_pivot"           -> pivotOrders _,
     "q_moving_window"   -> movingWindow _,
     "q_local_supplier"  -> localSupplierVolume _,
@@ -616,6 +670,7 @@ object Relational {
     "q_range_join"      -> rangeJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q_event_funnel"    -> eventFunnelSql,
     "q_pivot"           -> pivotOrdersSql,
     "q_moving_window"   -> movingWindowSql,
     "q_local_supplier"  -> localSupplierVolumeSql,
