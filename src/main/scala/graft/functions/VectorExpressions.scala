@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Sequential (left-to-right) dot product of two float-array columns,
   * accumulated in double.
@@ -214,6 +214,88 @@ case class L2Micro2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a shingle array, per row — the streaming-side
+  * formulation of the batch `x_simhash` aggregation (explode + 64
+  * vote sums): every shingle votes ±1 per bit position drawn from its
+  * md5, bit j set iff the vote sum is positive. Bit extraction is
+  * BYTE-IDENTICAL to the batch pipeline's
+  * `conv(substring(md5(s),1,8),16,10)` halves (hi = md5 bytes 0-3
+  * big-endian, lo = bytes 4-7; j < 32 reads lo bit j, else hi bit
+  * j−32) — SimHashParitySpec proves per-row == batch on the fixture,
+  * which is what lets the streaming gate and the batch dedup family
+  * share one fingerprint definition. Null if the array or any element
+  * is null; an EMPTY array (doc under 3 tokens — no shingles, no
+  * signal) returns 0, and the gate exempts those rows rather than
+  * letting them collide on the zero fingerprint.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  // null on a null ELEMENT even for a non-nullable input — see MicroVec
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash64.compute(a.asInstanceOf[ArrayData])
+
+  // one static call — the loop lives in compiled Scala, the wrapper
+  // keeps the surrounding stage in whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.SimHash64.compute($x);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Interpreted kernel shared by eval and codegen. Returns null on a
+    * null element (boxed Long otherwise).
+    */
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // the batch pipeline parses md5 hex: hi = first 8 hex digits =
+      // bytes 0-3 big-endian, lo = next 8 = bytes 4-7
+      val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var j = 0
+      while (j < 64) {
+        val bit = if (j < 32) (lo >>> j) & 1L else (hi >>> (j - 32)) & 1L
+        votes(j) += (if (bit == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -231,7 +313,10 @@ object VectorFunctions {
         exprs => MicroVec(exprs(0))),
       (FunctionIdentifier("graft_l2_micro2"),
         new ExpressionInfo(classOf[L2Micro2].getName, "graft_l2_micro2"),
-        exprs => L2Micro2(exprs(0), exprs(1))))
+        exprs => L2Micro2(exprs(0), exprs(1))),
+      (FunctionIdentifier("graft_simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+        exprs => SimHash64(exprs(0))))
 
   /** Idempotently registers graft's native expressions with the session
     * function registry (also usable from SQL as `graft_dot(a, b)` etc.).
@@ -243,6 +328,8 @@ object VectorFunctions {
       "graft_micro_vec", exprs => MicroVec(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2_micro2", exprs => L2Micro2(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -258,5 +345,10 @@ object VectorFunctions {
   def l2Micro2(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_l2_micro2", a, b)
+  }
+
+  def simhash64(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("graft_simhash64", a)
   }
 }

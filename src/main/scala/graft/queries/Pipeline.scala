@@ -37,7 +37,9 @@ object Pipeline {
     * slower at sf0.1). Size guard: `sequence(0, size-3)` needs size ≥ 3
     * (Spark's sequence steps backwards when stop < start).
     */
-  private def shingleCol(w: Column): Column =
+  // private[graft]: the streaming near-dup gate fingerprints over THE
+  // SAME shingle set as the batch SimHash (one feature definition)
+  private[graft] def shingleCol(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", slice(w, i + 1, lit(3))))))

@@ -63,6 +63,41 @@ object Streams {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Streaming NEAR-dup gate — the ingestion-side slice of the batch
+    * SimHash family: fingerprint each arriving document with the
+    * per-row [[graft.functions.SimHash64]] expression (proven equal
+    * to the batch `x_simhash` aggregation over the same
+    * [[graft.queries.Pipeline.shingleCol]] feature set —
+    * SimHashParitySpec) and drop any doc whose fingerprint was
+    * already seen within the watermark. This is deliberately the
+    * HAMMING-0 slice: near-identical docs very often collapse to the
+    * same 64-bit fingerprint (that is SimHash's design), and an
+    * exact-key `dropDuplicatesWithinWatermark` keeps state bounded —
+    * one 64-bit key per doc inside the watermark. The full hamming ≤ 3
+    * banding stays batch-side (`x_simhash_pairs`): streaming it would
+    * need 4 band keys per doc with any-band-match semantics, which
+    * `dropDuplicates` cannot express without over-dropping. Documents
+    * under 3 tokens carry no shingles and no signal — they get a
+    * per-doc key (never dropped here; the exact-dedup stage
+    * [[dedupedStream]] is their net), instead of all colliding on the
+    * empty fingerprint.
+    */
+  def nearDupGate(
+      df: DataFrame, tsCol: String, watermarkDelay: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val shingles = graft.queries.Pipeline.shingleCol(
+      graft.queries.Pipeline.words(col(textCol)))
+    val keyed = df.withColumn("gate_key",
+      when(size(shingles) >= 1,
+        concat(lit("f:"),
+          graft.functions.VectorFunctions.simhash64(spark, shingles)))
+        .otherwise(concat(lit("d:"), col(idCol))))
+    keyed.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("gate_key"))
+      .drop("gate_key")
+  }
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

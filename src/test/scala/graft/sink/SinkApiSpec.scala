@@ -108,7 +108,7 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must register cleanly
     assert(graft.functions.VectorFunctions.injections.map(_._1.funcName) ==
-      Seq("graft_dot", "graft_micro_vec", "graft_l2_micro2"))
+      Seq("graft_dot", "graft_micro_vec", "graft_l2_micro2", "graft_simhash64"))
   }
 
   test("graft_dot evaluates from plain SQL after registration") {

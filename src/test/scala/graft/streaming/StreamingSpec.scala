@@ -69,6 +69,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(streamKept === batchKept)
   }
 
+  test("nearDupGate: fingerprint replays dropped, short docs and novel docs pass") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val longA = "the quick brown fox jumps over the lazy dog today and naps"
+    val longB = "completely different words make up this other document here now"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = tmp.resolve("neardup-kept").toString
+    val q = Streams.nearDupGate(
+        mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-nd").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(
+        (ts(1), 1L, longA),
+        (ts(2), 2L, longA), // same shingle set → same fingerprint → dropped
+        (ts(3), 3L, longB), // novel fingerprint → kept
+        (ts(4), 4L, "x"), // under 3 tokens: no shingles, per-doc key → kept
+        (ts(5), 5L, "x")) // ALSO kept — short docs must not collide on fp 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
   test("StreamingShardSink: foreachBatch micro-batches become sized, indexed shards") {
     val spark0 = spark
     import spark0.implicits._
