@@ -1780,22 +1780,32 @@ object Pipeline {
     * document (their shared tokens would be removed twice), so the
     * cleaning variant re-chunks at stride = window. Space-tokenized
     * rebuild is exact: split-on-' ' then join-' ' is the identity on
-    * any text, so `bytes_removed` is precisely the dropped spans plus
-    * their separators. Shapes: the hash dedup is [[chunkDedup]]'s
-    * groupBy-min + hash join (map-side partial agg over repeated
-    * boilerplate, no window over the hot hash); the rebuild is ONE
-    * doc_id-keyed exchange whose per-group state is bounded by
-    * document length.
+    * any text, so `chars_removed` is precisely the dropped spans plus
+    * their separators (counted in characters — both engines' `length`
+    * is codepoint-based, so the two sides agree on any corpus; the
+    * name says chars, not bytes, because they differ off-ASCII).
+    * Shapes: the hash dedup is [[chunkDedup]]'s groupBy-min + hash
+    * join (map-side partial agg over repeated boilerplate, no window
+    * over the hot hash); the rebuild is ONE doc_id-keyed exchange.
+    * Scale-critical: the chunk rows carry `orig_len` (one long), NOT
+    * the document text — carrying `text` would ship n_chunks copies
+    * of every document through the explode, the join, and the rebuild
+    * exchange (O(n_chunks × doc_len) amplification; a 100k-token doc
+    * would ship ~3k copies of itself). The `when(is_kept, ctext)`
+    * projection nulls dropped spans BEFORE the rebuild's partial
+    * aggregation, so per-group shuffle state is bounded by the
+    * *cleaned* document, and the original length rides as a group key.
     */
   def chunkClean(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ch = Tables(s, dir, "documents")
-      .select($"doc_id", $"text", words($"text").as("w"))
-      .select($"doc_id", $"text", $"w",
+      .select($"doc_id", length($"text").cast("long").as("orig_len"),
+        words($"text").as("w"))
+      .select($"doc_id", $"orig_len", $"w",
         explode(sequence(lit(0),
           greatest(floor((size($"w") - 1) / lit(CHUNK_TOKENS.toDouble)).cast("int"),
             lit(0)))).as("k"))
-      .select($"doc_id", $"text", $"k".cast("long").as("chunk_id"),
+      .select($"doc_id", $"orig_len", $"k".cast("long").as("chunk_id"),
         concat_ws(" ",
           slice($"w", $"k" * CHUNK_TOKENS + 1, lit(CHUNK_TOKENS))).as("ctext"))
     val keep = ch
@@ -1804,28 +1814,32 @@ object Pipeline {
       .select($"h", $"kk.doc_id".as("k_doc"), $"kk.chunk_id".as("k_chunk"))
     ch.withColumn("h", md5($"ctext".cast("binary")))
       .join(keep, Seq("h"))
-      .withColumn("is_kept", $"doc_id" === $"k_doc" && $"chunk_id" === $"k_chunk")
-      .groupBy($"doc_id", $"text")
+      .select($"doc_id", $"orig_len", $"chunk_id",
+        ($"doc_id" === $"k_doc" && $"chunk_id" === $"k_chunk").as("is_kept"),
+        when($"doc_id" === $"k_doc" && $"chunk_id" === $"k_chunk", $"ctext")
+          .as("kept_text"))
+      .groupBy($"doc_id", $"orig_len")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(!$"is_kept", 1L).otherwise(0L)).as("n_dropped"),
         concat_ws(" ", transform(
-          sort_array(collect_list(when($"is_kept", struct($"chunk_id", $"ctext")))),
-          x => x.getField("ctext"))).as("cleaned_text"))
+          sort_array(collect_list(when($"is_kept", struct($"chunk_id", $"kept_text")))),
+          x => x.getField("kept_text"))).as("cleaned_text"))
       .select($"doc_id", $"n_chunks", $"n_dropped", $"cleaned_text",
-        (length($"text") - length($"cleaned_text")).cast("long").as("bytes_removed"))
+        ($"orig_len" - length($"cleaned_text")).cast("long").as("chars_removed"))
       .orderBy($"doc_id")
   }
 
   val chunkCleanSql: String =
     s"""WITH dch AS (
-       |  SELECT doc_id, text, CAST(k AS BIGINT) AS chunk_id,
+       |  SELECT doc_id, orig_len, CAST(k AS BIGINT) AS chunk_id,
        |    array_to_string(w[k * $CHUNK_TOKENS + 1 : k * $CHUNK_TOKENS + $CHUNK_TOKENS], ' ') AS ctext
        |  FROM (
-       |    SELECT doc_id, text, w,
+       |    SELECT doc_id, orig_len, w,
        |      unnest(range(0, greatest((len(w) + ${CHUNK_TOKENS - 1}) // $CHUNK_TOKENS, 1))) AS k
-       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
+       |    FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
+       |            string_split(text, ' ') AS w FROM documents))),
        |mk AS (
-       |  SELECT doc_id, text, chunk_id, ctext,
+       |  SELECT doc_id, orig_len, chunk_id, ctext,
        |    ROW_NUMBER() OVER (
        |      PARTITION BY md5(ctext) ORDER BY doc_id, chunk_id) = 1 AS is_kept
        |  FROM dch)
@@ -1834,11 +1848,11 @@ object Pipeline {
        |  CAST(COUNT(*) FILTER (WHERE NOT is_kept) AS BIGINT) AS n_dropped,
        |  COALESCE(string_agg(ctext, ' ' ORDER BY chunk_id) FILTER (WHERE is_kept), '')
        |    AS cleaned_text,
-       |  CAST(length(text) - length(COALESCE(
+       |  CAST(orig_len - length(COALESCE(
        |      string_agg(ctext, ' ' ORDER BY chunk_id) FILTER (WHERE is_kept), ''))
-       |    AS BIGINT) AS bytes_removed
+       |    AS BIGINT) AS chars_removed
        |FROM mk
-       |GROUP BY doc_id, text
+       |GROUP BY doc_id, orig_len
        |ORDER BY doc_id""".stripMargin
 
   /** Cross-source content-overlap matrix — the "is source B (partly)

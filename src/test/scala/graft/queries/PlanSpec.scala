@@ -75,6 +75,27 @@ class PlanSpec extends AnyFunSuite {
       "chunk keep-first must not be a window over chunk_hash:\n" + p.take(2000))
   }
 
+  test("x_chunk_clean: no exchange carries the document text") {
+    // carrying `text` through the chunk explode/join/rebuild ships
+    // n_chunks copies of every document (O(n_chunks × doc_len) shuffle
+    // amplification — a 100k-token doc would ship ~3k copies of
+    // itself); only its LENGTH may ride. Formatted explain lists each
+    // Exchange node's Input attributes — none may be the bare `text`
+    // column (kept_text / ctext / cleaned_text are chunk-bounded and
+    // allowed; \btext# cannot match inside those names).
+    val fmt = graft.SparkEntry.queries("x_chunk_clean")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
+  }
+
   test("x_kmeans_converge: every round is a broadcast E-step, never a corpus sort-merge") {
     val p = plan("x_kmeans_converge")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
