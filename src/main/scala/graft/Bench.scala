@@ -166,6 +166,10 @@ object Bench {
     // the pair pipelines themselves are still measured as
     // x_ngram_jaccard / x_simhash_pairs)
     graft.queries.Pipeline.ensureEdgeGraph(spark, sfDir)
+    // one-time planted-corpus build (setup for x_dedup_recall — the
+    // eval measures the four family pipelines over the augmented
+    // corpus, not the corpus derivation itself)
+    graft.queries.Pipeline.ensurePlantedCorpus(spark, sfDir)
     var failed = List.empty[String]
     var retried = List.empty[String]
     // per-query regression gate — the baseline is recorded at sf0.1,

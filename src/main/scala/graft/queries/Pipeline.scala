@@ -132,11 +132,16 @@ object Pipeline {
     docs.join(repIds, Seq("doc_id"), "left_semi")
   }
 
+  /** DuckDB twin of [[repDocsOf]] over an arbitrary FROM source, as a
+    * parenthesized FROM source itself.
+    */
+  private def repsSqlFrom(src: String): String =
+    s"""(SELECT * FROM $src
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1)""".stripMargin
+
   /** DuckDB twin of [[repDocs]], as a parenthesized FROM source. */
-  private val repsSql: String =
-    """(SELECT * FROM documents
-      |  QUALIFY ROW_NUMBER() OVER (
-      |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1)""".stripMargin
+  private val repsSql: String = repsSqlFrom("documents")
 
   /** Band-group membership cap for the LSH near-dup family — the band
     * analog of [[SHINGLE_DF_CAP]]. Even after exact-dup pre-collapse a
@@ -354,10 +359,12 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[ngramPairCounts]] as a CTE chain ending in
-    * `pc(a_id, b_id, c, na, nb)`.
+    * `pc(a_id, b_id, c, na, nb)`, over an arbitrary documents source
+    * (the planted-recall eval instantiates it over the augmented
+    * corpus; everything else over `documents`).
     */
-  private val ngramPairCountsCtesSql: String =
-    s"""sh AS ($keptShinglesSql),
+  private def ngramPairCountsCtesSqlFrom(src: String): String =
+    s"""sh AS (${keptShinglesSqlFrom(src)}),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
@@ -366,6 +373,9 @@ object Pipeline {
        |pc AS (
        |  SELECT a_id, b_id, c, na.n AS na, nb.n AS nb
        |  FROM inter JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id)""".stripMargin
+
+  private val ngramPairCountsCtesSql: String =
+    ngramPairCountsCtesSqlFrom("documents")
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ 0.10 — the
     * [[ngramPairCounts]] pipeline with the similarity derived and
@@ -590,13 +600,14 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[minhashCandPairs]] as a CTE chain (through
-    * `cand`/`sz`/`inter`; the finals differ per consumer).
+    * `cand`/`sz`/`inter`; the finals differ per consumer), over an
+    * arbitrary documents source.
     */
-  private val minhashCandCtesSql: String = {
+  private def minhashCandCtesSqlFrom(src: String): String = {
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""sh AS (${keptShinglesSqlFrom(repsSql)}),
+    s"""sh AS (${keptShinglesSqlFrom(repsSqlFrom(src))}),
        |sig AS ($minhashSigsSql),
        |bands AS (
        |  SELECT doc_id, band, band_idx FROM (
@@ -614,6 +625,8 @@ object Pipeline {
        |            JOIN sh sb ON b_id = sb.doc_id AND sa.s = sb.s
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  private val minhashCandCtesSql: String = minhashCandCtesSqlFrom("documents")
 
   /** Banded MinHash LSH near-dup over the exact-dedup representatives
     * ([[repDocs]]): 4 bands × 2 rows; candidate pairs share ≥ 1 band;
@@ -809,8 +822,11 @@ object Pipeline {
       .orderBy($"a_id", $"b_id")
   }
 
-  val simhashPairsSql: String =
-    s"""WITH fp AS (${simhashSqlFrom(repsSql)}),
+  /** [[simhashPairs]]' banded pipeline as a CTE chain ending in
+    * `cand(a_id, b_id, sa, sb)`, over an arbitrary documents source.
+    */
+  private def simhashPairsCtesSqlFrom(src: String): String =
+    s"""fp AS (${simhashSqlFrom(repsSqlFrom(src))}),
        |bands AS (
        |  SELECT doc_id, simhash, band, band_idx FROM (
        |    SELECT doc_id, simhash, band_idx,
@@ -822,7 +838,10 @@ object Pipeline {
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
        |         x.simhash AS sa, y.simhash AS sb
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.band_idx = y.band_idx AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.band_idx = y.band_idx AND x.doc_id < y.doc_id)""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""WITH ${simhashPairsCtesSqlFrom("documents")}
        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
@@ -2889,17 +2908,22 @@ object Pipeline {
       .orderBy($"a_id", $"b_id")
   }
 
-  val embedNearDupSql: String =
-    s"""WITH cn AS (SELECT label, COUNT(*) AS cell_n FROM embeddings GROUP BY label),
-       |e AS (SELECT embeddings.*, CASE WHEN cn.cell_n > $EMBED_CELL_CAP
+  /** [[embedNearDup]]'s oracle body over an arbitrary embeddings
+    * source (no presentation sort — consumers add their own).
+    */
+  private def embedNearDupBodySqlFrom(emb: String): String =
+    s"""WITH cn AS (SELECT label, COUNT(*) AS cell_n FROM $emb GROUP BY label),
+       |e AS (SELECT $emb.*, CASE WHEN cn.cell_n > $EMBED_CELL_CAP
        |    THEN ${signBucketSql("embedding")} ELSE 0 END AS sub
-       |  FROM embeddings JOIN cn USING (label))
+       |  FROM $emb JOIN cn USING (label))
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
        |  ${cosineSql("a.embedding", "b.embedding")} AS cos
        |FROM e a JOIN e b
        |  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.40
-       |ORDER BY a_id, b_id""".stripMargin
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.40""".stripMargin
+
+  val embedNearDupSql: String =
+    embedNearDupBodySqlFrom("embeddings") + "\nORDER BY a_id, b_id"
 
   /** Symmetric int8 quantization audit per embedding: scale =
     * max|x|/127, each component snapped to `floor(x/scale + 0.5)` on
@@ -3538,6 +3562,242 @@ object Pipeline {
        |FROM cand c LEFT JOIN exact e ON c.vec_id = e.vec_id
        |GROUP BY method ORDER BY method""".stripMargin
 
+  // ------------------------------------------- planted near-dup recall
+
+  /** Variant doc_ids live PLANT_OFF above their sources — far above
+    * any fixture doc_id at any SF, so `id >= PLANT_OFF` cleanly
+    * separates variants from originals in every pair set.
+    */
+  private val PLANT_OFF = 1000000L
+
+  /** Bump when the planting semantics change (rates, mutation shape,
+    * selection) — same staleness contract as [[EDGE_FMT_VERSION]].
+    */
+  private val PLANT_FMT_VERSION = 2 // v2: marker tokens carry the SOURCE doc_id
+
+  /** Token-mutation rate class per source doc: every `rate`-th token
+    * is replaced, so the planted edit fraction is 1/rate — {50%, 25%,
+    * 12.5%, 6.25%} across the four classes. Rate 2 variants are
+    * designed MISSES (almost no shared shingles survive); rate 16
+    * variants every family should catch; the middle two trace each
+    * family's sensitivity curve.
+    */
+  private def plantRate(id: Column): Column =
+    element_at(array(lit(2L), lit(4L), lit(8L), lit(16L)),
+      (pmod(id, lit(4L)) + 1L).cast("int"))
+
+  private val plantRateSqlCase =
+    "CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 16 END"
+
+  /** Plant sources: exact-dedup representatives (a variant of doc A
+    * must not also pair with A's byte-copies — that would charge the
+    * families with "misses" exact dedup already owns), every fifth
+    * rep, at least 8 tokens (shingle-eligible with margin), and the
+    * mutation must hit at least one position — an untouched "variant"
+    * is an exact duplicate, which the rep-collapsing families are
+    * DESIGNED not to see.
+    */
+  private[graft] def plantedSources(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    repDocsOf(Tables(s, dir, "documents"))
+      .select($"doc_id", $"lang", $"source", words($"text").as("w"))
+      .withColumn("n", size($"w").cast("long"))
+      .filter($"doc_id" % 5 === 2 && $"n" >= 8)
+      .withColumn("rate", plantRate($"doc_id"))
+      .filter(($"rate" - pmod($"doc_id", $"rate")) % $"rate" < $"n")
+  }
+
+  /** Every `rate`-th token (positions where (i + doc_id) % rate = 0,
+    * i 0-based) replaced by a marker token unique to (doc, position) —
+    * guaranteed out-of-vocabulary, so each mutation genuinely kills
+    * the ≤3 shingles that cross it.
+    */
+  private def mutatedText(w: Column, id: Column, rate: Column): Column =
+    concat_ws(" ", transform(w, (t, i) =>
+      when(pmod(i.cast("long") + id, rate) === 0,
+        concat(lit("zq"), id.cast("string"), lit("x"), i.cast("string")))
+        .otherwise(t)))
+
+  /** One-time build of the planted-corpus fixture: the original
+    * documents plus one mutated variant per plant source (doc_id +
+    * [[PLANT_OFF]]), and — when the corpus has embeddings — the
+    * original vectors plus per-variant perturbed copies (every
+    * `rate`-th dimension sign-flipped: negation is EXACT in IEEE
+    * float, so both engines derive bit-identical variant vectors, and
+    * the cosine to the source lands near 1 − 2/rate — rate 2 ≈
+    * orthogonal, a designed semantic miss). Deterministic end-to-end:
+    * the same corpus is derivable in DuckDB SQL, which is what
+    * [[dedupRecallSql]] does.
+    */
+  def ensurePlantedCorpus(s: SparkSession, dir: String): java.nio.file.Path = {
+    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val hasEmb = java.nio.file.Files.exists(embSrc)
+    val embStamp =
+      if (hasEmb)
+        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
+      else "none"
+    ensureArtifact("graft-planted", dir, "documents",
+        s"|v$PLANT_FMT_VERSION|e$embStamp") { staging =>
+      import s.implicits._
+      // rename BEFORE aliasing doc_id: Spark's lateral column alias
+      // resolution would otherwise bind the mutation's doc_id to the
+      // offset alias in the same select (markers would read
+      // zq1000002x6, silently diverging from the oracle's zq2x6)
+      val variants = plantedSources(s, dir)
+        .select($"doc_id".as("src_id"), $"w", $"rate", $"lang", $"source")
+        .select(($"src_id" + PLANT_OFF).as("doc_id"),
+          mutatedText($"w", $"src_id", $"rate").as("text"),
+          $"lang", $"source")
+        .withColumn("n_chars", length($"text").cast("long"))
+      Tables(s, dir, "documents").unionByName(variants)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("documents.parquet").toString)
+      if (hasEmb) {
+        val emb = Tables(s, dir, "embeddings")
+        val vemb = emb
+          .join(plantedSources(s, dir).select($"doc_id".as("vec_id"), $"rate"),
+            "vec_id")
+          .select($"vec_id".as("src_id"), $"embedding", $"rate", $"label")
+          .select(($"src_id" + PLANT_OFF).as("vec_id"),
+            transform($"embedding", (x, i) =>
+              when(pmod(i.cast("long") + $"src_id", $"rate") === 0, -x)
+                .otherwise(x)).as("embedding"),
+            $"label")
+        emb.unionByName(vemb)
+          .write.mode("overwrite")
+          .parquet(staging.resolve("embeddings.parquet").toString)
+      }
+    }
+  }
+
+  /** Ground-truth precision/recall eval for the near-dup edge
+    * families — the [[annRecall]] discipline applied to dedup, which
+    * otherwise has no measured accuracy story: run each family
+    * (exact-Jaccard, banded MinHash, banded SimHash, and — with
+    * embeddings — the semantic blocked compare) over the planted
+    * corpus and score its pairs against the known plants. Per (family,
+    * edit-rate class): planted count, true positives (variant paired
+    * with its own source), cross false positives (variant paired with
+    * a DIFFERENT original), and exact-ppm recall/precision. Precision
+    * is scoped to original×variant pairs — original×original pairs
+    * are the corpus's own structure, variant×variant pairs the
+    * transitive echo of it, and neither says anything about the
+    * plants. Every family pipeline runs EXACTLY its production code
+    * over the artifact dir ([[ensurePlantedCorpus]]) — the eval can
+    * never drift from the operators it audits. Fixture blind spots
+    * (df-capped boilerplate shingles, the short-text shingle floor,
+    * rep-collapsing) surface here as measured ppm, not prose.
+    */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adir = ensurePlantedCorpus(s, dir).toString
+    val hasEmb =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(adir, "embeddings.parquet"))
+    val famPairs: Seq[(String, DataFrame)] = Seq(
+      "jaccard" -> ngramJaccard(s, adir),
+      "minhash" -> minhashLsh(s, adir),
+      "simhash" -> simhashPairs(s, adir)) ++
+      (if (hasEmb) Seq("semantic" -> embedNearDup(s, adir)) else Nil)
+    val pairs = famPairs.map { case (f, df) =>
+      df.select(lit(f).as("fam"), col("a_id"), col("b_id"))
+    }.reduce(_ union _)
+    val planted = plantedSources(s, dir).select($"doc_id".as("src_id"), $"rate")
+    val crossP = pairs
+      .filter($"a_id" < PLANT_OFF && $"b_id" >= PLANT_OFF)
+      .select($"fam", $"a_id", ($"b_id" - PLANT_OFF).as("src_id"))
+    val scored = crossP.join(broadcast(planted), "src_id")
+      .groupBy($"fam", $"rate")
+      .agg(sum(when($"a_id" === $"src_id", 1L).otherwise(0L)).as("caught"),
+        sum(when($"a_id" =!= $"src_id", 1L).otherwise(0L)).as("extra"))
+    val perRate = planted.groupBy($"rate").agg(count(lit(1)).as("n_planted"))
+    val spine = perRate.select(
+      explode(array(famPairs.map(f => lit(f._1)): _*)).as("fam"),
+      $"rate", $"n_planted")
+    spine.join(scored, Seq("fam", "rate"), "left")
+      .select($"fam", $"rate", $"n_planted",
+        coalesce($"caught", lit(0L)).as("n_caught"),
+        coalesce($"extra", lit(0L)).as("n_extra"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000 div n_planted"))
+      .withColumn("precision_ppm",
+        when($"n_caught" + $"n_extra" === 0, lit(null).cast("long"))
+          .otherwise(expr("n_caught * 1000000 div (n_caught + n_extra)")))
+      .orderBy($"fam", $"rate")
+  }
+
+  /** DuckDB twin: derives the identical planted corpus as CTEs, then
+    * instantiates each family's parameterized oracle pipeline over it.
+    * Like [[dedupClustersSql]], assumes the corpus has an embedding
+    * table (fixtures do; the Scala side degrades to three families
+    * without one — same documented asymmetry as the edge-graph
+    * consumers).
+    */
+  val dedupRecallSql: String =
+    s"""WITH plant AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS w,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |      CAST($plantRateSqlCase AS BIGINT) AS rate
+       |    FROM ${repsSqlFrom("documents")} r
+       |    WHERE doc_id % 5 = 2)
+       |  WHERE n >= 8 AND (rate - doc_id % rate) % rate < n),
+       |variants AS (
+       |  SELECT doc_id AS src_id,
+       |    array_to_string(list_transform(range(n), i ->
+       |      CASE WHEN (i + doc_id) % rate = 0
+       |           THEN 'zq' || doc_id || 'x' || i
+       |           ELSE w[i + 1] END), ' ') AS text
+       |  FROM plant),
+       |aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT src_id + $PLANT_OFF, text FROM variants),
+       |aug_emb AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + $PLANT_OFF,
+       |    list_transform(range(len(e.embedding)), i ->
+       |      CASE WHEN (i + e.vec_id) % p.rate = 0 THEN -e.embedding[i + 1]
+       |           ELSE e.embedding[i + 1] END),
+       |    e.label
+       |  FROM embeddings e JOIN plant p ON e.vec_id = p.doc_id),
+       |jac AS (WITH ${ngramPairCountsCtesSqlFrom("aug")}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |mnh AS (WITH ${minhashCandCtesSqlFrom("aug")}
+       |  SELECT a_id, b_id FROM inter
+       |    JOIN sz na ON a_id = na.doc_id JOIN sz nb ON b_id = nb.doc_id
+       |  WHERE c / (na.n + nb.n - c) >= 0.10),
+       |sim AS (WITH ${simhashPairsCtesSqlFrom("aug")}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |sem AS (${embedNearDupBodySqlFrom("aug_emb")}),
+       |pairs AS (
+       |  SELECT 'jaccard' AS fam, a_id, b_id FROM jac
+       |  UNION ALL SELECT 'minhash', a_id, b_id FROM mnh
+       |  UNION ALL SELECT 'simhash', a_id, b_id FROM sim
+       |  UNION ALL SELECT 'semantic', a_id, b_id FROM sem),
+       |crossp AS (
+       |  SELECT fam, a_id, b_id - $PLANT_OFF AS src_id FROM pairs
+       |  WHERE a_id < $PLANT_OFF AND b_id >= $PLANT_OFF),
+       |scored AS (
+       |  SELECT fam, p.rate,
+       |    COUNT(*) FILTER (WHERE a_id = src_id) AS caught,
+       |    COUNT(*) FILTER (WHERE a_id <> src_id) AS extra
+       |  FROM crossp c JOIN plant p ON c.src_id = p.doc_id
+       |  GROUP BY 1, 2),
+       |per_rate AS (SELECT rate, COUNT(*) AS n_planted FROM plant GROUP BY 1),
+       |spine AS (
+       |  SELECT fam, rate, n_planted
+       |  FROM per_rate,
+       |       (SELECT unnest(['jaccard', 'minhash', 'semantic', 'simhash']) AS fam))
+       |SELECT spine.fam, spine.rate, spine.n_planted,
+       |  CAST(COALESCE(caught, 0) AS BIGINT) AS n_caught,
+       |  CAST(COALESCE(extra, 0) AS BIGINT) AS n_extra,
+       |  (CAST(COALESCE(caught, 0) AS BIGINT) * 1000000) // n_planted AS recall_ppm,
+       |  CASE WHEN COALESCE(caught, 0) + COALESCE(extra, 0) = 0 THEN NULL
+       |       ELSE (CAST(COALESCE(caught, 0) AS BIGINT) * 1000000)
+       |            // (COALESCE(caught, 0) + COALESCE(extra, 0)) END AS precision_ppm
+       |FROM spine LEFT JOIN scored
+       |  ON spine.fam = scored.fam AND spine.rate = scored.rate
+       |ORDER BY spine.fam, spine.rate""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3604,7 +3864,8 @@ object Pipeline {
     "x_filter_funnel"  -> filterFunnel _,
     "x_shard_plan"     -> shardPlan _,
     "x_shard_stats"    -> shardStats _,
-    "x_vocab_growth"   -> vocabGrowth _)
+    "x_vocab_growth"   -> vocabGrowth _,
+    "x_dedup_recall"   -> dedupRecall _)
 
   val oracle: Map[String, String] = Map(
     "x_exact_dedup"    -> exactDedupSql,
@@ -3670,5 +3931,6 @@ object Pipeline {
     "x_filter_funnel"  -> filterFunnelSql,
     "x_shard_plan"     -> shardPlanSql,
     "x_shard_stats"    -> shardStatsSql,
-    "x_vocab_growth"   -> vocabGrowthSql)
+    "x_vocab_growth"   -> vocabGrowthSql,
+    "x_dedup_recall"   -> dedupRecallSql)
 }

@@ -30,7 +30,10 @@ class DeterminismSpec extends AnyFunSuite {
     "x_kmeans_converge", "x_bm25_batch", "x_chunk_clean",
     // per-pair cosine doubles next to a components pass — the doubles
     // must come out bit-identical at any task width
-    "x_dedup_semantic")
+    "x_dedup_semantic",
+    // round-8 class: derived-corpus artifact + 4-family pair union +
+    // ppm division — the whole eval must not depend on task width
+    "x_dedup_recall")
 
   test("results are invariant under shuffle-partition count (32 → 3 → 64)") {
     val conf = spark.conf

@@ -178,6 +178,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, 1L, "", 3L)))
   }
 
+  test("dedupRecall: planted variant scored against its source; no embeddings → 3 families") {
+    import spark.implicits._
+    // doc 2 is the one plant source: rep, doc_id % 5 == 2, 16 tokens
+    // (≥ 8), rate class 8 (2 % 4 = 2), mutations at i = 6 and 14 →
+    // 5 of 14 shingles change, Jaccard 9/19 ≈ 0.47 → the jaccard
+    // family must catch exactly this pair
+    val dir = writeDocs(Seq(
+      2L -> (0 until 16).map(i => s"t$i").mkString(" "),
+      3L -> "completely unrelated words in this other document here now",
+      9L -> "another filler document with its own distinct token stream"))
+    val got = Pipeline.dedupRecall(spark, dir).collect()
+    // text-only corpus: the semantic family degrades away
+    assert(got.map(_.getString(0)).toSeq.sorted === Seq("jaccard", "minhash", "simhash"))
+    val jac = got.find(_.getString(0) == "jaccard").get
+    assert(jac.getLong(1) === 8L) // rate class of doc 2
+    assert(jac.getLong(2) === 1L && jac.getLong(3) === 1L && jac.getLong(4) === 0L)
+    assert(jac.getLong(5) === 1000000L && jac.getLong(6) === 1000000L)
+  }
+
   test("dedupSemantic: flags only the pairs the lexical graph could not link") {
     import spark.implicits._
     // docs 1,2 lexically near-dup (shared shingles); docs 3,4 lexically
