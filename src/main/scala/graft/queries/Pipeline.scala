@@ -508,24 +508,46 @@ object Pipeline {
     * 3 tokens have no shingles and no novelty row (the same
     * short-text boundary as the near-dup family, SURVEY §2.3).
     */
-  def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+  /** The established fixture convention for "the incoming batch":
+    * every tenth document. [[noveltyCore]] and the manifest's novelty
+    * stage take the predicate as a PARAMETER — a production deployment
+    * passes its own batch marker (an ingest-date column, a source
+    * partition) without touching the operator.
+    */
+  private[graft] def defaultBatchPred: Column = col("doc_id") % 10 === 7
+
+  private val defaultBatchCondSql = "doc_id % 10 = 7"
+
+  /** (doc_id, n_shingles, n_novel, novelty_ppm) for every batch doc
+    * with at least one shingle — the shared core of
+    * [[shingleNovelty]] (the standalone report) and [[manifestCore]]'s
+    * novelty stage, so the manifest's drop decision can never diverge
+    * from the audit that explains it.
+    */
+  private def noveltyCore(s: SparkSession, dir: String,
+      batchPred: Column): DataFrame = {
     import s.implicits._
     val sh = shinglesOf(Tables(s, dir, "documents"))
-    val batch = sh.filter($"doc_id" % 10 === 7)
-    val corpus = sh.filter($"doc_id" % 10 =!= 7).select($"s").distinct()
+    val batch = sh.filter(batchPred)
+    val corpus = sh.filter(!batchPred).select($"s").distinct()
     val totals = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     val novel = batch.join(corpus, Seq("s"), "left_anti")
       .groupBy($"doc_id").agg(count(lit(1)).as("nn"))
     totals.join(novel, Seq("doc_id"), "left")
       .select($"doc_id", $"n_shingles", coalesce($"nn", lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
-      .orderBy($"doc_id")
   }
 
-  val shingleNoveltySql: String =
+  def shingleNovelty(s: SparkSession, dir: String): DataFrame =
+    noveltyCore(s, dir, defaultBatchPred).orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[noveltyCore]], parameterized on the batch
+    * condition.
+    */
+  private def noveltyBodySqlFrom(batchCond: String): String =
     s"""WITH sh AS (${shinglesSqlFrom("documents")}),
-       |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
-       |c AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 7),
+       |b AS (SELECT doc_id, s FROM sh WHERE $batchCond),
+       |c AS (SELECT DISTINCT s FROM sh WHERE NOT ($batchCond)),
        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM b GROUP BY 1),
        |nov AS (
        |  SELECT doc_id, COUNT(*) AS nn FROM b
@@ -534,8 +556,10 @@ object Pipeline {
        |SELECT t.doc_id, t.n_shingles,
        |  CAST(COALESCE(nn, 0) AS BIGINT) AS n_novel,
        |  CAST((COALESCE(nn, 0) * 1000000) // t.n_shingles AS BIGINT) AS novelty_ppm
-       |FROM tot t LEFT JOIN nov USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |FROM tot t LEFT JOIN nov USING (doc_id)""".stripMargin
+
+  val shingleNoveltySql: String =
+    noveltyBodySqlFrom(defaultBatchCondSql) + "\nORDER BY doc_id"
 
   /** MinHash signature (k=8 hash functions) per document.
     * hash_i(shingle) := md5('<i>|' || shingle); min over shingles of a
@@ -1256,33 +1280,53 @@ object Pipeline {
       s" + least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.2"
   }
 
+  /** Ingest-batch documents whose measured [[noveltyCore]] ppm is
+    * below this floor are dropped by the manifest's `not_novel` stage:
+    * under 20% of their context windows add anything the corpus
+    * doesn't already have — a rehash, not new signal. Corpus
+    * (non-batch) documents are exempt by construction (they ARE the
+    * universe novelty is measured against), as are sub-shingle docs
+    * (< 3 tokens: no signal, no drop).
+    */
+  private[graft] val NOVELTY_MIN = 200000L
+
   /** The corpus manifest — the capstone artifact a curation pipeline
     * hands to training: for EVERY document, keep or drop plus the
     * first pipeline stage that dropped it (`duplicate` from the
-    * [[dedupFull]] decision, `low_quality` below [[QUALITY_MIN]],
+    * [[dedupFull]] decision, `not_novel` for ingest-batch docs under
+    * the [[NOVELTY_MIN]] floor, `low_quality` below [[QUALITY_MIN]],
     * `mix_downsampled` by the [[weightedMix]] coin, else `kept`).
-    * Stage order is the production order — dedup before quality before
-    * mix — so downstream per-reason counts attribute each loss to one
-    * stage. Quality and the mix coin are per-row expressions fused
-    * into the document scan; the near-dup side rides the
-    * [[ensureEdgeGraph]] artifact, so the whole manifest costs one
-    * dedup-decision join over the corpus.
+    * Stage order is the production order — dedup before novelty
+    * before quality before mix — so downstream per-reason counts
+    * attribute each loss to one stage. Quality and the mix coin are
+    * per-row expressions fused into the document scan; the near-dup
+    * side rides the [[ensureEdgeGraph]] artifact; the novelty side is
+    * one batch-sized left join ([[noveltyCore]]'s cost scales with
+    * the batch, not the corpus).
     */
   /** Per-document (doc_id, lang, keep_id, reason) — the single
     * definition of the manifest decision shared by [[corpusManifest]]
     * (which projects it) and [[manifestStats]] (which aggregates it),
     * so the stats can never diverge from the manifest they summarize
-    * and neither consumer scans `documents` twice.
+    * and neither consumer scans `documents` twice. The ingest-batch
+    * membership feeding the novelty stage is a parameter
+    * ([[defaultBatchPred]] for the fixture convention).
     */
-  private def manifestCore(s: SparkSession, dir: String): DataFrame = {
+  private def manifestCore(s: SparkSession, dir: String,
+      batchPred: Column = defaultBatchPred): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", $"lang", $"text", words($"text").as("w"))
       .select($"doc_id", $"lang", qualityCol($"text", $"w").as("quality"),
         mixRateCol.as("rate"), mixBucketCol.as("bucket"))
       .join(dedupFull(s, dir), Seq("doc_id"))
+      .join(noveltyCore(s, dir, batchPred).select($"doc_id", $"novelty_ppm"),
+        Seq("doc_id"), "left")
       .select($"doc_id", $"lang", $"keep_id",
         when(!$"is_kept", lit("duplicate"))
+          // null novelty_ppm (corpus doc, or no shingles) falls
+          // through — only a MEASURED sub-floor batch doc drops here
+          .when($"novelty_ppm" < NOVELTY_MIN, lit("not_novel"))
           .when($"quality" < QUALITY_MIN, lit("low_quality"))
           .when($"bucket" >= $"rate", lit("mix_downsampled"))
           .otherwise(lit("kept")).as("reason"))
@@ -1292,10 +1336,13 @@ object Pipeline {
   private lazy val manifestCoreSql: String =
     s"""SELECT d.doc_id, d.lang, f.keep_id,
        |  CASE WHEN NOT f.is_kept THEN 'duplicate'
+       |    WHEN nv.novelty_ppm < $NOVELTY_MIN THEN 'not_novel'
        |    WHEN ${qualitySql("d.text")} < CAST($QUALITY_MIN AS DOUBLE) THEN 'low_quality'
        |    WHEN ${mixBucketSql("d.doc_id")} >= ${mixRateSql("d.lang")} THEN 'mix_downsampled'
        |    ELSE 'kept' END AS reason
-       |FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id""".stripMargin
+       |FROM documents d JOIN ($dedupFullSql) f ON d.doc_id = f.doc_id
+       |LEFT JOIN (${noveltyBodySqlFrom(defaultBatchCondSql)}) nv
+       |  ON d.doc_id = nv.doc_id""".stripMargin
 
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1354,12 +1401,13 @@ object Pipeline {
     import s.implicits._
     val w = Window.orderBy($"stage_ord")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // fixed 4-row stage spine: a stage that dropped nothing must
+    // fixed 5-row stage spine: a stage that dropped nothing must
     // report n_docs = 0, not vanish — the funnel's shape is part of
     // its contract (consumers read it positionally, and an all-dropped
     // corpus still carries a kept row with surviving = 0)
     val spine = Seq(
-      (1L, "duplicate"), (2L, "low_quality"), (3L, "mix_downsampled"), (4L, "kept"))
+      (1L, "duplicate"), (2L, "not_novel"), (3L, "low_quality"),
+      (4L, "mix_downsampled"), (5L, "kept"))
       .toDF("stage_ord", "stage")
     val counts = manifestCore(s, dir)
       .groupBy($"reason".as("stage")).agg(count(lit(1)).as("n"))
@@ -1374,8 +1422,8 @@ object Pipeline {
 
   lazy val filterFunnelSql: String =
     s"""WITH spine(stage_ord, stage) AS (
-       |  VALUES (1, 'duplicate'), (2, 'low_quality'),
-       |         (3, 'mix_downsampled'), (4, 'kept')),
+       |  VALUES (1, 'duplicate'), (2, 'not_novel'), (3, 'low_quality'),
+       |         (4, 'mix_downsampled'), (5, 'kept')),
        |cm AS (
        |  SELECT reason, COUNT(*) AS n FROM ($manifestCoreSql) GROUP BY 1)
        |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,

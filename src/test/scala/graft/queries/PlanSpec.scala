@@ -248,9 +248,12 @@ class PlanSpec extends AnyFunSuite {
   test("x_corpus_manifest: consumes the edge-graph artifact, never re-derives it") {
     val p = plan("x_corpus_manifest")
     // the near-dup edges come from the ensureEdgeGraph parquet (read
-    // behind connectedComponents' checkpoints) — none of the pair
-    // pipelines' machinery may appear in the manifest's own plan
-    assert(!p.contains("band_idx") && !p.contains("shingle"),
+    // behind connectedComponents' checkpoints) — none of the PAIR
+    // pipelines' banded machinery may appear in the manifest's own
+    // plan. (The novelty stage's shingle anti-join is fine: that is a
+    // batch-sized ingest stage of the manifest itself, not a pair
+    // pipeline — its cost scales with the batch slice, not corpus².)
+    assert(!p.contains("band_idx"),
       "manifest must not re-derive the pair pipelines:\n" + p.take(2000))
   }
 
