@@ -170,6 +170,10 @@ object Bench {
     // eval measures the four family pipelines over the augmented
     // corpus, not the corpus derivation itself)
     graft.queries.Pipeline.ensurePlantedCorpus(spark, sfDir)
+    // one-time bucketed keep-map build (setup for the manifest
+    // family; the decision pipeline itself stays measured as
+    // x_dedup_full)
+    graft.queries.Pipeline.ensureKeepMap(spark, sfDir)
     var failed = List.empty[String]
     var retried = List.empty[String]
     // per-query regression gate — the baseline is recorded at sf0.1,

@@ -60,4 +60,26 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS scores_b")
     }
   }
+
+  test("keep-map artifact: doc_id joins never shuffle the bucketed decision side") {
+    // the real thing, not a toy: the dedup-decision artifact the
+    // manifest family consumes, registered bucket-aware and joined
+    // against documents on doc_id. The merge hint forces the join
+    // shape the corpus-sized map gets at 100 TB (fixture-scale stats
+    // would broadcast it and hide the layout) — exactly one exchange
+    // may appear, and it must be the documents side.
+    val dir = "/root/testdata/sf0.001"
+    val km = Pipeline.keepMapOf(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang")
+    val joined = docs.hint("merge").join(km, "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "expected the forced merge join:\n" + plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one exchange (documents side), got $exchanges:\n" +
+        plan.take(3000))
+    assert(joined.count() == docs.count())
+  }
 }
