@@ -214,15 +214,109 @@ object Multimodal {
        |FROM a JOIN k USING (h)
        |ORDER BY a.asset_id""".stripMargin
 
+  /** Document-frequency cap for the frame inverted index — the
+    * multimodal [[graft.queries.Pipeline]] SHINGLE_DF_CAP: a frame
+    * checksum present in more than this many assets is boilerplate (a
+    * black frame, a standard intro card) and is dropped BEFORE the
+    * self-join, bounding fan-out per key at cap²/2. Part of the
+    * operator's semantics; the oracle applies the identical filter.
+    */
+  private val FRAME_DF_CAP = 100
+
+  /** NEAR-duplicate media by frame-checksum overlap — the multimodal
+    * twin of the lexical near-dup family, catching what
+    * [[mediaDedup]]'s whole-payload hash cannot: truncated and
+    * partially-overlapping variants (the fixture contains real ones —
+    * equal 251-char prefixes with different tails). Features are
+    * [[frameSample]]'s sampled-slice checksums (with a real codec the
+    * checksums come from DECODED frames, making the same pipeline
+    * robust to container-level re-encoding — only the feature
+    * extractor changes); the pipeline is [[graft.queries.Pipeline]]'s
+    * inverted-index Jaccard, re-instantiated: exact-dup pre-collapse
+    * (byte-identical payloads are mediaDedup's catch and would pile
+    * into every frame group), per-asset distinct frame sets, df-cap,
+    * group-local pair generation, exact Jaccard ≥ 0.5 verification.
+    * Scale shape: payloads are consumed INSIDE the scans (one pass
+    * hashes them, one pass slices them) — only (asset_id, 32-byte
+    * checksum) rows ever reach an exchange, plan-asserted.
+    */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hashed = assets(s, dir).select($"asset_id", md5($"payload").as("h"))
+    val nonReps = hashed
+      .join(hashed.groupBy($"h").agg(min($"asset_id").as("keep_id")), Seq("h"))
+      .filter($"asset_id" =!= $"keep_id")
+      .select($"asset_id")
+    val frames = assets(s, dir)
+      .filter($"kind" === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L),
+          ((length($"payload") + 255) / 256).cast("long") - 1L, lit(4L))))
+      .select($"asset_id",
+        md5(expr("substring(payload, cast(frame_idx * 256 + 1 as int), 256)"))
+          .as("frame_md5"))
+      .distinct()
+      .join(nonReps, Seq("asset_id"), "left_anti")
+    val frequent = frames.groupBy($"frame_md5").agg(count(lit(1)).as("df"))
+      .filter($"df" > FRAME_DF_CAP)
+      .select($"frame_md5")
+    val kept = frames.join(broadcast(frequent), Seq("frame_md5"), "left_anti")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"asset_id")))
+    val index = kept.groupBy($"frame_md5")
+      .agg(collect_list(struct($"asset_id", $"n")).as("g"))
+      .filter(size($"g") >= 2)
+    index.select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.asset_id" < $"y.asset_id")
+      .groupBy($"x.asset_id".as("a_id"), $"y.asset_id".as("b_id"))
+      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+      .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val mediaNearDupSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id AS asset_id, md5($payloadSql) AS h FROM documents),
+       |nonrep AS (
+       |  SELECT asset_id FROM (
+       |    SELECT asset_id, MIN(asset_id) OVER (PARTITION BY h) AS keep_id FROM h)
+       |  WHERE asset_id <> keep_id),
+       |f AS (
+       |  SELECT DISTINCT asset_id,
+       |    md5(substr(p, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+       |  FROM (
+       |    SELECT doc_id AS asset_id, $payloadSql AS p,
+       |      unnest(range(0, (length($payloadSql) + 255) // 256, 4)) AS frame_idx
+       |    FROM documents WHERE doc_id % 3 = 2)
+       |  WHERE asset_id NOT IN (SELECT asset_id FROM nonrep)),
+       |kf AS (
+       |  SELECT asset_id, frame_md5 FROM f
+       |  WHERE frame_md5 IN (
+       |    SELECT frame_md5 FROM f GROUP BY 1 HAVING COUNT(*) <= $FRAME_DF_CAP)),
+       |sz AS (SELECT asset_id, COUNT(*) AS n FROM kf GROUP BY 1),
+       |inter AS (
+       |  SELECT x.asset_id AS a_id, y.asset_id AS b_id, COUNT(*) AS c
+       |  FROM kf x JOIN kf y
+       |    ON x.frame_md5 = y.frame_md5 AND x.asset_id < y.asset_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
+       |FROM inter JOIN sz na ON a_id = na.asset_id JOIN sz nb ON b_id = nb.asset_id
+       |WHERE c / (na.n + nb.n - c) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_media_meta"   -> mediaMeta _,
-    "x_media_decode" -> mediaDecode _,
-    "x_frame_sample" -> frameSample _,
-    "x_media_dedup"  -> mediaDedup _)
+    "x_media_meta"    -> mediaMeta _,
+    "x_media_decode"  -> mediaDecode _,
+    "x_frame_sample"  -> frameSample _,
+    "x_media_dedup"   -> mediaDedup _,
+    "x_media_neardup" -> mediaNearDup _)
 
   val oracle: Map[String, String] = Map(
-    "x_media_meta"   -> mediaMetaSql,
-    "x_media_decode" -> mediaDecodeSql,
-    "x_frame_sample" -> frameSampleSql,
-    "x_media_dedup"  -> mediaDedupSql)
+    "x_media_meta"    -> mediaMetaSql,
+    "x_media_decode"  -> mediaDecodeSql,
+    "x_frame_sample"  -> frameSampleSql,
+    "x_media_dedup"   -> mediaDedupSql,
+    "x_media_neardup" -> mediaNearDupSql)
 }

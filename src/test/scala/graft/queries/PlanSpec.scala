@@ -75,6 +75,23 @@ class PlanSpec extends AnyFunSuite {
       "chunk keep-first must not be a window over chunk_hash:\n" + p.take(2000))
   }
 
+  test("x_media_neardup: no exchange carries a binary payload") {
+    // payloads are consumed inside the scans (hash pass + slice
+    // pass); only (asset_id, checksum) projections may shuffle — a
+    // payload crossing an exchange re-ships the whole corpus per join
+    val fmt = graft.SparkEntry.queries("x_media_neardup")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\bpayload#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships a binary payload:\n" + offending.mkString("\n\n"))
+  }
+
   test("x_chunk_clean: no exchange carries the document text") {
     // carrying `text` through the chunk explode/join/rebuild ships
     // n_chunks copies of every document (O(n_chunks × doc_len) shuffle
