@@ -35,10 +35,25 @@ object Streams {
     * batch twin `x_exact_dedup`/`x_incremental_dedup` handles
     * cross-window duplicates in the periodic compaction pass).
     */
+  /** Watermark `df` unless an upstream stage already did: Spark
+    * forbids redefining a watermark, and the gates here are designed
+    * to CHAIN (quality → near-dup → id-dedup share one event-time
+    * frontier) — the first stateful stage in a composed pipeline sets
+    * it, later stages reuse it.
+    */
+  private def watermarked(
+      df: DataFrame, tsCol: String, watermarkDelay: String): DataFrame = {
+    val already = df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    if (already) df else df.withWatermark(tsCol, watermarkDelay)
+  }
+
   def dedupedStream(
       df: DataFrame, tsCol: String, watermarkDelay: String,
       keyCols: Seq[String]): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
+    watermarked(df, tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming quality gate — the ingestion-side twin of the batch
@@ -86,14 +101,21 @@ object Streams {
       df: DataFrame, tsCol: String, watermarkDelay: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
-    val shingles = graft.queries.Pipeline.shingleCol(
-      graft.queries.Pipeline.words(col(textCol)))
-    val keyed = df.withColumn("gate_key",
-      when(size(shingles) >= 1,
-        concat(lit("f:"),
-          graft.functions.VectorFunctions.simhash64(spark, shingles)))
-        .otherwise(concat(lit("d:"), col(idCol))))
-    keyed.withWatermark(tsCol, watermarkDelay)
+    // materialize the shingle array in its own column: the size()
+    // guard and the fingerprint both read it, and an inline expression
+    // would shingle every row twice in the hot ingest path (projection
+    // collapsing keeps a multiply-referenced non-cheap alias as its
+    // own project, so this evaluates once)
+    val keyed = df
+      .withColumn("gate_shingles", graft.queries.Pipeline.shingleCol(
+        graft.queries.Pipeline.words(col(textCol))))
+      .withColumn("gate_key",
+        when(size(col("gate_shingles")) >= 1,
+          concat(lit("f:"),
+            graft.functions.VectorFunctions.simhash64(spark, col("gate_shingles"))))
+          .otherwise(concat(lit("d:"), col(idCol))))
+      .drop("gate_shingles")
+    watermarked(keyed, tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("gate_key"))
       .drop("gate_key")
   }

@@ -353,6 +353,111 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       files.indices.map(i => s"doc-$i.parquet"))
   }
 
+  test("full ingestion path: quality → near-dup → id-dedup → shards across a kill/restart, equals the batch pipeline") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // cyclic-rotation texts: rotations of one token cycle have the
+    // SAME distinct 3-gram shingle set, hence the same SimHash64 —
+    // true near-dups with different bytes AND different doc_ids, which
+    // only the fingerprint gate can catch. All pass the shared quality
+    // formula (stopword-heavy); "zz yy" fails it.
+    val catA = "the a cat the a cat"
+    val catB = "a cat the a cat the" // rotation of catA
+    val catC = "cat the a cat the a" // rotation of catA
+    val bad = "zz yy"
+    val dogA = "the a dog the a dog"
+    val birdA = "the a bird the a bird"
+    val elkA = "the a elk the a elk"
+    val fishA = "the a fish the a fish"
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = tmp.resolve("full-ingest-shards")
+    val ckpt = tmp.resolve("ckpt-full-ingest")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def startQuery(sink: StreamingShardSink) = Streams.toShardSink(
+      Streams.dedupedStream(
+        Streams.nearDupGate(
+          Streams.qualityGate(mem.toDF().toDF("ts", "doc_id", "text"))
+            .drop("quality"),
+          "ts", "10 minutes"),
+        "ts", "10 minutes", Seq("doc_id")),
+      sink, ckpt)
+
+    val sink1 = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 4096L, filePrefix = Some("doc"))
+    val q1 = startQuery(sink1)
+    try {
+      mem.addData(
+        (ts(1), 1L, catA), // novel → kept
+        (ts(1), 2L, bad), // quality gate drops it
+        (ts(2), 3L, catB)) // same fingerprint as catA → near-dup drop
+      q1.processAllAvailable()
+      mem.addData(
+        (ts(3), 4L, dogA), // novel → kept
+        (ts(4), 1L, birdA)) // new fingerprint but doc_id 1 replay → id-dedup drop
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill
+
+    // crash simulation (the established commit-drop): the restarted
+    // query replays the last micro-batch through ALL THREE stateful
+    // gates and into the resumed sink
+    val commitDir = ckpt.resolve("commits")
+    val newest = Files.list(commitDir).iterator.asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
+
+    val sink2 = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 4096L, filePrefix = Some("doc"), resume = true)
+    spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    val q2 = startQuery(sink2)
+    try {
+      mem.addData(
+        (ts(5), 5L, catC), // pre-kill fingerprint → near-dup state RESTORED
+        (ts(6), 4L, elkA), // new fingerprint, pre-kill doc_id → id state RESTORED
+        (ts(7), 6L, fishA)) // novel → kept
+      q2.processAllAvailable()
+    } finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.commitValidation.enabled")
+    }
+
+    val streamed = spark.read.schema(schema).parquet(out.toString)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // the batch pipeline on the same eight rows, built from the SAME
+    // shared expressions (qualityCol, shingleCol, SimHash64): quality
+    // filter, keep-first per fingerprint, keep-first per doc_id —
+    // arrival order k is the stream's order
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      (0L, 1L, catA), (1L, 2L, bad), (2L, 3L, catB), (3L, 4L, dogA),
+      (4L, 1L, birdA), (5L, 5L, catC), (6L, 4L, elkA), (7L, 6L, fishA))
+      .toDF("k", "doc_id", "text")
+    val batchTwin = rows
+      .withColumn("quality",
+        graft.queries.Pipeline.qualityCol($"text", graft.queries.Pipeline.words($"text")))
+      .filter($"quality" >= graft.queries.Pipeline.QUALITY_MIN)
+      .withColumn("fp", graft.functions.VectorFunctions.simhash64(
+        spark, graft.queries.Pipeline.shingleCol(graft.queries.Pipeline.words($"text"))))
+      .withColumn("rn_fp", row_number().over(Window.partitionBy($"fp").orderBy($"k")))
+      .filter($"rn_fp" === 1)
+      .withColumn("rn_id", row_number().over(Window.partitionBy($"doc_id").orderBy($"k")))
+      .filter($"rn_id" === 1)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(streamed === batchTwin)
+    assert(streamed === Set((1L, catA), (4L, dogA), (6L, fishA)))
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
