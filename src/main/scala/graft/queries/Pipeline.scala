@@ -1059,6 +1059,17 @@ object Pipeline {
   /** The near-dup (lexical ∪ semantic) cluster CTE chain for
     * [[dedupClustersSql]]. ([[dedupFullSql]] builds its own closure
     * because its edge set additionally contains the exact-dup edges.)
+    *
+    * ORACLE ASYMMETRY, recorded: this chain (and every oracle built
+    * on it — clusters, semantic audit, full decision, manifest
+    * family, recall eval) unconditionally inlines
+    * [[embedNearDupSql]], which reads `embeddings`. The Scala side
+    * degrades to the lexical-only graph when the table is absent
+    * ([[ensureEdgeGraph]]'s `hasEmb`); on a TEXT-ONLY corpus the
+    * oracle errors instead of matching that degradation. The verify
+    * harness only runs fixtures that carry embeddings, so the gap is
+    * latent by construction — a text-only deployment validates
+    * against the lexical-graph oracles by dropping the `ep` branch.
     */
   private lazy val dedupClusterCtesSql: String =
     s"""$lexEdgeCtesSql,
@@ -3166,8 +3177,19 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[microVec]]. */
+  /** Mirrors [[graft.functions.MicroVec]]'s null contract EXACTLY: a
+    * vector containing any null element micro-converts to NULL as a
+    * whole (the Spark expression cannot emit a partial vector), and a
+    * NULL list unnests to zero rows downstream — without the CASE
+    * guard the oracle would unnest the null ELEMENTS instead, where
+    * SUM skips them but COUNT(*) counts them, silently diverging from
+    * the engine on any corpus with a corrupt embedding. Fixtures carry
+    * no null elements, so results are unchanged there; the guard keeps
+    * the engine-parity contract honest off the happy path.
+    */
   private val microVecSql: String =
-    "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT))"
+    """CASE WHEN len(list_filter(embedding, v -> v IS NULL)) > 0 THEN NULL
+      |    ELSE list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)) END""".stripMargin
 
   /** DuckDB twin of [[microDimSums]] (plus the micro-vector CTE both
     * finals read): shared by [[pqCtesSql]] and [[embedOutliersSql]].
@@ -3562,6 +3584,14 @@ object Pipeline {
     def moved(src: String, r: Int): String =
       s"SELECT $r AS round, COUNT(*) FILTER (WHERE label <> old_label) AS n_moved, " +
         s"COUNT(*) AS n_total FROM $src"
+    // Null contract: embeddings with null ELEMENTS are outside this
+    // oracle's parity contract (the engine's MicroVec nulls the whole
+    // vector, which then cannot carry an E-step assignment; the
+    // long-form unnest below would instead null single positions).
+    // Fixtures carry none — [[microVecSql]]'s guard documents the
+    // aligned behavior for the single-pass micro-unit oracles, and a
+    // corpus with corrupt vectors must drop them upstream before any
+    // multi-round pipeline.
     s"""WITH mvl AS (
        |  SELECT vec_id, pos,
        |    CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mv

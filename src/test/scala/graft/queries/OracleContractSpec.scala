@@ -24,11 +24,17 @@ class OracleContractSpec extends AnyFunSuite {
     // interpolates the string "null" into the CTE text and DuckDB
     // fails with an opaque parser error five stages later (it
     // happened: filterFunnelSql forced the dedupFull chain ahead of
-    // embedNearDupSql). Scala's null renders lowercase and the
-    // oracles write NULL uppercase, so lowercase-null is the artifact.
+    // embedNearDupSql). The artifact has a specific shape — every SQL
+    // interpolation in Pipeline is either parenthesized (`ep AS
+    // ($embedNearDupSql)` → `ep AS (null)`) or a bare CTE chunk on
+    // its own line (`$lexEdgeCtesSql,` → `null,`) — so match THOSE,
+    // not every lowercase "null" (a future oracle may legitimately
+    // carry one inside a JSON or string literal).
+    val artifact = java.util.regex.Pattern.compile(
+      "\\(null\\)|(?m)^\\s*null,?\\s*$|WITH null\\b|, null,")
     graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(!sql.matches("(?s).*\\bnull\\b.*"),
-        s"$name oracle contains a lowercase 'null' — uninitialized val interpolated")
+      assert(!artifact.matcher(sql).find(),
+        s"$name oracle contains an uninitialized-val interpolation artifact")
       assert(sql.trim.nonEmpty, s"$name oracle is empty")
     }
   }
