@@ -19,14 +19,16 @@ package graft
   */
 object Bench {
   /** Per-query regression baseline at sf0.1, re-recorded IN FULL
-    * round 7 (every ceiling from the same two identical-code runs —
-    * no single-run entries remain): for each query, the MAX of its
-    * min-of-2 seconds across two full runs, DOUBLED. The round-7
-    * refresh matters beyond protocol hygiene: the codegen'd
-    * MicroVec/L2Micro2 kernels roughly halved the k-means/PQ family
-    * and the v3 edge graph changed the dedup family's work, so the
-    * round-6 ceilings were loose (stale 2-4× headroom hides real
-    * regressions). The ×2 is an explicit contention allowance — the
+    * round 8 (every ceiling from the same two identical-code runs on
+    * a quiet machine, both zero-retry zero-fail): for each query, the
+    * MAX of its min-of-2 seconds across two full runs, DOUBLED. The
+    * round-8 refresh covers the two new queries (x_dedup_recall,
+    * x_media_neardup), re-tightens the manifest family after the
+    * bucketed keep-map (x_cluster_sizes 3.43 → 0.36), and re-validates
+    * the entries round 7 flagged as possibly loose — x_minhash_est
+    * re-recorded at 5.41 vs the old 5.38 and x_ann_recall at 4.30 vs
+    * 3.88, i.e. those were real cost bands, not drift.
+    * The ×2 is an explicit contention allowance — the
     * recording runs executed on a quiet machine, while the driver's
     * per-round bench runs alongside its own harness processes, which
     * round-5 adjudication measured inflating identical code 1.3–2.6×
@@ -39,102 +41,104 @@ object Bench {
     * flagging.
     */
   private val BaselineSec: Map[String, Double] = Map(
-    "q_cube" -> 1.07,
-    "q_date_funcs" -> 0.82,
-    "q_event_funnel" -> 2.03, // recorded two-run protocol, runs 8+9
-    "q_events_tumbling" -> 0.79,
-    "q_grouping_sets" -> 1.10,
-    "q_join_orders" -> 1.19,
-    "q_json_funcs" -> 1.46,
-    "q_lateral_topn" -> 0.79,
-    "q_local_supplier" -> 1.98,
-    "q_moving_window" -> 1.05,
-    "q_outer_join" -> 1.04,
-    "q_pivot" -> 0.55,
-    "q_pricing_summary" -> 1.68,
-    "q_range_join" -> 1.26,
-    "q_rollup" -> 0.96,
-    "q_scalar_funcs" -> 0.49,
-    "q_scalar_subquery" -> 0.81,
-    "q_semi_anti" -> 0.76,
-    "q_setops" -> 0.69,
-    "q_topk" -> 0.42,
-    "q_unpivot" -> 1.74,
-    "q_window_rank" -> 0.79,
-    "roundtrip_cast" -> 2.51,
-    "roundtrip_distributed" -> 1.79,
-    "roundtrip_identity" -> 1.46,
-    "roundtrip_order" -> 0.75,
-    "roundtrip_rowgroups" -> 2.19,
-    "roundtrip_sharded" -> 1.21,
+    "q_cube" -> 0.96,
+    "q_date_funcs" -> 0.77,
+    "q_event_funnel" -> 2.07,
+    "q_events_tumbling" -> 0.89,
+    "q_grouping_sets" -> 1.02,
+    "q_join_orders" -> 0.94,
+    "q_json_funcs" -> 1.36,
+    "q_lateral_topn" -> 0.69,
+    "q_local_supplier" -> 1.97,
+    "q_moving_window" -> 1.11,
+    "q_outer_join" -> 0.97,
+    "q_pivot" -> 0.59,
+    "q_pricing_summary" -> 1.73,
+    "q_range_join" -> 1.10,
+    "q_rollup" -> 1.01,
+    "q_scalar_funcs" -> 0.50,
+    "q_scalar_subquery" -> 0.82,
+    "q_semi_anti" -> 0.63,
+    "q_setops" -> 0.64,
+    "q_topk" -> 0.40,
+    "q_unpivot" -> 1.68,
+    "q_window_rank" -> 0.81,
+    "roundtrip_cast" -> 2.04,
+    "roundtrip_distributed" -> 1.35,
+    "roundtrip_identity" -> 1.37,
+    "roundtrip_order" -> 0.71,
+    "roundtrip_rowgroups" -> 2.26,
+    "roundtrip_sharded" -> 1.20,
     "x_ann_ivf" -> 0.36,
-    "x_ann_ivf_nprobe" -> 1.11,
-    "x_ann_ivf_pruned" -> 0.54,
-    "x_ann_lsh" -> 0.39,
-    "x_ann_lsh_multiprobe" -> 0.41,
-    "x_ann_pq" -> 1.66,
-    "x_ann_recall" -> 3.88,
-    "x_asof_join" -> 0.69,
-    "x_bm25_batch" -> 1.60,
-    "x_bm25_search" -> 0.92,
-    "x_centroids" -> 0.43,
-    "x_chunk_clean" -> 1.24,
-    "x_chunk_dedup" -> 0.86,
+    "x_ann_ivf_nprobe" -> 1.15,
+    "x_ann_ivf_pruned" -> 0.50,
+    "x_ann_lsh" -> 0.41,
+    "x_ann_lsh_multiprobe" -> 0.39,
+    "x_ann_pq" -> 1.37,
+    "x_ann_recall" -> 4.30,
+    "x_asof_join" -> 0.63,
+    "x_bm25_batch" -> 1.64,
+    "x_bm25_search" -> 0.97,
+    "x_centroids" -> 0.37,
+    "x_chunk_clean" -> 1.15,
+    "x_chunk_dedup" -> 0.84,
     "x_chunk_windows" -> 0.51,
-    "x_cluster_sizes" -> 3.43,
-    "x_contamination" -> 2.43,
-    "x_corpus_manifest" -> 3.24,
-    "x_dedup_clusters" -> 2.07,
-    "x_dedup_docs" -> 0.45,
-    "x_dedup_full" -> 2.77,
-    "x_dedup_semantic" -> 2.61,
-    "x_dup_src_matrix" -> 0.63,
-    "x_dup_stats" -> 0.45,
-    "x_embed_near_dup" -> 1.57,
-    "x_embed_outliers" -> 0.54,
-    "x_embed_quantize" -> 0.52,
-    "x_exact_dedup" -> 0.38,
-    "x_filter_funnel" -> 3.13,
-    "x_fingerprint" -> 1.41,
-    "x_frame_sample" -> 0.35,
-    "x_hash_sample" -> 0.26,
-    "x_incremental_dedup" -> 0.45,
-    "x_incremental_neardup" -> 3.28, // recorded two-run protocol, runs 5+6
-    "x_shingle_novelty" -> 2.07, // recorded two-run protocol, runs 5+6
-    "x_jaccard_sweep" -> 4.39,
-    "x_kmeans_converge" -> 2.68,
-    "x_kmeans_iter" -> 1.00,
-    "x_kmeans_moves" -> 0.97,
-    "x_lang_confusion" -> 0.79,
-    "x_lang_id" -> 0.80,
-    "x_len_percentiles" -> 0.37,
-    "x_manifest_stats" -> 3.41,
-    "x_media_dedup" -> 0.65, // recorded two-run protocol, runs 3+4
-    "x_media_decode" -> 0.68,
-    "x_media_meta" -> 0.32,
-    "x_minhash_est" -> 5.38,
-    "x_minhash_lsh" -> 4.86,
-    "x_ngram_jaccard" -> 3.89,
-    "x_pq_codes" -> 1.13,
-    "x_quality_score" -> 0.63,
-    "x_redact" -> 0.79,
-    "x_repetition" -> 0.87,
-    "x_session_window" -> 1.06,
-    "x_sessionize" -> 1.24,
-    "x_shard_plan" -> 0.81,
-    "x_shard_stats" -> 1.15,
-    "x_sim_search" -> 0.56,
-    "x_simhash" -> 2.37,
-    "x_simhash_pairs" -> 3.64,
+    "x_cluster_sizes" -> 0.36,
+    "x_contamination" -> 2.62,
+    "x_corpus_manifest" -> 2.33,
+    "x_dedup_clusters" -> 2.18,
+    "x_dedup_docs" -> 0.44,
+    "x_dedup_full" -> 3.44,
+    "x_dedup_recall" -> 12.57,
+    "x_dedup_semantic" -> 2.66,
+    "x_dup_src_matrix" -> 0.73,
+    "x_dup_stats" -> 0.43,
+    "x_embed_near_dup" -> 1.67,
+    "x_embed_outliers" -> 0.69,
+    "x_embed_quantize" -> 0.75,
+    "x_exact_dedup" -> 0.44,
+    "x_filter_funnel" -> 2.41,
+    "x_fingerprint" -> 1.61,
+    "x_frame_sample" -> 0.32,
+    "x_hash_sample" -> 0.32,
+    "x_incremental_dedup" -> 0.73,
+    "x_incremental_neardup" -> 3.43,
+    "x_jaccard_sweep" -> 4.31,
+    "x_kmeans_converge" -> 2.56,
+    "x_kmeans_iter" -> 0.82,
+    "x_kmeans_moves" -> 0.91,
+    "x_lang_confusion" -> 0.69,
+    "x_lang_id" -> 0.74,
+    "x_len_percentiles" -> 0.39,
+    "x_manifest_stats" -> 2.42,
+    "x_media_decode" -> 0.64,
+    "x_media_dedup" -> 0.73,
+    "x_media_meta" -> 0.40,
+    "x_media_neardup" -> 1.97,
+    "x_minhash_est" -> 5.41,
+    "x_minhash_lsh" -> 5.21,
+    "x_ngram_jaccard" -> 4.38,
+    "x_pq_codes" -> 1.22,
+    "x_quality_score" -> 0.57,
+    "x_redact" -> 0.87,
+    "x_repetition" -> 0.71,
+    "x_session_window" -> 1.16,
+    "x_sessionize" -> 1.33,
+    "x_shard_plan" -> 0.99,
+    "x_shard_stats" -> 1.21,
+    "x_shingle_novelty" -> 1.90,
+    "x_sim_search" -> 0.29,
+    "x_simhash" -> 3.11,
+    "x_simhash_pairs" -> 3.58,
     "x_stratified_sample" -> 0.35,
-    "x_text_stats" -> 0.32,
-    "x_tfidf_terms" -> 0.90,
-    "x_token_count" -> 0.35,
-    "x_token_rarity" -> 0.72,
-    "x_token_sketch" -> 1.28,
-    "x_top_ngrams" -> 1.11,
-    "x_vocab_growth" -> 1.92,
-    "x_weighted_mix" -> 0.27)
+    "x_text_stats" -> 0.36,
+    "x_tfidf_terms" -> 1.07,
+    "x_token_count" -> 0.49,
+    "x_token_rarity" -> 0.75,
+    "x_token_sketch" -> 1.46,
+    "x_top_ngrams" -> 1.16,
+    "x_vocab_growth" -> 2.41,
+    "x_weighted_mix" -> 0.30)
 
   private val RegressionFactor = 3.0
 
