@@ -316,7 +316,10 @@ object VectorFunctions {
         exprs => L2Micro2(exprs(0), exprs(1))),
       (FunctionIdentifier("graft_simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-        exprs => SimHash64(exprs(0))))
+        exprs => SimHash64(exprs(0))),
+      (FunctionIdentifier("graft_bloom_novelty_ppm"),
+        new ExpressionInfo(classOf[BloomNoveltyPpm].getName, "graft_bloom_novelty_ppm"),
+        exprs => BloomNoveltyPpm(exprs(0), exprs(1))))
 
   /** Idempotently registers graft's native expressions with the session
     * function registry (also usable from SQL as `graft_dot(a, b)` etc.).
@@ -330,6 +333,9 @@ object VectorFunctions {
       "graft_l2_micro2", exprs => L2Micro2(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_novelty_ppm",
+      exprs => BloomNoveltyPpm(exprs(0), exprs(1)), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -350,5 +356,12 @@ object VectorFunctions {
   def simhash64(spark: SparkSession, a: Column): Column = {
     register(spark)
     call_function("graft_simhash64", a)
+  }
+
+  def bloomNoveltyPpm(spark: SparkSession, shingles: Column,
+      filterBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bloom_novelty_ppm", shingles,
+      org.apache.spark.sql.functions.lit(filterBytes))
   }
 }

@@ -541,6 +541,38 @@ object Pipeline {
   def shingleNovelty(s: SparkSession, dir: String): DataFrame =
     noveltyCore(s, dir, defaultBatchPred).orderBy(col("doc_id"))
 
+  /** Serialized Bloom filter of the corpus's distinct shingle
+    * universe — the broadcastable stand-in for [[noveltyCore]]'s
+    * corpus side that lets the STREAMING novelty gate
+    * ([[graft.streaming.Streams.noveltyGate]]) run stateless: the
+    * filter ships to the ingest executors once, each arriving doc
+    * tests its shingles locally, no anti-join, no streaming state.
+    * False positives under-report novelty by ≤ fpp — the conservative
+    * direction for a drop-below-floor gate.
+    *
+    * Sizing envelope (be honest at 100 TB): a Bloom filter costs
+    * ~1.2 bytes/item at 1% fpp, so the FULL shingle universe of a
+    * 100 TB corpus (~10¹² distinct shingles) is ~1 TB — not a
+    * broadcast. At that scale this builder is for BOUNDED universes
+    * (one source's boilerplate, a banned-content screen, the df-capped
+    * frequent-shingle set) or per-shard filters unioned at the edge;
+    * whole-corpus novelty stays in the batch manifest stage, where the
+    * anti-join is exact and runs at compaction cadence. The fixture
+    * corpus (~10⁵ shingles) fits in ~100 KB.
+    */
+  def corpusShingleFilter(s: SparkSession, dir: String,
+      batchPred: Column = defaultBatchPred,
+      fpp: Double = 0.001): Array[Byte] = {
+    val corpus = shinglesOf(Tables(s, dir, "documents"))
+      .filter(!batchPred)
+      .select(col("s")).distinct()
+    val expected = math.max(corpus.count(), 1L)
+    val bf = corpus.stat.bloomFilter("s", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** DuckDB twin of [[noveltyCore]], parameterized on the batch
     * condition.
     */

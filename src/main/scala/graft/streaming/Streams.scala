@@ -120,6 +120,36 @@ object Streams {
       .drop("gate_key")
   }
 
+  /** Streaming NOVELTY gate — the ingestion-side slice of the batch
+    * manifest's `not_novel` stage: drop arriving documents whose
+    * shingle novelty against a PRE-BUILT corpus filter
+    * ([[graft.queries.Pipeline.corpusShingleFilter]], refreshed at
+    * compaction cadence) measures under the floor. Stateless like
+    * [[qualityGate]]: the serialized Bloom filter rides into the
+    * codegen'd [[graft.functions.BloomNoveltyPpm]] expression as a
+    * constant (deserialized once per executor), so the gate adds ZERO
+    * streaming state at any ingest rate — the scalable shape for a
+    * filter that would otherwise need a corpus-sized anti-join per
+    * micro-batch. Sub-shingle docs (< 3 tokens) carry no signal and
+    * pass, mirroring the batch stage. Bloom false positives
+    * UNDER-report novelty (≤ fpp), so the gate can over-drop a doc
+    * sitting exactly at the floor, never under-drop — and the batch
+    * manifest recompute is the exact authority, same contract as the
+    * hamming-0 [[nearDupGate]] vs the batch banding.
+    */
+  def noveltyGate(
+      df: DataFrame, corpusFilter: Array[Byte],
+      floorPpm: Long = graft.queries.Pipeline.NOVELTY_MIN,
+      textCol: String = "text"): DataFrame = {
+    val ppm = graft.functions.VectorFunctions.bloomNoveltyPpm(
+      df.sparkSession,
+      graft.queries.Pipeline.shingleCol(graft.queries.Pipeline.words(col(textCol))),
+      corpusFilter)
+    df.withColumn("novelty_ppm", ppm)
+      .filter(col("novelty_ppm").isNull || col("novelty_ppm") >= floorPpm)
+      .drop("novelty_ppm")
+  }
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

@@ -458,6 +458,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(streamed === Set((1L, catA), (4L, dogA), (6L, fishA)))
   }
 
+  test("noveltyGate: Bloom-filter gate matches the batch novelty stage on the fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // the batch authority: measured novelty per batch doc (anti-join
+    // against the exact corpus shingle universe)
+    val batchNovelty = graft.queries.Pipeline.shingleNovelty(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 10 === 7)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // expected keeps: measured novelty at/above the floor, or no
+    // measurement at all (sub-shingle docs carry no signal)
+    val expectedKept = batchDocs.map(_._1).filter(id =>
+      batchNovelty.get(id).forall(_ >= graft.queries.Pipeline.NOVELTY_MIN)).toSet
+    val expectedDropped = batchDocs.map(_._1).toSet -- expectedKept
+    assert(expectedDropped.nonEmpty,
+      "fixture must exercise the drop side or the test is vacuous")
+
+    // tight fpp: on the fixture's ~50-shingle docs one false positive
+    // shifts ppm by ~20000, so keep the expected FP count ≈ 0 for the
+    // exact-parity assertion (the filter build is deterministic)
+    val bloom = graft.queries.Pipeline.corpusShingleFilter(spark, dir, fpp = 1e-6)
+
+    // batch-mode parity (the gate is stateless, so it runs on any DF)
+    val keptBatchMode = Streams.noveltyGate(
+      batchDocs.toDF("doc_id", "text"), bloom)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptBatchMode === expectedKept)
+
+    // and through an actual stream into the shard sink
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = tmp.resolve("novelty-shards")
+    val sink = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 1 << 20, filePrefix = Some("doc"))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.toShardSink(
+      Streams.noveltyGate(mem.toDF().toDF("ts", "doc_id", "text"), bloom),
+      sink, tmp.resolve("ckpt-novelty"))
+    try {
+      mem.addData(batchDocs.zipWithIndex.map { case ((id, text), i) =>
+        (ts(1 + (i % 50)), id, text)
+      }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedKept = spark.read.schema(schema).parquet(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamedKept === expectedKept)
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
