@@ -512,6 +512,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(streamedKept === expectedKept)
   }
 
+  test("nearDupGate on the planted corpus: hamming-0 catch agrees with the batch family's measured 0 ppm") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // x_dedup_recall measures batch simhash recall at 0 ppm for every
+    // planted edit rate on this corpus (each mutation kills ~3 of ~52
+    // shingles — far past the hamming ≤ 3 band gate). The streaming
+    // gate is the strictly TIGHTER hamming-0 slice, so it must agree:
+    // every planted variant passes. What it does catch — and the
+    // batch id-keyed dedup cannot — is a byte-identical replay under
+    // a fresh doc_id. Both claims pinned here on the same corpus the
+    // batch eval scores.
+    val adir = graft.queries.Pipeline.ensurePlantedCorpus(spark, dir).toString
+    val docs = spark.read.parquet(s"$adir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val variants = docs.filter(_._1 >= 1000000L)
+    val sources = variants.map { case (vid, _) => vid - 1000000L }.toSet
+    val originals = docs.filter(d => sources.contains(d._1))
+    assert(variants.nonEmpty && originals.length == variants.length)
+
+    val out = tmp.resolve("planted-gate")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val sink = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 1 << 20, filePrefix = Some("doc"))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.toShardSink(
+      Streams.nearDupGate(mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "10 minutes"),
+      sink, tmp.resolve("ckpt-planted-gate"))
+    try {
+      mem.addData(originals.map { case (id, t) => (ts(1), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(variants.map { case (id, t) => (ts(2), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData((ts(3), 5000000L, originals.head._2)) // exact replay
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.schema(schema).parquet(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    // every original and every variant survives (mutations move the
+    // fingerprint; hamming-0 cannot link them — the measured batch
+    // result, mirrored); the byte-identical replay is the one catch
+    assert(originals.map(_._1).toSet.subsetOf(kept))
+    assert(variants.map(_._1).toSet.subsetOf(kept))
+    assert(!kept.contains(5000000L))
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
