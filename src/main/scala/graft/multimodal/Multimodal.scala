@@ -276,9 +276,13 @@ object Multimodal {
       .orderBy($"a_id", $"b_id")
   }
 
-  val mediaNearDupSql: String =
+  /** [[mediaNearDup]]'s oracle over an arbitrary documents source
+    * (the media recall eval instantiates it over the augmented
+    * corpus).
+    */
+  private def mediaNearDupBodySqlFrom(src: String): String =
     s"""WITH h AS (
-       |  SELECT doc_id AS asset_id, md5($payloadSql) AS h FROM documents),
+       |  SELECT doc_id AS asset_id, md5($payloadSql) AS h FROM $src),
        |nonrep AS (
        |  SELECT asset_id FROM (
        |    SELECT asset_id, MIN(asset_id) OVER (PARTITION BY h) AS keep_id FROM h)
@@ -289,7 +293,7 @@ object Multimodal {
        |  FROM (
        |    SELECT doc_id AS asset_id, $payloadSql AS p,
        |      unnest(range(0, (length($payloadSql) + 255) // 256, 4)) AS frame_idx
-       |    FROM documents WHERE doc_id % 3 = 2)
+       |    FROM $src WHERE doc_id % 3 = 2)
        |  WHERE asset_id NOT IN (SELECT asset_id FROM nonrep)),
        |kf AS (
        |  SELECT asset_id, frame_md5 FROM f
@@ -306,17 +310,138 @@ object Multimodal {
        |WHERE c / (na.n + nb.n - c) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
+  val mediaNearDupSql: String = mediaNearDupBodySqlFrom("documents")
+
+  // ------------------------------------------------- media planted recall
+
+  /** Media variant ids live this far above their sources. ≡ 0 mod 3,
+    * so a video source's variant (`doc_id % 3 = 2`) is still sliced
+    * as a video by the unchanged [[assets]] kind convention.
+    */
+  private val MEDIA_OFF = 999999L
+
+  /** Bump when the media planting semantics change. */
+  private val MEDIA_PLANT_FMT_VERSION = 1
+
+  /** Plant sources for the media recall eval: video assets that are
+    * exact-payload representatives (min doc_id per text — a variant
+    * of a collapsed duplicate would pair with the duplicate's rep and
+    * unfairly read as a false positive), at least 8 chars of text.
+    * `trunc_q` ∈ {1, 2, 3}: the variant keeps the first q/4 of the
+    * source's characters — the truncated-download / partial-mirror
+    * class.
+    */
+  private def mediaPlantSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 2)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"text").orderBy($"doc_id")))
+      .filter($"rn" === 1 && length($"text") >= 8)
+      .select($"doc_id", $"text", $"lang", $"source",
+        expr("(doc_id div 3) % 3 + 1").as("trunc_q"))
+  }
+
+  /** One-time build of the media planted corpus: originals plus one
+    * truncated variant per video rep.
+    */
+  def ensureMediaPlanted(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.queries.Pipeline.ensureArtifactFor("graft-media-planted", dir,
+      "documents", s"|v$MEDIA_PLANT_FMT_VERSION") { staging =>
+      import s.implicits._
+      // two-step rename before aliasing (the lateral-column-alias
+      // lesson from the lexical planted corpus)
+      val variants = mediaPlantSources(s, dir)
+        .select($"doc_id".as("src_id"),
+          expr("substring(text, 1, cast((length(text) * trunc_q) div 4 as int))")
+            .as("vtext"),
+          $"lang", $"source")
+        .select(($"src_id" + MEDIA_OFF).as("doc_id"), $"vtext".as("text"),
+          $"lang", $"source")
+        .withColumn("n_chars", length($"text").cast("long"))
+      Tables(s, dir, "documents").unionByName(variants)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("documents.parquet").toString)
+    }
+
+  /** Ground-truth recall eval for [[mediaNearDup]] — the media twin of
+    * `x_dedup_recall`: per truncation class, how many planted
+    * truncated variants the frame-Jaccard family links back to their
+    * source, in exact ppm. The production pipeline runs UNCHANGED over
+    * the planted corpus. The measured result documents the operator's
+    * true granularity: a variant keeping less than one full 256-byte
+    * sampled slice shares NO frame checksum with its source and
+    * cannot be linked (recall 0 for the fixture's short payloads at
+    * q ∈ {1, 2}); one shared full slice links it (q = 3). With a real
+    * codec the slices become decoded frames and the same eval
+    * measures re-encoding robustness.
+    */
+  def mediaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adir = ensureMediaPlanted(s, dir).toString
+    val planted = mediaPlantSources(s, dir).select($"doc_id".as("src_id"), $"trunc_q")
+    val crossP = mediaNearDup(s, adir)
+      .filter($"a_id" < MEDIA_OFF && $"b_id" >= MEDIA_OFF)
+      .select($"a_id", ($"b_id" - MEDIA_OFF).as("src_id"))
+    val scored = crossP.join(broadcast(planted), "src_id")
+      .groupBy($"trunc_q")
+      .agg(sum(when($"a_id" === $"src_id", 1L).otherwise(0L)).as("caught"),
+        sum(when($"a_id" =!= $"src_id", 1L).otherwise(0L)).as("extra"))
+    planted.groupBy($"trunc_q").agg(count(lit(1)).as("n_planted"))
+      .join(scored, Seq("trunc_q"), "left")
+      .select($"trunc_q", $"n_planted",
+        coalesce($"caught", lit(0L)).as("n_caught"),
+        coalesce($"extra", lit(0L)).as("n_extra"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000 div n_planted"))
+      .orderBy($"trunc_q")
+  }
+
+  val mediaRecallSql: String =
+    s"""WITH plant AS (
+       |  SELECT doc_id, text, (doc_id // 3) % 3 + 1 AS trunc_q
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= 8
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |aug_media AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT p.doc_id + $MEDIA_OFF,
+       |    substr(p.text, 1, CAST((length(p.text) * p.trunc_q) // 4 AS BIGINT))
+       |  FROM plant p),
+       |pairs AS (${mediaNearDupBodySqlFrom("aug_media")}),
+       |crossp AS (
+       |  SELECT a_id, b_id - $MEDIA_OFF AS src_id FROM pairs
+       |  WHERE a_id < $MEDIA_OFF AND b_id >= $MEDIA_OFF),
+       |scored AS (
+       |  SELECT p.trunc_q,
+       |    COUNT(*) FILTER (WHERE a_id = src_id) AS caught,
+       |    COUNT(*) FILTER (WHERE a_id <> src_id) AS extra
+       |  FROM crossp c JOIN plant p ON c.src_id = p.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(p.trunc_q AS BIGINT) AS trunc_q,
+       |  COUNT(*) AS n_planted,
+       |  CAST(COALESCE(ANY_VALUE(caught), 0) AS BIGINT) AS n_caught,
+       |  CAST(COALESCE(ANY_VALUE(extra), 0) AS BIGINT) AS n_extra,
+       |  (CAST(COALESCE(ANY_VALUE(caught), 0) AS BIGINT) * 1000000) // COUNT(*)
+       |    AS recall_ppm
+       |FROM plant p LEFT JOIN scored s ON p.trunc_q = s.trunc_q
+       |GROUP BY p.trunc_q
+       |ORDER BY trunc_q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_media_meta"    -> mediaMeta _,
     "x_media_decode"  -> mediaDecode _,
     "x_frame_sample"  -> frameSample _,
     "x_media_dedup"   -> mediaDedup _,
-    "x_media_neardup" -> mediaNearDup _)
+    "x_media_neardup" -> mediaNearDup _,
+    "x_media_recall"  -> mediaRecall _)
 
   val oracle: Map[String, String] = Map(
     "x_media_meta"    -> mediaMetaSql,
     "x_media_decode"  -> mediaDecodeSql,
     "x_frame_sample"  -> frameSampleSql,
     "x_media_dedup"   -> mediaDedupSql,
-    "x_media_neardup" -> mediaNearDupSql)
+    "x_media_neardup" -> mediaNearDupSql,
+    "x_media_recall"  -> mediaRecallSql)
 }

@@ -2845,6 +2845,14 @@ object Pipeline {
     * artifact and the loser discards its copy, instead of interleaving
     * writes into one directory.
     */
+  /** [[ensureArtifact]] for other graft packages (the multimodal
+    * planted corpus uses the same stamped-build-once machinery).
+    */
+  private[graft] def ensureArtifactFor(kind: String, dir: String,
+      srcTable: String, extraKey: String)(
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    ensureArtifact(kind, dir, srcTable, extraKey)(build)
+
   private def ensureArtifact(kind: String, dir: String, srcTable: String,
       extraKey: String)(build: java.nio.file.Path => Unit): java.nio.file.Path =
     Pipeline.synchronized {
