@@ -115,6 +115,8 @@ object Bench {
     "x_media_dedup" -> 0.73,
     "x_media_meta" -> 0.40,
     "x_media_neardup" -> 1.97,
+    "x_media_recall" -> 3.57, // recorded two-run protocol, runs 3+4
+
     "x_minhash_est" -> 5.41,
     "x_minhash_lsh" -> 5.21,
     "x_ngram_jaccard" -> 4.38,
@@ -178,6 +180,8 @@ object Bench {
     // family; the decision pipeline itself stays measured as
     // x_dedup_full)
     graft.queries.Pipeline.ensureKeepMap(spark, sfDir)
+    // one-time media planted corpus (setup for x_media_recall)
+    graft.multimodal.Multimodal.ensureMediaPlanted(spark, sfDir)
     var failed = List.empty[String]
     var retried = List.empty[String]
     // per-query regression gate — the baseline is recorded at sf0.1,

@@ -33,7 +33,10 @@ class DeterminismSpec extends AnyFunSuite {
     "x_dedup_semantic",
     // round-8 class: derived-corpus artifact + 4-family pair union +
     // ppm division — the whole eval must not depend on task width
-    "x_dedup_recall")
+    "x_dedup_recall",
+    // media twin: binary slicing + frame-index Jaccard over a derived
+    // corpus
+    "x_media_recall")
 
   test("results are invariant under shuffle-partition count (32 → 3 → 64)") {
     val conf = spark.conf
