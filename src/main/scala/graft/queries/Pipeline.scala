@@ -3871,9 +3871,13 @@ object Pipeline {
     * is scoped to original×variant pairs — original×original pairs
     * are the corpus's own structure, variant×variant pairs the
     * transitive echo of it, and neither says anything about the
-    * plants. Every family pipeline runs EXACTLY its production code
-    * over the artifact dir ([[ensurePlantedCorpus]]) — the eval can
-    * never drift from the operators it audits. Fixture blind spots
+    * plants. A fifth `pipeline` row per rate scores the SHIPPED edge
+    * composition ([[ensureEdgeGraph]]'s jaccard ∪ simhash ∪ semantic
+    * union — minhash is a standalone operator, not a graph family):
+    * the system-level recall the dedup decision actually gets. Every
+    * family pipeline runs EXACTLY its production code over the
+    * artifact dir ([[ensurePlantedCorpus]]) — the eval can never
+    * drift from the operators it audits. Fixture blind spots
     * (df-capped boilerplate shingles, the short-text shingle floor,
     * rep-collapsing) surface here as measured ppm, not prose.
     */
@@ -3887,9 +3891,18 @@ object Pipeline {
       "minhash" -> minhashLsh(s, adir),
       "simhash" -> simhashPairs(s, adir)) ++
       (if (hasEmb) Seq("semantic" -> embedNearDup(s, adir)) else Nil)
-    val pairs = famPairs.map { case (f, df) =>
+    // the SHIPPED composition: the edge families [[ensureEdgeGraph]]
+    // actually unions into the dedup decision (jaccard ∪ simhash
+    // [∪ semantic] — minhash is a standalone operator, not a graph
+    // family), so the report answers "what recall does the pipeline's
+    // dedup get", not only each ingredient's
+    val shipped = famPairs.filter(_._1 != "minhash")
+    val pairs = (famPairs.map { case (f, df) =>
       df.select(lit(f).as("fam"), col("a_id"), col("b_id"))
-    }.reduce(_ union _)
+    } :+ shipped.map(_._2.select(col("a_id"), col("b_id")))
+      .reduce(_ union _).distinct()
+      .select(lit("pipeline").as("fam"), col("a_id"), col("b_id")))
+      .reduce(_ union _)
     val planted = plantedSources(s, dir).select($"doc_id".as("src_id"), $"rate")
     val crossP = pairs
       .filter($"a_id" < PLANT_OFF && $"b_id" >= PLANT_OFF)
@@ -3900,7 +3913,7 @@ object Pipeline {
         sum(when($"a_id" =!= $"src_id", 1L).otherwise(0L)).as("extra"))
     val perRate = planted.groupBy($"rate").agg(count(lit(1)).as("n_planted"))
     val spine = perRate.select(
-      explode(array(famPairs.map(f => lit(f._1)): _*)).as("fam"),
+      explode(array((famPairs.map(f => lit(f._1)) :+ lit("pipeline")): _*)).as("fam"),
       $"rate", $"n_planted")
     spine.join(scored, Seq("fam", "rate"), "left")
       .select($"fam", $"rate", $"n_planted",
@@ -3961,7 +3974,12 @@ object Pipeline {
        |  SELECT 'jaccard' AS fam, a_id, b_id FROM jac
        |  UNION ALL SELECT 'minhash', a_id, b_id FROM mnh
        |  UNION ALL SELECT 'simhash', a_id, b_id FROM sim
-       |  UNION ALL SELECT 'semantic', a_id, b_id FROM sem),
+       |  UNION ALL SELECT 'semantic', a_id, b_id FROM sem
+       |  UNION ALL
+       |  SELECT 'pipeline', a_id, b_id FROM (
+       |    SELECT a_id, b_id FROM jac UNION
+       |    SELECT a_id, b_id FROM sim UNION
+       |    SELECT a_id, b_id FROM sem)),
        |crossp AS (
        |  SELECT fam, a_id, b_id - $PLANT_OFF AS src_id FROM pairs
        |  WHERE a_id < $PLANT_OFF AND b_id >= $PLANT_OFF),
@@ -3975,7 +3993,8 @@ object Pipeline {
        |spine AS (
        |  SELECT fam, rate, n_planted
        |  FROM per_rate,
-       |       (SELECT unnest(['jaccard', 'minhash', 'semantic', 'simhash']) AS fam))
+       |       (SELECT unnest(['jaccard', 'minhash', 'semantic', 'simhash',
+       |                       'pipeline']) AS fam))
        |SELECT spine.fam, spine.rate, spine.n_planted,
        |  CAST(COALESCE(caught, 0) AS BIGINT) AS n_caught,
        |  CAST(COALESCE(extra, 0) AS BIGINT) AS n_extra,

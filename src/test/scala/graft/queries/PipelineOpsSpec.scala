@@ -189,8 +189,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "completely unrelated words in this other document here now",
       9L -> "another filler document with its own distinct token stream"))
     val got = Pipeline.dedupRecall(spark, dir).collect()
-    // text-only corpus: the semantic family degrades away
-    assert(got.map(_.getString(0)).toSeq.sorted === Seq("jaccard", "minhash", "simhash"))
+    // text-only corpus: the semantic family degrades away; the
+    // shipped-composition row remains (jaccard ∪ simhash here)
+    assert(got.map(_.getString(0)).toSeq.sorted ===
+      Seq("jaccard", "minhash", "pipeline", "simhash"))
     val jac = got.find(_.getString(0) == "jaccard").get
     assert(jac.getLong(1) === 8L) // rate class of doc 2
     assert(jac.getLong(2) === 1L && jac.getLong(3) === 1L && jac.getLong(4) === 0L)

@@ -108,7 +108,27 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must register cleanly
     assert(graft.functions.VectorFunctions.injections.map(_._1.funcName) ==
-      Seq("graft_dot", "graft_micro_vec", "graft_l2_micro2", "graft_simhash64"))
+      Seq("graft_dot", "graft_micro_vec", "graft_l2_micro2", "graft_simhash64",
+        "graft_bloom_novelty_ppm"))
+  }
+
+  test("BloomNoveltyPpm: membership matches stat.bloomFilter; empty array is null") {
+    import spark.implicits._
+    val corpus = Seq("aa bb", "bb cc", "cc dd").toDF("s")
+    val bf = corpus.stat.bloomFilter("s", 3, 0.000001)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val rows = Seq(
+      (1L, Seq("aa bb", "bb cc")), // all seen → 0 ppm
+      (2L, Seq("aa bb", "zz zz")), // half novel → 500000
+      (3L, Seq("xx", "yy", "zz", "qq")), // all novel → 1000000
+      (4L, Seq.empty[String])) // no signal → null
+      .toDF("id", "sh")
+    val got = rows.select($"id",
+      graft.functions.VectorFunctions.bloomNoveltyPpm(spark, $"sh", bytes))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 4L -> -1L))
   }
 
   test("graft_dot evaluates from plain SQL after registration") {
