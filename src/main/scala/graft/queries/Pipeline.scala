@@ -3891,23 +3891,31 @@ object Pipeline {
       "minhash" -> minhashLsh(s, adir),
       "simhash" -> simhashPairs(s, adir)) ++
       (if (hasEmb) Seq("semantic" -> embedNearDup(s, adir)) else Nil)
-    // the SHIPPED composition: the edge families [[ensureEdgeGraph]]
-    // actually unions into the dedup decision (jaccard ∪ simhash
-    // [∪ semantic] — minhash is a standalone operator, not a graph
-    // family), so the report answers "what recall does the pipeline's
-    // dedup get", not only each ingredient's
-    val shipped = famPairs.filter(_._1 != "minhash")
-    val pairs = (famPairs.map { case (f, df) =>
+    val pairs = famPairs.map { case (f, df) =>
       df.select(lit(f).as("fam"), col("a_id"), col("b_id"))
-    } :+ shipped.map(_._2.select(col("a_id"), col("b_id")))
-      .reduce(_ union _).distinct()
-      .select(lit("pipeline").as("fam"), col("a_id"), col("b_id")))
-      .reduce(_ union _)
+    }.reduce(_ union _)
     val planted = plantedSources(s, dir).select($"doc_id".as("src_id"), $"rate")
+    // localCheckpoint pins the (tiny, plant-bounded) cross-pair set:
+    // the shipped-composition row below re-reads it, and without the
+    // pin each consumer would re-run all four family pipelines — the
+    // dominant cost (the bm25 exchange-reuse lesson; naively
+    // checkpointing the four full pair sets instead serializes their
+    // materialization and measured ~2× slower than one fused plan)
     val crossP = pairs
       .filter($"a_id" < PLANT_OFF && $"b_id" >= PLANT_OFF)
       .select($"fam", $"a_id", ($"b_id" - PLANT_OFF).as("src_id"))
-    val scored = crossP.join(broadcast(planted), "src_id")
+      .localCheckpoint()
+    // the SHIPPED composition: the edge families [[ensureEdgeGraph]]
+    // actually unions into the dedup decision (jaccard ∪ simhash
+    // [∪ semantic] — minhash is a standalone operator, not a graph
+    // family). Derived from the pinned cross pairs — the cross filter
+    // commutes with the union-distinct, so this equals running the
+    // composed pair set through the same scoring
+    val crossAll = crossP.union(
+      crossP.filter($"fam" =!= "minhash")
+        .select($"a_id", $"src_id").distinct()
+        .select(lit("pipeline").as("fam"), $"a_id", $"src_id"))
+    val scored = crossAll.join(broadcast(planted), "src_id")
       .groupBy($"fam", $"rate")
       .agg(sum(when($"a_id" === $"src_id", 1L).otherwise(0L)).as("caught"),
         sum(when($"a_id" =!= $"src_id", 1L).otherwise(0L)).as("extra"))
