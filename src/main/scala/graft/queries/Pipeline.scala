@@ -921,25 +921,46 @@ object Pipeline {
     * HDFS dir.
     */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    // repartition on src BEFORE the checkpoint: every round joins sym
+    // on src, and a checkpointed plan carries its partitioning into
+    // the LogicalRDD — so the edge set is exchanged ONCE here instead
+    // of once per round (at 100 TB the edge set is the big operand;
+    // O(rounds) exchanges of it was the loop's dominant shuffle)
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint() // reused every round; never recompute the edge pipeline
+    componentsOverSym(sym, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  /** The label-propagation loop over an already-symmetrized edge set
+    * (`src`, `dst`; duplicates tolerated — they only feed a `min`).
+    * Callers holding the bucketed [[symEdgesOf]] layout enter here
+    * directly: the scan arrives hash-partitioned on `src`, so the
+    * per-round propagation join never exchanges the edge side, and
+    * storage (not executor block-manager memory) backs its per-round
+    * reuse — the corpus-scale operand stays unpinned. `symIds` are
+    * the caller's checkpoint RDD ids to release on convergence (empty
+    * when sym is a table scan).
+    */
+  private def componentsOverSym(sym: DataFrame, symIds: Set[Int]): DataFrame = {
     // localCheckpoint persists RDDs the catalog cache never sees; free
     // each round's checkpoint as soon as the next one supersedes it
     // (tracked by persistent-RDD id, never touching the caller's own
     // persisted data) so an iterative call leaves behind only its
     // result — not O(rounds) of dead block-manager state
-    val sc = edges.sparkSession.sparkContext
+    val sc = sym.sparkSession.sparkContext
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val preexisting = persistedIds
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
-      .localCheckpoint() // reused every round; never recompute the edge pipeline
-    val symIds = persistedIds -- preexisting
+    val preexisting = persistedIds // includes symIds when checkpointed
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    var prevIds = persistedIds -- preexisting -- symIds
+    var prevIds = persistedIds -- preexisting
     var changed = 1L
     var round = 0
     while (changed > 0 && round < 50) {
@@ -963,7 +984,7 @@ object Pipeline {
       changed = next.filter(col("label") =!= col("old")).count()
       // next is materialized (eager checkpoint + the count above), so
       // the previous round's checkpoint has no remaining reader
-      val nextIds = persistedIds -- preexisting -- symIds -- prevIds
+      val nextIds = persistedIds -- preexisting -- prevIds
       free(prevIds)
       prevIds = nextIds
       labels = next.select(col("id"), col("label"))
@@ -1043,13 +1064,62 @@ object Pipeline {
     e.select(e("a_id"), e("b_id"))
   }
 
-  /** The lexical (Jaccard ∪ SimHash) half of the edge artifact — the
-    * pre-semantic graph [[dedupSemantic]] audits against.
+  /** Bucket count of the symmetric-edge layout — same sizing contract
+    * as [[KEEP_BUCKETS]]: the one fixed constant every components
+    * pass aligns to, so the edge side of the propagation join never
+    * re-buckets.
     */
-  private def lexEdges(s: SparkSession, dir: String): DataFrame = {
-    val e = s.read.parquet(ensureEdgeGraph(s, dir).toString)
-    e.filter(e("fam") === "lex").select(e("a_id"), e("b_id"))
+  private val SYM_BUCKETS = 8
+
+  /** One-time build of the SYMMETRIZED edge layout — the
+    * [[ensureEdgeGraph]] pair set with both directions materialized
+    * (`src`, `dst`, `fam`), distinct, written `bucketBy(src)`. This
+    * is [[connectedComponents]]' working set: every propagation round
+    * joins the edges on `src`, so the symmetrize + distinct + hash
+    * alignment that the generic path re-derives per components CALL
+    * happens once per corpus here, and the bucket metadata hands
+    * every round a scan that is already partitioned on the join key —
+    * zero exchanges of the corpus-scale operand, ever, after this
+    * build. Keyed by the parent edge artifact's hash (which already
+    * encodes the corpus + embedding stamps and
+    * [[EDGE_FMT_VERSION]]), so a refreshed graph invalidates the
+    * layout transitively.
+    */
+  def ensureSymEdges(s: SparkSession, dir: String): java.nio.file.Path = {
+    val edges = ensureEdgeGraph(s, dir)
+    ensureArtifact("graft-symedges", dir, "documents",
+        s"|p${edges.getFileName}|b$SYM_BUCKETS") { staging =>
+      val e = s.read.parquet(edges.toString)
+      val tmp = s"graft_symedges_build_${ProcessHandle.current.pid}"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      e.select(e("a_id").as("src"), e("b_id").as("dst"), e("fam"))
+        .union(e.select(e("b_id").as("src"), e("a_id").as("dst"), e("fam")))
+        .distinct()
+        .repartition(SYM_BUCKETS, col("src"))
+        .write.bucketBy(SYM_BUCKETS, "src").sortBy("src")
+        .option("path", staging.toString)
+        .saveAsTable(tmp)
+      s.sql(s"DROP TABLE $tmp")
+    }
   }
+
+  /** The symmetric edge layout as a bucket-aware DataFrame (the
+    * [[keepMapOf]] registration pattern: external bucketed table named
+    * by artifact hash, read through the catalog so the scan keeps the
+    * bucket partitioning a bare `read.parquet` would discard).
+    */
+  private[graft] def symEdgesOf(s: SparkSession, dir: String): DataFrame =
+    Pipeline.synchronized {
+      val p = ensureSymEdges(s, dir)
+      val tbl = s"graft_symedges_${p.getFileName}"
+      if (!s.catalog.tableExists(tbl))
+        s.sql(
+          s"""CREATE TABLE $tbl (src BIGINT, dst BIGINT, fam STRING)
+             |USING parquet
+             |CLUSTERED BY (src) SORTED BY (src) INTO $SYM_BUCKETS BUCKETS
+             |LOCATION '$p'""".stripMargin)
+      s.table(tbl).select(col("src"), col("dst"), col("fam"))
+    }
 
   /** Duplicate-cluster assignment — the stage a real dedup pipeline
     * runs after pair generation: the union of the exact-Jaccard
@@ -1071,7 +1141,9 @@ object Pipeline {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    connectedComponents(nearDupEdges(s, dir))
+    // both fams straight off the bucketed layout — a cross-fam
+    // duplicate pair only feeds the loop's min, so no distinct needed
+    componentsOverSym(symEdgesOf(s, dir).select($"src", $"dst"), Set.empty)
       .select($"id".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
   }
@@ -1140,7 +1212,10 @@ object Pipeline {
     */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lex = connectedComponents(lexEdges(s, dir))
+    // 'lex' rows of the bucketed layout are already distinct + both
+    // directions — straight into the propagation loop
+    val lex = componentsOverSym(
+      symEdgesOf(s, dir).filter($"fam" === "lex").select($"src", $"dst"), Set.empty)
     val sem = embedNearDup(s, dir).select($"a_id", $"b_id", $"cos")
     sem
       .join(lex.select($"id".as("a_id"), $"label".as("a_cl")), Seq("a_id"), "left")

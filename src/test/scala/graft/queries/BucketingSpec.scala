@@ -82,4 +82,38 @@ class BucketingSpec extends AnyFunSuite {
         plan.take(3000))
     assert(joined.count() == docs.count())
   }
+
+  test("sym-edge layout: the propagation join never shuffles the edge side") {
+    // the components loop's per-round shape: sym edges joined on src
+    // against the current labels. The edge side is the corpus-scale
+    // operand at 100 TB — the bucketed layout must hand it to the
+    // join already partitioned, leaving the (much smaller) labels
+    // side as the only exchange. The merge hint blocks a broadcast
+    // from hiding the layout at fixture scale.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sym = Pipeline.symEdgesOf(spark, dir).select($"src", $"dst")
+    val labels = sym.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+      .repartition(5) // deliberately misaligned, as round-k labels are
+    val prop = sym.hint("merge")
+      .join(labels.select($"id".as("src"), $"label".as("src_label")), "src")
+    val plan = prop.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "expected the forced merge join:\n" + plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one exchange (labels side), got $exchanges:\n" +
+        plan.take(3000))
+    assert(prop.count() > 0)
+
+    // symmetry + fam contract of the layout itself: every stored pair
+    // appears in both directions within its family
+    val e = Pipeline.symEdgesOf(spark, dir)
+    val missing = e.as("f")
+      .join(e.as("r"),
+        $"f.src" === $"r.dst" && $"f.dst" === $"r.src" && $"f.fam" === $"r.fam",
+        "left_anti")
+    assert(missing.count() == 0, "sym layout must contain both directions of every pair")
+  }
 }
