@@ -172,6 +172,10 @@ object Bench {
     // the pair pipelines themselves are still measured as
     // x_ngram_jaccard / x_simhash_pairs)
     graft.queries.Pipeline.ensureEdgeGraph(spark, sfDir)
+    // one-time symmetrized bucketed edge layout (setup for the
+    // components passes — the same build-once contract as the edge
+    // graph it derives from)
+    graft.queries.Pipeline.ensureSymEdges(spark, sfDir)
     // one-time planted-corpus build (setup for x_dedup_recall — the
     // eval measures the four family pipelines over the augmented
     // corpus, not the corpus derivation itself)
