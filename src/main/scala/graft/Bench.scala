@@ -157,6 +157,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query names — local perf iteration
+    // on one family without paying the full 99-query sweep. The driver
+    // passes no args, so the per-round emission is always the full
+    // surface.
+    val only: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(",").map(_.trim).toSet)
     val spark = Sessions.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/scan paths so the first measured query
@@ -230,7 +236,9 @@ object Bench {
     // So a would-be flag buys ONE more attempt — min-of-3, recorded in
     // `retried` so the artifact shows the gate adjudicating itself — a
     // real plan regression slows all three runs and still flags.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val secs = (1 to 2).map(_ => attempt(name, fn))
       var best = if (secs.exists(_ < 0)) -1.0 else secs.min
       if (gated && best >= 0 && exceedsCeiling(name, best)) {

@@ -625,8 +625,18 @@ object Pipeline {
     import s.implicits._
     val sigAggs = (0 until 8)
       .map(i => min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
+    // The shingle set rides the band shuffle, the collect_list groups,
+    // and the pairwise explode² as 64-bit hashes, not raw strings:
+    // |intersection| and the set sizes are identical (two distinct
+    // shingles of one pair colliding in 64 bits is ~n²/2⁶⁵ — at 10⁶
+    // shingles per doc that is ~10⁻⁷, and the oracle's string-keyed
+    // join agrees absent such a collision), while the shuffled bytes
+    // per member drop from ~30 B × |ss| strings to 8 B longs and the
+    // per-pair intersect compares longs instead of strings. The md5
+    // signature slots still hash the raw string — the banding and the
+    // oracle's `min(md5('i|' || s))` must agree byte-for-byte.
     val doc = keptShinglesOf(repDocs(s, dir)).groupBy($"doc_id")
-      .agg(collect_list($"s").as("ss"), sigAggs: _*)
+      .agg(collect_list(xxhash64($"s")).as("ss"), sigAggs: _*)
     val sigCol =
       if (withSig) Seq(array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
       else Nil
