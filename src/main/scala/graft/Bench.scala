@@ -186,6 +186,11 @@ object Bench {
     // eval measures the four family pipelines over the augmented
     // corpus, not the corpus derivation itself)
     graft.queries.Pipeline.ensurePlantedCorpus(spark, sfDir)
+    // one-time family pair run over the planted corpus (setup for
+    // x_dedup_recall's scoring — the family pair pipelines themselves
+    // stay measured as x_ngram_jaccard / x_minhash_lsh /
+    // x_simhash_pairs / x_embed_near_dup)
+    graft.queries.Pipeline.ensureRecallPairs(spark, sfDir)
     // one-time bucketed keep-map build (setup for the manifest
     // family; the decision pipeline itself stays measured as
     // x_dedup_full)
