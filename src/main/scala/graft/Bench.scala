@@ -39,6 +39,12 @@ object Bench {
     * [[RegressionFactor]] × this ceiling easily — and a stall that
     * somehow survives min-of-2 gets the third attempt before
     * flagging.
+    *
+    * Recording protocol (round-8 advisory): ceilings are re-recorded
+    * in a SEPARATE commit from the code changes they measure, and any
+    * per-entry move >20% against the prior recorded value is named in
+    * that commit's message — so the gate never silently absorbs a
+    * slowdown introduced by the same change that re-recorded it.
     */
   private val BaselineSec: Map[String, Double] = Map(
     "q_cube" -> 0.96,

@@ -53,6 +53,12 @@ case class BloomNoveltyPpm(left: Expression, right: Expression)
 
   @transient private lazy val filter: BloomFilter = {
     val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    // a foldable NULL binary (lit(null).cast("binary")) passes the
+    // type check but has no filter to deserialize — fail with the
+    // expression's name instead of an opaque NPE at codegen reference
+    // time
+    if (bytes == null) throw new IllegalArgumentException(
+      s"$prettyName: the serialized Bloom filter argument is NULL")
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
 

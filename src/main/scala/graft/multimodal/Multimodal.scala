@@ -350,6 +350,15 @@ object Multimodal {
     graft.queries.Pipeline.ensureArtifactFor("graft-media-planted", dir,
       "documents", s"|v$MEDIA_PLANT_FMT_VERSION") { staging =>
       import s.implicits._
+      // variant ids live MEDIA_OFF above their sources; the id<OFF /
+      // id>=OFF split below partitions pairs into original×variant
+      // ONLY if no real doc_id reaches the offset — assert it instead
+      // of assuming the fixture stays small (a colliding corpus would
+      // silently corrupt the recall eval's cross-pair set)
+      val maxId = Tables(s, dir, "documents")
+        .agg(max($"doc_id")).as[Long].head()
+      require(maxId < MEDIA_OFF,
+        s"media planted corpus: max doc_id $maxId collides with variant offset $MEDIA_OFF")
       // two-step rename before aliasing (the lateral-column-alias
       // lesson from the lexical planted corpus)
       val variants = mediaPlantSources(s, dir)

@@ -1334,13 +1334,14 @@ object Pipeline {
     * bucket-aware scans of the same files.
     */
   def ensureKeepMap(s: SparkSession, dir: String): java.nio.file.Path = {
-    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val embStamp =
-      if (java.nio.file.Files.exists(embSrc))
-        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
-      else "none"
+    // keyed on the edge-graph ARTIFACT's name (the [[ensureSymEdges]]
+    // pattern): the decision consumes the edge graph, so corpus stamp,
+    // [[EDGE_FMT_VERSION]], and the embedding stamp invalidate this
+    // map transitively by construction — reconstructing the parent's
+    // key here would go stale the day the parent's key gains an input
+    val edges = ensureEdgeGraph(s, dir)
     ensureArtifact("graft-keepmap", dir, "documents",
-        s"|v$EDGE_FMT_VERSION|e$embStamp|b$KEEP_BUCKETS") { staging =>
+        s"|p${edges.getFileName}|b$KEEP_BUCKETS") { staging =>
       val tmp = s"graft_keepmap_build_${ProcessHandle.current.pid}"
       s.sql(s"DROP TABLE IF EXISTS $tmp")
       dedupDecision(s, dir)
@@ -3913,6 +3914,14 @@ object Pipeline {
     ensureArtifact("graft-planted", dir, "documents",
         s"|v$PLANT_FMT_VERSION|e$embStamp") { staging =>
       import s.implicits._
+      // the id<OFF / id>=OFF split in every recall consumer is only a
+      // partition of the pairs if no fixture doc_id reaches the
+      // offset — assert, don't assume (a colliding corpus variant
+      // would silently corrupt the eval's cross-pair set)
+      val maxId = Tables(s, dir, "documents")
+        .agg(max($"doc_id")).as[Long].head()
+      require(maxId < PLANT_OFF,
+        s"planted corpus: max doc_id $maxId collides with variant offset $PLANT_OFF")
       // rename BEFORE aliasing doc_id: Spark's lateral column alias
       // resolution would otherwise bind the mutation's doc_id to the
       // offset alias in the same select (markers would read

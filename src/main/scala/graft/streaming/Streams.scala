@@ -43,11 +43,35 @@ object Streams {
     */
   private def watermarked(
       df: DataFrame, tsCol: String, watermarkDelay: String): DataFrame = {
-    val already = df.queryExecution.logical.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
-      case _ => false
+    val existing = df.queryExecution.logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
     }
-    if (already) df else df.withWatermark(tsCol, watermarkDelay)
+    existing match {
+      case Nil => df.withWatermark(tsCol, watermarkDelay)
+      case ws =>
+        // reusing an upstream frontier is only sound on the SAME
+        // event-time column — a silent reuse across different columns
+        // would give this gate an unrelated stage's frontier
+        ws.find(_.eventTime.name != tsCol).foreach { w =>
+          throw new IllegalArgumentException(
+            s"composed stream already watermarks '${w.eventTime.name}' " +
+              s"but this gate was asked for '$tsCol' — chained gates " +
+              "must share one event-time column")
+        }
+        // a delay mismatch is legal composition (the FIRST stage owns
+        // the frontier) but worth a trace: the caller's delay is
+        // ignored by design
+        val delays = ws.map(_.delay.toString).distinct
+        if (!delays.contains(
+            org.apache.spark.sql.catalyst.util.IntervalUtils
+              .stringToInterval(
+                org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+              .toString))
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"graft.Streams: upstream watermark delay ${delays.mkString(",")} " +
+              s"reused; this gate's '$watermarkDelay' is ignored (first stage owns the frontier)")
+        df
+    }
   }
 
   def dedupedStream(
