@@ -223,19 +223,38 @@ object Multimodal {
     */
   private val FRAME_DF_CAP = 100
 
-  /** NEAR-duplicate media by frame-checksum overlap — the multimodal
+  /** Feature windows for [[mediaNearDup]]: 64-byte slices at stride
+    * 48 (overlap 16 — the `x_chunk_windows` 32/24 pattern in bytes),
+    * COMPLETE windows only (a partial tail window hashes a shorter
+    * byte run and can never match anything, so sampling it only adds
+    * noise to both set sizes). Overlapping short windows instead of
+    * [[frameSample]]'s sparse 256-byte slices is what gives the
+    * pipeline sub-slice granularity: a variant keeping ≥ 64 aligned
+    * bytes of its source shares ≥ 1 window.
+    */
+  private val WIN_BYTES = 64
+  private val WIN_STRIDE = 48
+
+  /** NEAR-duplicate media by frame-window overlap — the multimodal
     * twin of the lexical near-dup family, catching what
     * [[mediaDedup]]'s whole-payload hash cannot: truncated and
     * partially-overlapping variants (the fixture contains real ones —
     * equal 251-char prefixes with different tails). Features are
-    * [[frameSample]]'s sampled-slice checksums (with a real codec the
-    * checksums come from DECODED frames, making the same pipeline
-    * robust to container-level re-encoding — only the feature
-    * extractor changes); the pipeline is [[graft.queries.Pipeline]]'s
-    * inverted-index Jaccard, re-instantiated: exact-dup pre-collapse
+    * overlapping complete 64-byte window checksums ([[WIN_BYTES]] /
+    * [[WIN_STRIDE]]; with a real codec the checksums come from
+    * DECODED frames, making the same pipeline robust to
+    * container-level re-encoding — only the feature extractor
+    * changes); the pipeline is [[graft.queries.Pipeline]]'s
+    * inverted-index shape, re-instantiated: exact-dup pre-collapse
     * (byte-identical payloads are mediaDedup's catch and would pile
-    * into every frame group), per-asset distinct frame sets, df-cap,
-    * group-local pair generation, exact Jaccard ≥ 0.5 verification.
+    * into every frame group), per-asset distinct window sets, df-cap,
+    * group-local pair generation, exact verification on candidates.
+    * Two linking metrics, both reported: Jaccard ≥ 0.5 for
+    * symmetric near-dups, and CONTAINMENT ≥ 0.9 (|∩| / min set size)
+    * for truncations — a variant keeping 1/4 of its source holds a
+    * window set ~1/4 the source's, so its Jaccard is ≈ 0.25 BY
+    * CONSTRUCTION and no sampling density can lift it over a 0.5 bar;
+    * containment of the aligned prefix is ≈ 1 and sees it.
     * Scale shape: payloads are consumed INSIDE the scans (one pass
     * hashes them, one pass slices them) — only (asset_id, 32-byte
     * checksum) rows ever reach an exchange, plan-asserted.
@@ -249,12 +268,12 @@ object Multimodal {
       .filter($"asset_id" =!= $"keep_id")
       .select($"asset_id")
     val frames = assets(s, dir)
-      .filter($"kind" === "video")
-      .withColumn("frame_idx",
+      .filter($"kind" === "video" && length($"payload") >= WIN_BYTES)
+      .withColumn("off",
         explode(sequence(lit(0L),
-          ((length($"payload") + 255) / 256).cast("long") - 1L, lit(4L))))
+          (length($"payload") - WIN_BYTES).cast("long"), lit(WIN_STRIDE.toLong))))
       .select($"asset_id",
-        md5(expr("substring(payload, cast(frame_idx * 256 + 1 as int), 256)"))
+        md5(expr(s"substring(payload, cast(off + 1 as int), $WIN_BYTES)"))
           .as("frame_md5"))
       .distinct()
       .join(nonReps, Seq("asset_id"), "left_anti")
@@ -271,8 +290,10 @@ object Multimodal {
       .filter($"x.asset_id" < $"y.asset_id")
       .groupBy($"x.asset_id".as("a_id"), $"y.asset_id".as("b_id"))
       .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
-      .select($"a_id", $"b_id", ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id",
+        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"),
+        ($"c" / least($"na", $"nb")).as("containment"))
+      .filter($"jaccard" >= 0.5 || $"containment" >= 0.9)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -289,11 +310,11 @@ object Multimodal {
        |  WHERE asset_id <> keep_id),
        |f AS (
        |  SELECT DISTINCT asset_id,
-       |    md5(substr(p, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+       |    md5(substr(p, CAST(off + 1 AS BIGINT), $WIN_BYTES)) AS frame_md5
        |  FROM (
        |    SELECT doc_id AS asset_id, $payloadSql AS p,
-       |      unnest(range(0, (length($payloadSql) + 255) // 256, 4)) AS frame_idx
-       |    FROM $src WHERE doc_id % 3 = 2)
+       |      unnest(range(0, length($payloadSql) - ${WIN_BYTES - 1}, $WIN_STRIDE)) AS off
+       |    FROM $src WHERE doc_id % 3 = 2 AND length($payloadSql) >= $WIN_BYTES)
        |  WHERE asset_id NOT IN (SELECT asset_id FROM nonrep)),
        |kf AS (
        |  SELECT asset_id, frame_md5 FROM f
@@ -305,9 +326,10 @@ object Multimodal {
        |  FROM kf x JOIN kf y
        |    ON x.frame_md5 = y.frame_md5 AND x.asset_id < y.asset_id
        |  GROUP BY 1, 2)
-       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard
+       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard,
+       |  c / least(na.n, nb.n) AS containment
        |FROM inter JOIN sz na ON a_id = na.asset_id JOIN sz nb ON b_id = nb.asset_id
-       |WHERE c / (na.n + nb.n - c) >= 0.5
+       |WHERE c / (na.n + nb.n - c) >= 0.5 OR c / least(na.n, nb.n) >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 
   val mediaNearDupSql: String = mediaNearDupBodySqlFrom("documents")
@@ -379,12 +401,15 @@ object Multimodal {
     * truncated variants the frame-Jaccard family links back to their
     * source, in exact ppm. The production pipeline runs UNCHANGED over
     * the planted corpus. The measured result documents the operator's
-    * true granularity: a variant keeping less than one full 256-byte
-    * sampled slice shares NO frame checksum with its source and
-    * cannot be linked (recall 0 for the fixture's short payloads at
-    * q ∈ {1, 2}); one shared full slice links it (q = 3). With a real
-    * codec the slices become decoded frames and the same eval
-    * measures re-encoding robustness.
+    * true granularity floor: a variant keeping fewer than
+    * [[WIN_BYTES]] bytes of its source holds no complete feature
+    * window and cannot be linked by any set metric — everything
+    * longer is containment's to catch (the round-8 eval measured the
+    * old 256-byte sparse slices + Jaccard-only linking at 0 ppm for
+    * q ∈ {1, 2}, which is what motivated the overlapping windows and
+    * the containment metric). With a real codec the windows become
+    * decoded frames and the same eval measures re-encoding
+    * robustness.
     */
   def mediaRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
