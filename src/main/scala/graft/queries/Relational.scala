@@ -532,6 +532,55 @@ object Relational {
       |  ON l_extendedprice >= lo AND (hi IS NULL OR l_extendedprice < hi)
       |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
 
+  /** Salt fan-out for the skewed-join demo: each dim row is
+    * replicated SALT_N ways, each fact row picks one replica by id
+    * hash — the hot key's rows spread across SALT_N shuffle
+    * partitions instead of one straggler task.
+    */
+  private val SALT_N = 8
+
+  /** Skewed equi-join with explicit salting — the classic 100 TB
+    * failure mode demonstrated and mitigated: `documents.lang` is a
+    * hot key (the fixture's `en` holds ~44% of all rows; a web corpus
+    * is worse), so a plain shuffle join on `lang` sends nearly half
+    * the fact table through ONE reducer. The mitigation pattern when
+    * the dim side is too large to broadcast: replicate the dim
+    * [[SALT_N]] ways, salt the fact side by a uniform id hash, and
+    * join on (key, salt) — the hot key's rows now land on [[SALT_N]]
+    * reducers. Salting is pure plumbing: the oracle is the PLAIN
+    * join, which is what makes this a correctness-checked demo and
+    * not a benchmark trick. The merge hints pin a SortMergeJoin so
+    * the salted shuffle shape is what actually runs (AQE would
+    * otherwise broadcast this fixture-sized dim; its own skew-join
+    * split only engages past the 256 MB partition threshold —
+    * unreachable at test SF, which is why the demo salts explicitly).
+    * Output is integer-exact (share in ppm by integer division) so
+    * the hash check is engine-stable.
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val dim = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("lang_docs"), sum($"n_chars").as("lang_chars"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SALT_N - 1))))
+    val fact = docs.select($"doc_id", $"lang", $"n_chars")
+      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(SALT_N.toLong)).cast("int"))
+    fact.hint("merge")
+      .join(dim.hint("merge"), Seq("lang", "salt"))
+      .select($"doc_id", $"lang", $"lang_docs",
+        expr("n_chars * 1000000 div lang_chars").as("share_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val skewJoinSql: String =
+    """WITH dim AS (
+      |  SELECT lang, COUNT(*) AS lang_docs, SUM(n_chars) AS lang_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT doc_id, d.lang, lang_docs,
+      |  CAST(n_chars * 1000000 // lang_chars AS BIGINT) AS share_ppm
+      |FROM documents d JOIN dim USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   /** UNPIVOT — [[pivotOrders]]'s inverse: the per-returnflag metric
     * columns melted into (metric, value) rows, the wide→long reshape
     * reporting layers ask of an engine. Native `Dataset.unpivot`
@@ -667,7 +716,8 @@ object Relational {
     "q_lateral_topn"    -> lateralTopN _,
     "q_grouping_sets"   -> groupingSets _,
     "q_unpivot"         -> unpivotMetrics _,
-    "q_range_join"      -> rangeJoin _)
+    "q_range_join"      -> rangeJoin _,
+    "q_skew_join"       -> skewJoin _)
 
   val oracle: Map[String, String] = Map(
     "q_event_funnel"    -> eventFunnelSql,
@@ -691,5 +741,6 @@ object Relational {
     "q_lateral_topn"    -> lateralTopNSql,
     "q_grouping_sets"   -> groupingSetsSql,
     "q_unpivot"         -> unpivotMetricsSql,
-    "q_range_join"      -> rangeJoinSql)
+    "q_range_join"      -> rangeJoinSql,
+    "q_skew_join"       -> skewJoinSql)
 }

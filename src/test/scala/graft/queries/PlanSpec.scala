@@ -322,4 +322,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Window .*windowspecdefinition\\(b1#".r.findFirstIn(p).isDefined,
       "row-level running sum must partition by b1:\n" + p.take(3000))
   }
+
+  test("q_skew_join: salt spreads the hot key — join keys are (lang, salt), shuffled not broadcast") {
+    val p = plan("q_skew_join")
+    // the mitigation IS the join key: a SortMergeJoin keyed on
+    // (lang, salt) means the hot lang's rows hash to SALT_N reducers;
+    // losing the salt from the keys (or collapsing to a broadcast,
+    // which AQE would love to do with a fixture-sized dim) silently
+    // reverts the demo to the unmitigated single-reducer shape
+    val smj = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(smj.nonEmpty, "expected a SortMergeJoin in:\n" + p.take(2000))
+    assert(smj.contains("lang#") && smj.contains("salt#"),
+      "salted join must key on (lang, salt): " + smj)
+    assert(!p.contains("BroadcastHashJoin"),
+      "the salted demo must not broadcast the dim:\n" + p.take(2000))
+  }
 }
