@@ -1374,6 +1374,312 @@ object Pipeline {
       s.table(tbl).select(col("doc_id"), col("keep_id"), col("is_kept"))
     }
 
+  // ------------------------------------------- incremental graph maintenance
+
+  /** Bump when the incremental edge-delta semantics change — same
+    * manual contract as [[EDGE_FMT_VERSION]].
+    */
+  private val INCR_FMT_VERSION = 1
+
+  /** [[defaultBatchPred]] over an arbitrary id column (embeddings key
+    * by `vec_id`; the row-aligned corpus convention makes the same
+    * predicate correct on both tables).
+    */
+  private def isBatchId(id: Column): Column = id % 10 === 7
+
+  /** One-time build of the BASE corpus — the fixture minus the
+    * arriving batch, i.e. "the corpus as of yesterday's compaction".
+    * [[ensureEdgeGraph]] over this directory IS yesterday's edge
+    * artifact: the incremental path reuses the production build
+    * machinery end-to-end instead of maintaining a parallel one.
+    */
+  def ensureBaseCorpus(s: SparkSession, dir: String): java.nio.file.Path = {
+    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val hasEmb = java.nio.file.Files.exists(embSrc)
+    val embStamp =
+      if (hasEmb)
+        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
+      else "none"
+    ensureArtifact("graft-basecorpus", dir, "documents",
+        s"|v$INCR_FMT_VERSION|e$embStamp") { staging =>
+      import s.implicits._
+      Tables(s, dir, "documents").filter(!isBatchId($"doc_id"))
+        .write.mode("overwrite")
+        .parquet(staging.resolve("documents.parquet").toString)
+      if (hasEmb)
+        Tables(s, dir, "embeddings").filter(!isBatchId($"vec_id"))
+          .write.mode("overwrite")
+          .parquet(staging.resolve("embeddings.parquet").toString)
+    }
+  }
+
+  /** Yesterday's component labels, materialized once per base graph —
+    * keyed on the base edge artifact's name, so corpus/embedding
+    * stamps and both format versions invalidate transitively.
+    */
+  def ensureBaseLabels(s: SparkSession, dir: String): java.nio.file.Path = {
+    val baseEdges = ensureEdgeGraph(s, ensureBaseCorpus(s, dir).toString)
+    ensureArtifact("graft-baselabels", dir, "documents",
+        s"|p${baseEdges.getFileName}") { staging =>
+      val e = s.read.parquet(baseEdges.toString)
+      connectedComponents(e.select(col("a_id"), col("b_id")))
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+  }
+
+  /** Batch-touching instantiations of the three edge families — the
+    * one-sided [[incrementalNearDup]] shape generalized: pair
+    * generation restricted, GROUP-LOCALLY, to pairs with at least one
+    * endpoint in `touch`, over the FULL corpus's structures (reps,
+    * dfs, bands — which is what makes the delta exact). They mirror
+    * the production cores ([[ngramPairCounts]], [[simhashPairs]],
+    * [[embedNearDupBlocked]]) rather than share a parameterized body,
+    * so the production plans stay byte-identical; the incremental ≡
+    * full-rebuild equivalence test is the divergence guard. `touch`
+    * is batch-bounded and broadcasts; at 100 TB a Bloom filter takes
+    * its place.
+    */
+  private def jacPairsTouching(
+      s: SparkSession, dir: String, touch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val kept = keptShingles(s, dir)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .join(broadcast(touch.select($"doc_id", lit(true).as("t"))), Seq("doc_id"), "left")
+      .withColumn("is_t", coalesce($"t", lit(false)))
+    val index = kept.groupBy($"s")
+      .agg(collect_list(struct($"doc_id", $"n", $"is_t")).as("g"))
+      .filter(size($"g") >= 2)
+    index
+      .select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id" && ($"x.is_t" || $"y.is_t"))
+      .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+      .filter($"c" / ($"na" + $"nb" - $"c") >= 0.10)
+      .select($"a_id", $"b_id")
+  }
+
+  private def simPairsTouching(
+      s: SparkSession, dir: String, touch: DataFrame): DataFrame = {
+    import s.implicits._
+    val bands = fingerprintsOf(repDocs(s, dir))
+      .join(broadcast(touch.select($"doc_id", lit(true).as("t"))), Seq("doc_id"), "left")
+      .withColumn("is_t", coalesce($"t", lit(false)))
+      .select($"doc_id", $"simhash", $"is_t",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band")))
+    capBandGroups(bands).groupBy($"band_idx", $"band")
+      .agg(collect_list(struct($"doc_id", $"simhash", $"is_t")).as("g"))
+      .filter(size($"g") >= 2)
+      .select(explode($"g").as("x"), $"g")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id" && ($"x.is_t" || $"y.is_t"))
+      .filter(bit_count($"x.simhash".bitwiseXOR($"y.simhash")) <= 3)
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+  }
+
+  private def semPairsTouching(
+      s: SparkSession, dir: String, touch: DataFrame): DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir, "embeddings")
+    val cellN = src.groupBy($"label").agg(count(lit(1)).as("cell_n"))
+    val e = src
+      .join(broadcast(cellN), "label")
+      .withColumn("sub",
+        when($"cell_n" > EMBED_CELL_CAP, signBucket($"embedding")).otherwise(lit(0L)))
+      .join(broadcast(touch.select($"doc_id".as("vec_id"), lit(true).as("t"))),
+        Seq("vec_id"), "left")
+      .withColumn("is_t", coalesce($"t", lit(false)))
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.sub" === $"b.sub" &&
+          $"a.vec_id" < $"b.vec_id" && ($"a.is_t" || $"b.is_t"))
+      .filter(cosine(s, $"a.embedding", $"b.embedding") >= 0.40)
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+  }
+
+  /** The incrementally-maintained edge set: yesterday's graph, minus
+    * the edges invalidated by the batch, plus the batch-touching
+    * delta. Exposed for the equivalence spec — the contract is that
+    * this EQUALS the full rebuild's edge set.
+    *
+    * The three delta components:
+    *  - `plus`: every family's pairs with a batch endpoint, generated
+    *    one-sided over the full corpus's structures (batch docs are
+    *    absent from the base corpus, so every such pair is new).
+    *  - rep-stealing (`demoted`): a batch doc with a smaller id than
+    *    an existing exact-dedup representative takes over rep-ship;
+    *    the demoted doc's SIMHASH edges die with its rep status
+    *    (fingerprints exist per rep) while its doc-level Jaccard
+    *    edges survive — so the removal set is its base lex edges
+    *    MINUS the full-corpus Jaccard pairs that still touch it.
+    *  - semantic edges are vec-level (no rep collapse): base ones
+    *    persist, new ones come from `plus`.
+    *
+    * EXACTNESS BOUNDARY, documented: the identity holds while the
+    * increment crosses no structural cap — a shingle df crossing
+    * [[SHINGLE_DF_CAP]], a band group crossing [[BAND_CAP]], or an
+    * embedding cell crossing [[EMBED_CELL_CAP]] re-scores pairs the
+    * delta does not revisit. Cap crossings are what the periodic full
+    * compaction ([[ensureEdgeGraph]] on the merged corpus) owns — the
+    * standard incremental-dedup contract, and the fixtures sit far
+    * under every cap (max band group ≈ [[BAND_CAP]]/4 at sf0.1).
+    */
+  /** The batch-bounded delta as two pinned sets: (`plus`, `minus`).
+    * One fused touching run serves both jaccard roles — pairs
+    * touching batch ∪ demoted, split downstream — so the corpus-scan
+    * side of the jaccard pipeline runs ONCE; both outputs are
+    * plant-bounded and localCheckpointed so every consumer (the
+    * region marking, the sub-graph components, the final union) reads
+    * materialized rows instead of re-running family pipelines.
+    */
+  private def incrDelta(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val batch = docs.filter(isBatchId($"doc_id")).select($"doc_id")
+    val hasEmb = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val baseEdges = s.read.parquet(
+      ensureEdgeGraph(s, ensureBaseCorpus(s, dir).toString).toString)
+    val mins = docs
+      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("full_min"),
+        min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
+    val demoted = mins
+      .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
+      .select($"base_min".as("doc_id"))
+    val jacTouch = jacPairsTouching(s, dir, batch.union(demoted))
+    val lexPlus = jacTouch
+      .filter(isBatchId($"a_id") || isBatchId($"b_id"))
+      .union(simPairsTouching(s, dir, batch))
+    val plus =
+      (if (hasEmb) lexPlus.union(semPairsTouching(s, dir, batch)) else lexPlus)
+        .distinct()
+    val baseLex = baseEdges.filter($"fam" === "lex").select($"a_id", $"b_id")
+    val touchDem = baseLex
+      .join(demoted.select($"doc_id".as("a_id")), Seq("a_id"), "left_semi")
+      .select($"a_id", $"b_id")
+      .union(baseLex
+        .join(demoted.select($"doc_id".as("b_id")), Seq("b_id"), "left_semi")
+        .select($"a_id", $"b_id"))
+      .distinct()
+    // every touchDem pair touches a demoted doc, so subtracting the
+    // whole fused set removes exactly the still-jaccard-supported ones
+    val minus = touchDem.except(jacTouch.select($"a_id", $"b_id"))
+    (plus.localCheckpoint(), minus.localCheckpoint())
+  }
+
+  private[graft] def incrEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (plus, minus) = incrDelta(s, dir)
+    val baseEdges = s.read.parquet(
+      ensureEdgeGraph(s, ensureBaseCorpus(s, dir).toString).toString)
+    // plus ∩ base = ∅ (every plus pair has a batch endpoint; batch
+    // docs are absent from the base corpus), so `added` is plain
+    // plus-membership and the union never duplicates a pair
+    baseEdges.select($"a_id", $"b_id").except(minus)
+      .select($"a_id", $"b_id", lit(false).as("added"))
+      .union(plus.select($"a_id", $"b_id", lit(true).as("added")))
+  }
+
+  /** Incrementally-maintained near-dup clusters — the 100 TB
+    * daily-ingest answer to re-running [[dedupClusters]] from
+    * scratch: yesterday's labels ([[ensureBaseLabels]]) stand for
+    * every cluster the batch did not touch; only clusters containing
+    * an endpoint of a changed edge re-run the propagation loop, over
+    * their own base edges plus the delta. Output is one row per
+    * clustered document — identical to the full rebuild's clusters
+    * (the oracle derives ground truth by rebuilding from scratch, so
+    * the hash match IS the equivalence proof) — plus `recomputed`:
+    * whether the doc's cluster went through the incremental re-run
+    * (⟺ its final cluster contains a changed-edge endpoint; every
+    * split part of an edge-removal borders a removed edge, so the
+    * region marking and the oracle's cluster-membership derivation
+    * agree). Cost scales with the touched region, not the corpus:
+    * the untouched labels pass straight through from the artifact.
+    */
+  def incrClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseLabels = s.read.parquet(ensureBaseLabels(s, dir).toString)
+    val (plus, minus) = incrDelta(s, dir)
+    val baseEdges = s.read.parquet(
+      ensureEdgeGraph(s, ensureBaseCorpus(s, dir).toString).toString)
+      .select($"a_id", $"b_id")
+    val changed = plus.union(minus)
+    val touchedIds = changed.select($"a_id".as("id"))
+      .union(changed.select($"b_id".as("id"))).distinct()
+    val touchedLabels = touchedIds.join(baseLabels, Seq("id"), "left")
+      .select(coalesce($"label", $"id").as("label")).distinct()
+    // base edges of touched clusters (an edge's endpoints share a label)
+    val regionBase = baseEdges
+      .join(baseLabels.select($"id".as("a_id"), $"label"), Seq("a_id"))
+      .join(broadcast(touchedLabels), Seq("label"), "left_semi")
+      .select($"a_id", $"b_id")
+    val subEdges = regionBase.except(minus).union(plus).distinct()
+    val subLabels = connectedComponents(subEdges)
+    val untouched = baseLabels
+      .join(broadcast(touchedLabels), Seq("label"), "left_anti")
+    untouched.select($"id", $"label", lit(false).as("recomputed"))
+      .union(subLabels.select($"id", $"label", lit(true).as("recomputed")))
+      .select($"id".as("doc_id"), $"label".as("cluster_id"), $"recomputed")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: ground truth by FULL rebuild — both edge sets (the
+    * batch-less base and the whole corpus) derived from scratch with
+    * the families' parameterized oracle pipelines, the closure taken
+    * over the full set, and `recomputed` as "the cluster contains a
+    * changed-edge endpoint". The Spark side never rebuilds; matching
+    * this oracle is the incremental ≡ full-rebuild proof.
+    */
+  lazy val incrClustersSql: String =
+    s"""WITH RECURSIVE
+       |base_docs AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |base_emb AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+       |fjac AS (WITH ${ngramPairCountsCtesSqlFrom("documents")}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |fsim AS (WITH ${simhashPairsCtesSqlFrom("documents")}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |fsem AS (SELECT a_id, b_id FROM (${embedNearDupBodySqlFrom("embeddings")})),
+       |bjac AS (WITH ${ngramPairCountsCtesSqlFrom("base_docs")}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |bsim AS (WITH ${simhashPairsCtesSqlFrom("base_docs")}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |bsem AS (SELECT a_id, b_id FROM (${embedNearDupBodySqlFrom("base_emb")})),
+       |full_e AS (
+       |  SELECT a_id, b_id FROM fjac UNION SELECT a_id, b_id FROM fsim
+       |  UNION SELECT a_id, b_id FROM fsem),
+       |base_e AS (
+       |  SELECT a_id, b_id FROM bjac UNION SELECT a_id, b_id FROM bsim
+       |  UNION SELECT a_id, b_id FROM bsem),
+       |plus AS (
+       |  SELECT a_id, b_id FROM full_e WHERE a_id % 10 = 7 OR b_id % 10 = 7),
+       |minus AS (
+       |  -- base ∖ full as an anti-join: DuckDB rejects EXCEPT inside
+       |  -- a WITH RECURSIVE chain
+       |  SELECT b.a_id, b.b_id FROM base_e b
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM full_e f WHERE f.a_id = b.a_id AND f.b_id = b.b_id)),
+       |touched AS (
+       |  SELECT a_id AS id FROM plus UNION SELECT b_id FROM plus
+       |  UNION SELECT a_id FROM minus UNION SELECT b_id FROM minus),
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM full_e
+       |  UNION SELECT b_id, a_id FROM full_e),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+       |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |tcl AS (SELECT DISTINCT cluster_id FROM cl JOIN touched USING (id))
+       |SELECT cl.id AS doc_id, cl.cluster_id,
+       |  cl.cluster_id IN (SELECT cluster_id FROM tcl) AS recomputed
+       |FROM cl ORDER BY doc_id""".stripMargin
+
   lazy val dedupFullSql: String =
     s"""WITH RECURSIVE
        |$lexEdgeCtesSql,
@@ -2958,6 +3264,17 @@ object Pipeline {
           p.getFileName.toString + ".tmp-" + ProcessHandle.current.pid)
         try {
           build(staging)
+          // the completeness marker this method checks above must
+          // exist at the artifact ROOT: builds that write parquet
+          // SUBDIRECTORIES (planted corpus, base corpus) get Spark's
+          // _SUCCESS inside each table dir but not at the root — and
+          // without a root marker every later call saw "partial
+          // artifact", deleted it, and silently rebuilt (plus, the
+          // refreshed inner mtimes re-keyed every downstream artifact
+          // stamped off them — a full rebuild cascade per call)
+          val marker = staging.resolve("_SUCCESS")
+          if (!java.nio.file.Files.exists(marker))
+            java.nio.file.Files.createFile(marker)
           try java.nio.file.Files.move(staging, p,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch {
@@ -4141,6 +4458,7 @@ object Pipeline {
     "x_dup_stats"      -> dupStats _,
     "x_incremental_dedup" -> incrementalDedup _,
     "x_incremental_neardup" -> incrementalNearDup _,
+    "x_incr_clusters" -> incrClusters _,
     "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
@@ -4208,6 +4526,7 @@ object Pipeline {
     "x_dup_stats"      -> dupStatsSql,
     "x_incremental_dedup" -> incrementalDedupSql,
     "x_incremental_neardup" -> incrementalNearDupSql,
+    "x_incr_clusters" -> incrClustersSql,
     "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,

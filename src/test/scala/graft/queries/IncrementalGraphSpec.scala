@@ -1,0 +1,132 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The incremental edge-graph contract: maintaining yesterday's graph
+  * with the batch delta ([[Pipeline.incrEdges]]) yields EXACTLY the
+  * edge set a full rebuild produces, and [[Pipeline.incrClusters]]
+  * yields exactly the full rebuild's components. Two corpora:
+  *
+  *  - the real sf0.001 fixture (embeddings included — the three-family
+  *    graph), for the identity on organic data;
+  *  - a synthetic corpus engineered to hit the subtlest path:
+  *    REP-STEALING, where a batch doc is an exact duplicate of an
+  *    existing representative with a LARGER id, so the demoted doc's
+  *    simhash edges must be retracted while its doc-level Jaccard
+  *    edges survive. A reversed-token twin makes the sim-only edge
+  *    (identical token multiset ⇒ identical fingerprint; reversed
+  *    order ⇒ no shared 3-gram shingles ⇒ Jaccard below threshold).
+  *
+  * These tests are also the divergence guard for the *PairsTouching
+  * mirrors of the production family cores: if a mirror drifts from
+  * its pipeline, the incremental set stops matching the rebuild.
+  */
+class IncrementalGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("sf0.001 fixture: incremental edge set ≡ full rebuild; clusters match") {
+    val dir = "/root/testdata/sf0.001"
+    val full = edgeSet(
+      spark.read.parquet(Pipeline.ensureEdgeGraph(spark, dir).toString)
+        .select("a_id", "b_id").distinct())
+    val incr = edgeSet(Pipeline.incrEdges(spark, dir))
+    assert(incr == full,
+      s"incremental ∖ full: ${incr -- full}; full ∖ incremental: ${full -- incr}")
+    val fullCl = Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incrCl = Pipeline.incrClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incrCl == fullCl,
+      s"incr ∖ full: ${incrCl -- fullCl}; full ∖ incr: ${fullCl -- incrCl}")
+  }
+
+  /** Sim-only edges arise organically from DF-CAPPED boilerplate: the
+    * jaccard index drops capped shingles, but fingerprints hash the
+    * UNCAPPED set. Construction: a 24-token cyclic phrase carried
+    * (with its wrap shingles) by 102 filler docs pushes every cyclic
+    * 3-gram past SHINGLE_DF_CAP; two different ROTATIONS of the cycle
+    * then have IDENTICAL raw shingle sets (hamming 0 ⇒ sim edge) and
+    * EMPTY kept sets (no jaccard pair possible). Fillers come in
+    * exact-dup twins so the band groups hold ~54 reps — far under
+    * BAND_CAP, keeping the increment inside the documented exactness
+    * boundary.
+    */
+  test("rep-stealing: demoted rep's sim-only edge retracts, full identity holds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("incr-graph-").toString
+    val cyc = (0 until 24).map(i => s"cyc$i")
+    // rotation k, closed with the first two tokens: shingle set = all
+    // 24 cyclic 3-grams, identical for every k
+    def rot(k: Int): String =
+      ((cyc.drop(k) ++ cyc.take(k)) ++ Seq(cyc(k), cyc((k + 1) % 24))).mkString(" ")
+    val fillerIds = Iterator.from(100).filter(_ % 10 != 7).take(102).toSeq
+    val fillers = fillerIds.zipWithIndex.map { case (id, i) =>
+      // twin pairs (i/2): 102 docs but only 51 distinct texts — df of
+      // every cyclic shingle exceeds the cap while the sim band groups
+      // stay far under BAND_CAP
+      id.toLong -> (rot(0) + s" fill${i / 2}a fill${i / 2}b")
+    }
+    def toks(n: Int, salt: Int): Seq[String] =
+      (0 until n).map(i => s"t$salt-$i-${(i * 11 + salt * 29) % 89}")
+    val c = toks(24, 2)
+    val nearC = c.dropRight(2) ++ Seq("zzq3", "zzq4")
+    val d = toks(24, 3)
+    val nearD = d.dropRight(2) ++ Seq("zzq5", "zzq6")
+    val docs = Seq(
+      4L  -> rot(0),                   // rotation twin of 12: sim-only edge
+      12L -> rot(5),                   // base rep of its text
+      7L  -> rot(5),                   // BATCH: exact dup of 12, steals rep-ship
+      20L -> c.mkString(" "),
+      21L -> nearC.mkString(" "),
+      17L -> (c.dropRight(1) :+ "zzq7").mkString(" "), // BATCH: links into {20,21}
+      30L -> d.mkString(" "),
+      31L -> nearD.mkString(" ")       // untouched cluster
+    ) ++ fillers
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    // the scenario must actually exist in the base graph: 12 is the
+    // base rep of its text and carries the sim-only edge to 4
+    val baseEdges = spark.read.parquet(
+      Pipeline.ensureEdgeGraph(spark,
+        Pipeline.ensureBaseCorpus(spark, dir).toString).toString)
+    val baseLex = edgeSet(baseEdges.filter($"fam" === "lex"))
+    assert(baseLex.contains((4L, 12L)), s"expected sim edge (4,12) in base: $baseLex")
+
+    val incr = edgeSet(Pipeline.incrEdges(spark, dir))
+    val full = edgeSet(
+      spark.read.parquet(Pipeline.ensureEdgeGraph(spark, dir).toString)
+        .select("a_id", "b_id").distinct())
+    assert(incr == full,
+      s"incr ∖ full: ${incr -- full}; full ∖ incr: ${full -- incr}")
+    // the demotion itself: (4,12) retracted, the thief carries it now
+    assert(!incr.contains((4L, 12L)),
+      "demoted rep's sim-only edge must be retracted")
+    assert(incr.contains((4L, 7L)),
+      "the stealing batch rep must carry the sim edge now")
+
+    val rows = Pipeline.incrClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val fullCl = Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == fullCl,
+      s"cluster assignment must equal the full rebuild: ${rows.toSeq} vs $fullCl")
+    // provenance: batch-touched clusters recompute; the untouched
+    // {30,31} cluster and the filler twins pass through from
+    // yesterday's labels; the demoted 12 lost its only edge and has
+    // no row at all (matching the rebuild, asserted above)
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    assert(Seq(4L, 20L).forall(byDoc(_)), s"touched clusters must recompute: $byDoc")
+    assert(Seq(30L, 31L).forall(!byDoc(_)), s"untouched cluster must not recompute: $byDoc")
+    assert(!byDoc.contains(12L), "the demoted, now edge-less doc must drop out")
+  }
+}
