@@ -144,6 +144,36 @@ object Streams {
       .drop("gate_key")
   }
 
+  /** Streaming MEDIA dedup gate — the ingestion-side twin of the
+    * batch [[graft.multimodal.Multimodal.mediaDedup]] (`x_media_dedup`;
+    * the reference's ingest loop streams binary batches the same way,
+    * `README.md:36-43`): drop an arriving asset whose payload
+    * checksum was already seen within the watermark. The key is
+    * `md5(payload)` — computed map-side before the stateful exchange,
+    * so state holds one 16-byte digest per asset inside the watermark
+    * and the binary payloads themselves never enter the state store
+    * (the same only-hashes-shuffle discipline as the batch twin,
+    * where payloads are plan-asserted off every exchange). Payloads do
+    * ride the dedup shuffle once — the kept row must reach its
+    * reducer to be emitted — which is intrinsic to any exact-once
+    * keyed dedup and linear in ingest size, not corpus size.
+    * NULL payloads carry no content to collapse on: they get a
+    * per-asset key (never dropped here), mirroring [[nearDupGate]]'s
+    * short-doc rule, instead of all colliding on the null key.
+    * Cross-window duplicates are the periodic batch compaction's job
+    * (`x_media_dedup`), same contract as [[dedupedStream]].
+    */
+  def mediaDedupGate(
+      df: DataFrame, tsCol: String, watermarkDelay: String,
+      idCol: String = "asset_id", payloadCol: String = "payload"): DataFrame = {
+    val keyed = df.withColumn("gate_media_key",
+      when(col(payloadCol).isNotNull, concat(lit("h:"), md5(col(payloadCol))))
+        .otherwise(concat(lit("d:"), col(idCol))))
+    watermarked(keyed, tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("gate_media_key"))
+      .drop("gate_media_key")
+  }
+
   /** Streaming NOVELTY gate — the ingestion-side slice of the batch
     * manifest's `not_novel` stage: drop arriving documents whose
     * shingle novelty against a PRE-BUILT corpus filter

@@ -458,6 +458,122 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(streamed === Set((1L, catA), (4L, dogA), (6L, fishA)))
   }
 
+  test("mediaDedupGate → id-dedup kill/restart: checksum state restores, stream equals batch media dedup on the fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // real fixture payloads: the first five distinct media assets of
+    // the sf0.001 corpus (magic header ++ text bytes, exactly what
+    // the batch x_media_dedup hashes)
+    val fixture = graft.multimodal.Multimodal
+      .assets(spark, "/root/testdata/sf0.001")
+      .orderBy($"asset_id").limit(5).collect()
+      .map(r => r.getAs[Array[Byte]]("payload"))
+    val Array(payA, payB, payC, payD, payE) = fixture
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("asset_id", LongType),
+      StructField("payload", BinaryType)))
+    val out = tmp.resolve("media-gate-shards")
+    val ckpt = tmp.resolve("ckpt-media-gate")
+
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    def startQuery(sink: StreamingShardSink) = Streams.toShardSink(
+      Streams.dedupedStream(
+        Streams.mediaDedupGate(mem.toDF().toDF("ts", "asset_id", "payload"),
+          "ts", "10 minutes"),
+        "ts", "10 minutes", Seq("asset_id")),
+      sink, ckpt)
+
+    val sink1 = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 4096L, filePrefix = Some("asset"))
+    val q1 = startQuery(sink1)
+    try {
+      mem.addData((ts(1), 1L, payA), (ts(2), 2L, payB))
+      q1.processAllAvailable()
+      mem.addData(
+        (ts(3), 3L, payA), // same bytes, new id — checksum gate drops it
+        (ts(4), 4L, payC)) // novel → kept
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill
+
+    // crash simulation (the established commit-drop): the restarted
+    // query replays the last micro-batch through the checksum gate,
+    // the id-dedup, and into the resumed sink
+    val commitDir = ckpt.resolve("commits")
+    val newest = Files.list(commitDir).iterator.asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
+
+    val sink2 = new StreamingShardSink(spark, out, schema,
+      shardSizeBytes = 4096L, filePrefix = Some("asset"), resume = true)
+    spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    val q2 = startQuery(sink2)
+    try {
+      mem.addData(
+        (ts(5), 5L, payB), // pre-kill checksum → media state RESTORED, dropped
+        (ts(6), 2L, payD), // new bytes, pre-kill asset_id → id state RESTORED, dropped
+        (ts(7), 6L, payE)) // novel → kept
+      q2.processAllAvailable()
+    } finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.commitValidation.enabled")
+    }
+
+    val streamed = spark.read.schema(schema).parquet(out.toString)
+      .select($"asset_id", md5($"payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // batch twin on the same seven rows: keep-first per md5(payload)
+    // then keep-first per asset_id, arrival order k — the same
+    // groupBy-min shape as Multimodal.mediaDedup (there min id = first
+    // seen because the fixture arrives in id order)
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      (0L, 1L, payA), (1L, 2L, payB), (2L, 3L, payA), (3L, 4L, payC),
+      (4L, 5L, payB), (5L, 2L, payD), (6L, 6L, payE))
+      .toDF("k", "asset_id", "payload")
+    val batchTwin = rows
+      .withColumn("h", md5($"payload"))
+      .withColumn("rn_h", row_number().over(Window.partitionBy($"h").orderBy($"k")))
+      .filter($"rn_h" === 1)
+      .withColumn("rn_id", row_number().over(Window.partitionBy($"asset_id").orderBy($"k")))
+      .filter($"rn_id" === 1)
+      .select($"asset_id", $"h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(streamed === batchTwin)
+    assert(streamed.map(_._1) === Set(1L, 2L, 4L, 6L))
+  }
+
+  test("mediaDedupGate: null payloads get per-asset keys, never collapse on the null key") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val gated = Streams.mediaDedupGate(
+      mem.toDF().toDF("ts", "asset_id", "payload"), "ts", "10 minutes")
+    val q = gated.writeStream.format("memory")
+      .queryName("media_null_gate").outputMode("append").start()
+    try {
+      // two NULL-payload assets and one real duplicate pair
+      mem.addData(
+        (ts(1), 1L, null), (ts(2), 2L, null),
+        (ts(3), 3L, Array[Byte](1, 2, 3)), (ts(4), 4L, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("media_null_gate")
+      .select($"asset_id").as[Long].collect().toSet
+    // both null-payload rows pass (no content to collapse on); the
+    // byte-identical pair collapses to its first arrival
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("noveltyGate: Bloom-filter gate matches the batch novelty stage on the fixture") {
     val spark0 = spark
     import spark0.implicits._
