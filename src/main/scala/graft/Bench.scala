@@ -66,6 +66,7 @@ object Bench {
     "q_scalar_subquery" -> 0.82,
     "q_semi_anti" -> 0.63,
     "q_setops" -> 0.64,
+    "q_skew_join" -> 0.74,
     "q_topk" -> 0.40,
     "q_unpivot" -> 1.68,
     "q_window_rank" -> 0.81,
@@ -95,7 +96,7 @@ object Bench {
     "x_dedup_clusters" -> 2.18,
     "x_dedup_docs" -> 0.44,
     "x_dedup_full" -> 3.44,
-    "x_dedup_recall" -> 13.68, // re-recorded after the pipeline-composition row
+    "x_dedup_recall" -> 1.35, // re-recorded after the recall-pair artifact amortization (13.68 -> 1.35, -90%)
     "x_dedup_semantic" -> 2.66,
     "x_dup_src_matrix" -> 0.73,
     "x_dup_stats" -> 0.43,
@@ -107,6 +108,7 @@ object Bench {
     "x_fingerprint" -> 1.61,
     "x_frame_sample" -> 0.32,
     "x_hash_sample" -> 0.32,
+    "x_incr_clusters" -> 17.43,
     "x_incremental_dedup" -> 0.73,
     "x_incremental_neardup" -> 3.43,
     "x_jaccard_sweep" -> 4.31,
@@ -121,10 +123,10 @@ object Bench {
     "x_media_dedup" -> 0.73,
     "x_media_meta" -> 0.40,
     "x_media_neardup" -> 1.97,
-    "x_media_recall" -> 3.57, // recorded two-run protocol, runs 3+4
+    "x_media_recall" -> 3.36, // re-recorded after the containment-linking change (windows at stride 48)
 
     "x_minhash_est" -> 5.41,
-    "x_minhash_lsh" -> 5.21,
+    "x_minhash_lsh" -> 5.62, // re-recorded after the 64-bit shingle-hash band shuffle fix (5.4 s runtime -> 2.8 s)
     "x_ngram_jaccard" -> 4.38,
     "x_pq_codes" -> 1.22,
     "x_quality_score" -> 0.57,
