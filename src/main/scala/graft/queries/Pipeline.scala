@@ -1004,8 +1004,17 @@ object Pipeline {
     require(changed == 0,
       s"connectedComponents did not converge in $round rounds — " +
         "graph structure inconsistent with a near-dup corpus")
+    lastComponentsRounds = round
     labels
   }
+
+  /** Rounds the most recent [[componentsOverSym]] loop took to reach
+    * its fixpoint — observability for the scale probe ([[ScaleProbe]]),
+    * which reports rounds-to-converge alongside wall time so the
+    * O(log diameter) claim is measured, not asserted. Diagnostic only:
+    * concurrent components calls race benignly on it.
+    */
+  @volatile private[graft] var lastComponentsRounds: Int = -1
 
   /** Bump when the near-dup edge semantics change (caps, thresholds,
     * shingle shape, …): the cached edge artifact must not survive a
@@ -1450,12 +1459,24 @@ object Pipeline {
     val index = kept.groupBy($"s")
       .agg(collect_list(struct($"doc_id", $"n", $"is_t")).as("g"))
       .filter(size($"g") >= 2)
+    // one-sided generation, the [[incrementalNearDup]] idiom: explode
+    // only TOUCHED members as x (between the explodes, so each group
+    // costs |touch∩g|×|g|, not |g|² — the delta's cost must scale
+    // with the batch, not the corpus), pair them with every other
+    // member, and when BOTH endpoints are touched keep only the
+    // smaller-id orientation so each unordered pair contributes one
+    // row per shared shingle and the intersection count stays exact
     index
       .select(explode($"g").as("x"), $"g")
+      .filter($"x.is_t")
       .select($"x", explode($"g").as("y"))
-      .filter($"x.doc_id" < $"y.doc_id" && ($"x.is_t" || $"y.is_t"))
-      .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+      .filter($"x.doc_id" =!= $"y.doc_id" &&
+        (!$"y.is_t" || $"x.doc_id" < $"y.doc_id"))
+      .groupBy(least($"x.doc_id", $"y.doc_id").as("a_id"),
+        greatest($"x.doc_id", $"y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("c"),
+        first(when($"x.doc_id" < $"y.doc_id", $"x.n").otherwise($"y.n")).as("na"),
+        first(when($"x.doc_id" < $"y.doc_id", $"y.n").otherwise($"x.n")).as("nb"))
       .filter($"c" / ($"na" + $"nb" - $"c") >= 0.10)
       .select($"a_id", $"b_id")
   }
@@ -1470,14 +1491,21 @@ object Pipeline {
         posexplode(array((0 until 4).map(b =>
           shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band_idx", "band")))
+    // same one-sided discipline as [[jacPairsTouching]]: touched
+    // members explode first, |touch∩g|×|g| per band group; XOR is
+    // symmetric and the trailing distinct dedups band duplicates, so
+    // the single orientation per (t,t) pair loses nothing
     capBandGroups(bands).groupBy($"band_idx", $"band")
       .agg(collect_list(struct($"doc_id", $"simhash", $"is_t")).as("g"))
       .filter(size($"g") >= 2)
       .select(explode($"g").as("x"), $"g")
+      .filter($"x.is_t")
       .select($"x", explode($"g").as("y"))
-      .filter($"x.doc_id" < $"y.doc_id" && ($"x.is_t" || $"y.is_t"))
+      .filter($"x.doc_id" =!= $"y.doc_id" &&
+        (!$"y.is_t" || $"x.doc_id" < $"y.doc_id"))
       .filter(bit_count($"x.simhash".bitwiseXOR($"y.simhash")) <= 3)
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .select(least($"x.doc_id", $"y.doc_id").as("a_id"),
+        greatest($"x.doc_id", $"y.doc_id").as("b_id"))
       .distinct()
   }
 
@@ -1493,11 +1521,17 @@ object Pipeline {
       .join(broadcast(touch.select($"doc_id".as("vec_id"), lit(true).as("t"))),
         Seq("vec_id"), "left")
       .withColumn("is_t", coalesce($"t", lit(false)))
-    e.as("a").join(e.as("b"),
+    // one-sided: the join's left operand is the batch-bounded touched
+    // slice, so the cell-blocked pair space is |touch∩cell|×|cell|
+    // per cell rather than |cell|²; cosine is symmetric, and the
+    // smaller-id orientation rule keeps each (t,t) pair single
+    e.filter($"is_t").as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.sub" === $"b.sub" &&
-          $"a.vec_id" < $"b.vec_id" && ($"a.is_t" || $"b.is_t"))
+          $"a.vec_id" =!= $"b.vec_id" &&
+          (!$"b.is_t" || $"a.vec_id" < $"b.vec_id"))
       .filter(cosine(s, $"a.embedding", $"b.embedding") >= 0.40)
-      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+      .select(least($"a.vec_id", $"b.vec_id").as("a_id"),
+        greatest($"a.vec_id", $"b.vec_id").as("b_id"))
   }
 
   /** The incrementally-maintained edge set: yesterday's graph, minus
