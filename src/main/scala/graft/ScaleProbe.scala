@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe for the dedup capstones — measures, on a corpus ten
+  * times sf0.1, what the 100 TB claims for the components pass have so
+  * far extrapolated from sf0.1 plus property tests: edge-graph build,
+  * symmetrized layout, the full keep/drop decision (with
+  * rounds-to-converge), the keep-map artifact, and the manifest
+  * consumption, each timed cold (the fixture is rebuilt per invocation,
+  * so its mtime re-keys every stamped artifact).
+  *
+  * The synthetic corpus is `factor` salted copies of the source
+  * fixture, designed so the measurement is interpretable rather than
+  * pathological:
+  *
+  *   - copy `c` appends `~c` to every whitespace token. That maps each
+  *     copy's shingle space bijectively, so within-copy Jaccard,
+  *     shingle document frequencies, and simhash band structure are
+  *     preserved EXACTLY, while cross-copy token overlap is zero — the
+  *     near-dup edge set scales linearly (≈ factor × the 1× edges, no
+  *     quadratic cross-copy blowup and no artificial 10×-duplicate
+  *     corpus where every doc has factor exact twins).
+  *   - copy `c` rotates each embedding vector by `c` positions — an
+  *     orthogonal transform, so within-copy cosine structure is exact
+  *     and cross-copy cosine is decorrelated; `vec_id` shifts by the
+  *     same offset as `doc_id`, keeping the row-alignment convention.
+  *
+  * Emits one JSON line per factor; the measured numbers land in
+  * BASELINE.md ("sf1 scale probe" section). Run:
+  * `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 1,10"`.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt)
+    val outRoot = args.lift(2).getOrElse("/tmp/graft-scale-probe")
+    val spark = Sessions.builder("graft-scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen startup so factor 1 isn't inflated
+    spark.range(1000).selectExpr("sum(id)")
+      .write.format("noop").mode("overwrite").save()
+    factors.foreach(f => runOne(spark, srcDir, s"$outRoot/f$f", f))
+    spark.stop()
+  }
+
+  private def runOne(
+      spark: SparkSession, srcDir: String, dir: String, factor: Int): Unit = {
+    val t0 = System.nanoTime()
+    val nDocs = buildFixture(spark, srcDir, dir, factor)
+    val tFixture = secsSince(t0)
+
+    val t1 = System.nanoTime()
+    val edgePath = queries.Pipeline.ensureEdgeGraph(spark, dir)
+    val tEdge = secsSince(t1)
+    val nEdges = spark.read.parquet(edgePath.toString).count()
+
+    val t2 = System.nanoTime()
+    queries.Pipeline.ensureSymEdges(spark, dir)
+    val tSym = secsSince(t2)
+
+    val t3 = System.nanoTime()
+    val nDecision = queries.Pipeline.queries("x_dedup_full")(spark, dir).count()
+    val tDecision = secsSince(t3)
+    val rounds = queries.Pipeline.lastComponentsRounds
+
+    val t4 = System.nanoTime()
+    queries.Pipeline.ensureKeepMap(spark, dir)
+    val tKeepMap = secsSince(t4)
+
+    val t5 = System.nanoTime()
+    val nManifest = queries.Pipeline.queries("x_corpus_manifest")(spark, dir).count()
+    val tManifest = secsSince(t5)
+
+    require(nDecision == nDocs && nManifest == nDocs,
+      s"decision/manifest row counts ($nDecision/$nManifest) != corpus size $nDocs")
+    // stdout contract mirrors Bench: one greppable JSON line per factor
+    println(
+      s"""{"probe":"scale","factor":$factor,"docs":$nDocs,"edges":$nEdges,""" +
+      s""""rounds":$rounds,"fixture_sec":$tFixture,"edge_sec":$tEdge,""" +
+      s""""sym_sec":$tSym,"components_sec":$tDecision,""" +
+      s""""keepmap_sec":$tKeepMap,"manifest_sec":$tManifest}""")
+  }
+
+  /** `factor` salted copies of the source corpus (see class doc),
+    * written fresh under `dir` — returns the document count. Copy 0 is
+    * the source verbatim (modulo recomputed `n_chars`, kept consistent
+    * with the salted copies' longer texts).
+    */
+  private def buildFixture(
+      spark: SparkSession, srcDir: String, dir: String, factor: Int): Long = {
+    deleteTree(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    // one id-offset unit covers both tables, preserving vec_id = doc_id
+    val base = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+
+    val docCopies = (0 until factor).map { c =>
+      val text =
+        if (c == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), t => concat(t, lit("~" + c))), " ")
+      docs.select(
+        (col("doc_id") + lit(c * base)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+    docCopies.repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val embCopies = (0 until factor).map { c =>
+      val vec =
+        if (c == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
+          s"slice(embedding, 1, $c))")
+      emb.select(
+        (col("vec_id") + lit(c * base)).as("vec_id"),
+        vec.cast("array<float>").as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    embCopies.repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    spark.read.parquet(s"$dir/documents.parquet").count()
+  }
+
+  private def secsSince(t: Long): Double =
+    math.round((System.nanoTime() - t) / 1e6) / 1e3
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(java.nio.file.Files.delete)
+    }
+}
