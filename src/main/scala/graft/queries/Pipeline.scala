@@ -453,13 +453,16 @@ object Pipeline {
     * probe's cost scales with the batch, not the archive). The df cap
     * carries over: a batch doc whose every shingle is capped-out
     * boilerplate can only be caught by [[incrementalDedup]]'s exact
-    * hash — same documented trade as [[ngramJaccard]].
+    * hash — same documented trade as [[ngramJaccard]]. The posting
+    * lists come from the persisted [[ensureShingleIndex]] artifact —
+    * the state a daily-ingest service keeps between batches — so the
+    * probe pays index lookups plus batch-bounded pair generation, not
+    * a per-batch corpus re-shingling (the from-scratch derivation
+    * stays measured as `x_ngram_jaccard`).
     */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val kept = keptShingles(s, dir)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val kept = shingleIndexOf(s, dir)
       .withColumn("is_batch", $"doc_id" % 10 === 7)
     val index = kept.groupBy($"s")
       .agg(collect_list(struct($"doc_id", $"n", $"is_batch")).as("g"))
@@ -1436,6 +1439,77 @@ object Pipeline {
     }
   }
 
+  /** Bump when the kept-shingle semantics (shingle shape,
+    * [[SHINGLE_DF_CAP]]) or the index layout change.
+    */
+  private val IDX_FMT_VERSION = 1
+
+  /** Bucket count of the shingle-index layout — the [[SYM_BUCKETS]]
+    * sizing contract applied to the inverted index's posting key.
+    */
+  private val IDX_BUCKETS = 8
+
+  /** One-time build of the kept-shingle inverted index — `(doc_id, n,
+    * s)` rows (n = the doc's kept-shingle count, the Jaccard
+    * denominator input) written `bucketBy(s)`. This is the state a
+    * daily-ingest dedup service PERSISTS between batches: re-deriving
+    * the posting lists from raw text per batch would make every
+    * increment pay a full-corpus shingling pass, which at 100 TB is
+    * the dominant cost the incremental path exists to avoid. The
+    * batch-touching jaccard core ([[jacPairsTouching]]) groups by `s`,
+    * so the bucket metadata hands it posting-list groups with zero
+    * exchange of the corpus-scale operand. The from-scratch pipelines
+    * (`x_ngram_jaccard`, `x_minhash_*`) intentionally do NOT read
+    * this: they are the measured index-build cost.
+    */
+  def ensureShingleIndex(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-shingleidx", dir, "documents",
+        s"|v$IDX_FMT_VERSION|b$IDX_BUCKETS") { staging =>
+      import org.apache.spark.sql.expressions.Window
+      val rows = keptShingles(s, dir)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val tmp = s"graft_shingleidx_build_${ProcessHandle.current.pid}"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      rows.select(col("doc_id"), col("n"), col("s"))
+        .repartition(IDX_BUCKETS, col("s"))
+        .write.bucketBy(IDX_BUCKETS, "s").sortBy("s")
+        .option("path", staging.toString)
+        .saveAsTable(tmp)
+      s.sql(s"DROP TABLE $tmp")
+    }
+
+  /** The shingle index as a bucket-aware DataFrame (the [[symEdgesOf]]
+    * registration pattern).
+    */
+  private[graft] def shingleIndexOf(s: SparkSession, dir: String): DataFrame =
+    Pipeline.synchronized {
+      val p = ensureShingleIndex(s, dir)
+      val tbl = s"graft_shingleidx_${p.getFileName}"
+      if (!s.catalog.tableExists(tbl))
+        s.sql(
+          s"""CREATE TABLE $tbl (doc_id BIGINT, n BIGINT, s STRING)
+             |USING parquet
+             |CLUSTERED BY (s) SORTED BY (s) INTO $IDX_BUCKETS BUCKETS
+             |LOCATION '$p'""".stripMargin)
+      s.table(tbl).select(col("doc_id"), col("n"), col("s"))
+    }
+
+  /** One-time build of the exact-dedup-representative fingerprint
+    * table — `(doc_id, simhash)` over [[repDocsOf]], the other half of
+    * the persisted incremental state: the simhash touching core needs
+    * every rep's 64-bit signature, and recomputing them means two
+    * md5-over-text corpus scans plus the 64-vote aggregation per
+    * batch. Small (one row per distinct text), plain parquet — the
+    * consumer groups by band value, not doc_id, so bucketing buys
+    * nothing here.
+    */
+  def ensureFingerprints(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-fprints", dir, "documents",
+        s"|v$IDX_FMT_VERSION") { staging =>
+      fingerprintsOf(repDocs(s, dir))
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+
   /** Batch-touching instantiations of the three edge families — the
     * one-sided [[incrementalNearDup]] shape generalized: pair
     * generation restricted, GROUP-LOCALLY, to pairs with at least one
@@ -1446,14 +1520,16 @@ object Pipeline {
     * so the production plans stay byte-identical; the incremental ≡
     * full-rebuild equivalence test is the divergence guard. `touch`
     * is batch-bounded and broadcasts; at 100 TB a Bloom filter takes
-    * its place.
+    * its place. The corpus-side structures come from the persisted
+    * index artifacts ([[ensureShingleIndex]], [[ensureFingerprints]])
+    * — incremental maintenance's defining trade is that index state
+    * survives between batches, so the per-batch cost is lookups +
+    * batch-bounded pair generation, never corpus re-derivation.
     */
   private def jacPairsTouching(
       s: SparkSession, dir: String, touch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val kept = keptShingles(s, dir)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val kept = shingleIndexOf(s, dir)
       .join(broadcast(touch.select($"doc_id", lit(true).as("t"))), Seq("doc_id"), "left")
       .withColumn("is_t", coalesce($"t", lit(false)))
     val index = kept.groupBy($"s")
@@ -1484,7 +1560,7 @@ object Pipeline {
   private def simPairsTouching(
       s: SparkSession, dir: String, touch: DataFrame): DataFrame = {
     import s.implicits._
-    val bands = fingerprintsOf(repDocs(s, dir))
+    val bands = s.read.parquet(ensureFingerprints(s, dir).toString)
       .join(broadcast(touch.select($"doc_id", lit(true).as("t"))), Seq("doc_id"), "left")
       .withColumn("is_t", coalesce($"t", lit(false)))
       .select($"doc_id", $"simhash", $"is_t",
@@ -1583,10 +1659,19 @@ object Pipeline {
       .groupBy($"h")
       .agg(min($"doc_id").as("full_min"),
         min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
+    // pinned: `demoted` is otherwise re-evaluated lazily by the touch
+    // broadcast AND each of touchDem's two semi-joins — three full
+    // md5-over-text corpus scans for a handful of rows
     val demoted = mins
       .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
       .select($"base_min".as("doc_id"))
+      .localCheckpoint()
+    // pinned: jacTouch feeds BOTH plus (filter) and minus (except);
+    // without its own checkpoint each of those two checkpoint jobs
+    // re-runs the whole jaccard touching pipeline — the "one fused
+    // touching run" contract is this materialization
     val jacTouch = jacPairsTouching(s, dir, batch.union(demoted))
+      .localCheckpoint()
     val lexPlus = jacTouch
       .filter(isBatchId($"a_id") || isBatchId($"b_id"))
       .union(simPairsTouching(s, dir, batch))
@@ -1713,6 +1798,116 @@ object Pipeline {
        |SELECT cl.id AS doc_id, cl.cluster_id,
        |  cl.cluster_id IN (SELECT cluster_id FROM tcl) AS recomputed
        |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** Compaction-due monitor — the operational gate on the incremental
+    * path's EXACTNESS BOUNDARY (see [[incrDelta]]): the incremental ≡
+    * full-rebuild identity holds only while the arriving batch crosses
+    * no structural cap, so a daily-ingest deployment needs a cheap,
+    * per-batch signal for "the caps moved — schedule a full
+    * compaction". One row per family over the full corpus's
+    * structures: keys whose member count the batch pushed ACROSS the
+    * family's cap (over the cap now, at-or-under it without the batch
+    * members — for shingle dfs and embedding cells the batch-less
+    * count is exactly the base corpus's count; for simhash bands it
+    * treats the demoted-rep handful as their same-text stealers, the
+    * standard monitor approximation and part of this operator's
+    * declared semantics, oracle included), plus how many members sit
+    * under a crossed key (the re-score exposure). Linear aggregates
+    * only — one shingle pass + one broadcast-semi re-scan for the
+    * affected count, band stats off the persisted
+    * [[ensureFingerprints]] artifact, cell stats one embeddings
+    * aggregate; nothing pairwise, so the monitor stays cheap enough
+    * to run on every batch at 100 TB.
+    */
+  def compactionSignal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val sh = shinglesOf(docs)
+    val jacCrossed = sh.groupBy($"s")
+      .agg(count(lit(1)).as("n_full"),
+        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+      .filter($"n_full" > SHINGLE_DF_CAP &&
+        $"n_full" - $"n_batch" <= SHINGLE_DF_CAP)
+      .select($"s")
+    val jacRow = jacCrossed.agg(count(lit(1)).as("n_crossed"))
+      .crossJoin(sh.join(broadcast(jacCrossed), Seq("s"), "left_semi")
+        .agg(countDistinct($"doc_id").as("n_affected")))
+      .select(lit("jaccard").as("family"), $"n_crossed", $"n_affected")
+    val bands = s.read.parquet(ensureFingerprints(s, dir).toString)
+      .select($"doc_id",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band")))
+    val simCrossed = bands.groupBy($"band_idx", $"band")
+      .agg(count(lit(1)).as("n_full"),
+        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+      .filter($"n_full" > BAND_CAP && $"n_full" - $"n_batch" <= BAND_CAP)
+      .select($"band_idx", $"band")
+    val simRow = simCrossed.agg(count(lit(1)).as("n_crossed"))
+      .crossJoin(bands.join(broadcast(simCrossed), Seq("band_idx", "band"), "left_semi")
+        .agg(countDistinct($"doc_id").as("n_affected")))
+      .select(lit("simhash").as("family"), $"n_crossed", $"n_affected")
+    val hasEmb = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    // a vec lives in exactly one cell, so the affected count is the
+    // plain sum of crossed cells' sizes — no second pass needed
+    val lexRows = jacRow.union(simRow)
+    val rows =
+      if (!hasEmb) lexRows
+      else lexRows.union(
+        Tables(s, dir, "embeddings").groupBy($"label")
+          .agg(count(lit(1)).as("n_full"),
+            count(when(isBatchId($"vec_id"), lit(1))).as("n_batch"))
+          .filter($"n_full" > EMBED_CELL_CAP &&
+            $"n_full" - $"n_batch" <= EMBED_CELL_CAP)
+          .agg(count(lit(1)).as("n_crossed"),
+            coalesce(sum($"n_full"), lit(0L)).as("n_affected"))
+          .select(lit("semantic").as("family"), $"n_crossed", $"n_affected"))
+    rows.withColumn("compaction_due", $"n_crossed" > 0)
+      .orderBy($"family")
+  }
+
+  lazy val compactionSignalSql: String =
+    s"""WITH sh AS (${shinglesSqlFrom("documents")}),
+       |jac AS (
+       |  SELECT s, COUNT(*) AS n_full,
+       |    COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
+       |  FROM sh GROUP BY 1),
+       |jacc AS (
+       |  SELECT s FROM jac
+       |  WHERE n_full > $SHINGLE_DF_CAP AND n_full - n_batch <= $SHINGLE_DF_CAP),
+       |jrow AS (SELECT 'jaccard' AS family,
+       |  (SELECT COUNT(*) FROM jacc) AS n_crossed,
+       |  (SELECT COUNT(DISTINCT sh.doc_id) FROM sh JOIN jacc USING (s)) AS n_affected),
+       |fp AS (${simhashSqlFrom(repsSqlFrom("documents"))}),
+       |bands AS (
+       |  SELECT doc_id, band_idx, (simhash >> (16 * band_idx)) & 65535 AS band
+       |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+       |sim AS (
+       |  SELECT band_idx, band, COUNT(*) AS n_full,
+       |    COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
+       |  FROM bands GROUP BY 1, 2),
+       |simc AS (
+       |  SELECT band_idx, band FROM sim
+       |  WHERE n_full > $BAND_CAP AND n_full - n_batch <= $BAND_CAP),
+       |srow AS (SELECT 'simhash' AS family,
+       |  (SELECT COUNT(*) FROM simc) AS n_crossed,
+       |  (SELECT COUNT(DISTINCT b.doc_id) FROM bands b
+       |   JOIN simc c ON b.band_idx = c.band_idx AND b.band = c.band) AS n_affected),
+       |sem AS (
+       |  SELECT label, COUNT(*) AS n_full,
+       |    COUNT(*) FILTER (WHERE vec_id % 10 = 7) AS n_batch
+       |  FROM embeddings GROUP BY 1),
+       |semc AS (
+       |  SELECT n_full FROM sem
+       |  WHERE n_full > $EMBED_CELL_CAP AND n_full - n_batch <= $EMBED_CELL_CAP),
+       |erow AS (SELECT 'semantic' AS family,
+       |  (SELECT COUNT(*) FROM semc) AS n_crossed,
+       |  (SELECT CAST(COALESCE(SUM(n_full), 0) AS BIGINT) FROM semc) AS n_affected)
+       |SELECT family, n_crossed, n_affected, n_crossed > 0 AS compaction_due
+       |FROM (SELECT * FROM jrow UNION ALL SELECT * FROM srow
+       |      UNION ALL SELECT * FROM erow)
+       |ORDER BY family""".stripMargin
 
   lazy val dedupFullSql: String =
     s"""WITH RECURSIVE
@@ -4493,6 +4688,7 @@ object Pipeline {
     "x_incremental_dedup" -> incrementalDedup _,
     "x_incremental_neardup" -> incrementalNearDup _,
     "x_incr_clusters" -> incrClusters _,
+    "x_compaction_signal" -> compactionSignal _,
     "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
@@ -4561,6 +4757,7 @@ object Pipeline {
     "x_incremental_dedup" -> incrementalDedupSql,
     "x_incremental_neardup" -> incrementalNearDupSql,
     "x_incr_clusters" -> incrClustersSql,
+    "x_compaction_signal" -> compactionSignalSql,
     "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,

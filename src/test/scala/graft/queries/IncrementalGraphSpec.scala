@@ -129,4 +129,34 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(Seq(30L, 31L).forall(!byDoc(_)), s"untouched cluster must not recompute: $byDoc")
     assert(!byDoc.contains(12L), "the demoted, now edge-less doc must drop out")
   }
+
+  /** The monitor guarding the exactness boundary the two tests above
+    * stay inside: a batch that pushes a shingle's df ACROSS
+    * SHINGLE_DF_CAP must raise `compaction_due` for the jaccard
+    * family. 105 docs share one trigram, 10 of them batch: df 105 >
+    * cap with the batch, 95 ≤ cap without it — exactly one crossed
+    * shingle, every carrier affected. The unique filler tokens keep
+    * every simhash band group tiny, so the simhash row stays quiet.
+    */
+  test("compaction signal: batch pushing a shingle df across the cap fires") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compaction-sig-").toString
+    val batchIds = (0 until 10).map(i => 7L + 10 * i)
+    val baseIds = Iterator.from(1).map(_.toLong)
+      .filter(id => id % 10 != 7 && !batchIds.contains(id)).take(95).toSeq
+    val docs = (batchIds ++ baseIds).zipWithIndex.map { case (id, i) =>
+      id -> s"aaa bbb ccc u${i}x u${i}y u${i}z"
+    }
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.compactionSignal(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows.keySet == Set("jaccard", "simhash"),
+      s"no embeddings table => no semantic row: ${rows.keySet}")
+    assert(rows("jaccard") == ((1L, 105L, true)),
+      s"one crossed shingle carried by all 105 docs: ${rows("jaccard")}")
+    assert(rows("simhash") == ((0L, 0L, false)),
+      s"band groups stay far under BAND_CAP: ${rows("simhash")}")
+  }
 }
