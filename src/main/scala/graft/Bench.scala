@@ -108,9 +108,10 @@ object Bench {
     "x_fingerprint" -> 1.61,
     "x_frame_sample" -> 0.32,
     "x_hash_sample" -> 0.32,
-    "x_incr_clusters" -> 17.43,
+    "x_compaction_signal" -> 2.27,
+    "x_incr_clusters" -> 15.51, // re-recorded after the persisted-index work (-11%)
     "x_incremental_dedup" -> 0.73,
-    "x_incremental_neardup" -> 3.43,
+    "x_incremental_neardup" -> 1.53, // re-recorded after the shingle-index switch (3.43 -> 1.53, -55%)
     "x_jaccard_sweep" -> 4.31,
     "x_kmeans_converge" -> 2.56,
     "x_kmeans_iter" -> 0.82,
