@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * symmetrized layout, the full keep/drop decision (with
   * rounds-to-converge), the keep-map artifact, and the manifest
   * consumption, each timed cold (the fixture is rebuilt per invocation,
-  * so its mtime re-keys every stamped artifact).
+  * so its mtime re-keys every stamped artifact). A second block probes
+  * the INCREMENTAL path at the same factor: persisted index state,
+  * yesterday's base graph/labels, then the per-batch `x_incr_clusters`
+  * and `x_compaction_signal` costs — `incr_sec` against
+  * `edge_sec + components_sec` is the measured daily-batch-vs-full-
+  * rebuild ratio the incremental design claims.
   *
   * The synthetic corpus is `factor` salted copies of the source
   * fixture, designed so the measurement is interpretable rather than
@@ -76,12 +81,39 @@ object ScaleProbe {
 
     require(nDecision == nDocs && nManifest == nDocs,
       s"decision/manifest row counts ($nDecision/$nManifest) != corpus size $nDocs")
+
+    // the incremental path at scale: persisted index state, yesterday's
+    // base graph/labels (the amortized compaction state), then the
+    // per-batch cost — x_incr_clusters and the compaction monitor. The
+    // headline ratio is incr_sec vs edge_sec + components_sec: what a
+    // daily batch pays instead of the full rebuild measured above.
+    val t6 = System.nanoTime()
+    queries.Pipeline.ensureShingleIndex(spark, dir)
+    queries.Pipeline.ensureFingerprints(spark, dir)
+    val tIndex = secsSince(t6)
+
+    val t7 = System.nanoTime()
+    queries.Pipeline.ensureBaseLabels(spark, dir)
+    val tBaseState = secsSince(t7)
+
+    val t8 = System.nanoTime()
+    val nIncr = queries.Pipeline.queries("x_incr_clusters")(spark, dir).count()
+    val tIncr = secsSince(t8)
+    val incrRounds = queries.Pipeline.lastComponentsRounds
+
+    val t9 = System.nanoTime()
+    queries.Pipeline.queries("x_compaction_signal")(spark, dir).count()
+    val tSignal = secsSince(t9)
+    require(nIncr > 0, "incremental clusters returned no rows")
+
     // stdout contract mirrors Bench: one greppable JSON line per factor
     println(
       s"""{"probe":"scale","factor":$factor,"docs":$nDocs,"edges":$nEdges,""" +
       s""""rounds":$rounds,"fixture_sec":$tFixture,"edge_sec":$tEdge,""" +
       s""""sym_sec":$tSym,"components_sec":$tDecision,""" +
-      s""""keepmap_sec":$tKeepMap,"manifest_sec":$tManifest}""")
+      s""""keepmap_sec":$tKeepMap,"manifest_sec":$tManifest,""" +
+      s""""index_sec":$tIndex,"base_state_sec":$tBaseState,""" +
+      s""""incr_sec":$tIncr,"incr_rounds":$incrRounds,"signal_sec":$tSignal}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),
