@@ -20,24 +20,45 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's
-    * schema inference rejects. An EXPLICIT user schema typing `ts` as
-    * long reads the raw nanos fine (verified against the bundled
-    * Spark 4.1 vectorized reader) — no session conf needed, so this
-    * works identically in any caller's session with zero global
-    * state. Floor-divide to µs with integer `div`, not `/`, because
-    * 2024-epoch nanos exceed 2^53 and would lose precision through a
-    * double. The µs value matches DuckDB's native ns timestamp at
-    * every granularity ≥ 1 µs (the fixture carries no sub-µs parts).
+  /** `events.ts` has shipped as both TIMESTAMP(MICROS) and
+    * TIMESTAMP(NANOS) across fixture generations, so the loader keys
+    * on what the footer actually declares instead of assuming either.
+    * Micros (or millis) is Spark-native: plain inference reads it as
+    * `TimestampType` and the unit conversion is the reader's job.
+    * Nanos is the special case — Spark's schema inference rejects it,
+    * but an EXPLICIT user schema typing `ts` as long reads the raw
+    * nanos fine (verified against the bundled Spark 4.1 vectorized
+    * reader) — no session conf needed, so this works identically in
+    * any caller's session with zero global state. Floor-divide to µs
+    * with integer `div`, not `/`, because 2024-epoch nanos exceed
+    * 2^53 and would lose precision through a double. The µs value
+    * matches DuckDB's native ns timestamp at every granularity ≥ 1 µs
+    * (the fixtures carry no sub-µs parts).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$sfDir/events.parquet"
+    val inferred =
+      try {
+        val df = spark.read.parquet(path)
+        df.schema("ts").dataType match {
+          case TimestampType => Some(df)
+          // pyarrow writes tz-naive micros → isAdjustedToUTC=false →
+          // Spark infers NTZ; the session runs UTC (Sessions.scala),
+          // so the cast is a pure type relabel, no instant shift
+          case TimestampNTZType =>
+            Some(df.withColumn("ts", col("ts").cast(TimestampType)))
+          case _ => None
+        }
+      } catch { case _: Exception => None } // ns logical type: inference rejects
+    inferred.getOrElse {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read.schema(schema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 }
