@@ -462,8 +462,16 @@ object Pipeline {
     */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val kept = shingleIndexOf(s, dir)
+    val marked = shingleIndexOf(s, dir)
       .withColumn("is_batch", $"doc_id" % 10 === 7)
+    // posting lists with no batch member generate zero pairs (the
+    // explode filters on x.is_batch) — prune them before the group
+    // materialization so the probe's heavy stage costs the batch's
+    // posting lists, not the corpus's (same exactness argument as
+    // [[jacPairsTouching]]; both semi-join sides ride the bucketed-s
+    // layout)
+    val batchS = marked.filter($"is_batch").select($"s").distinct()
+    val kept = marked.join(batchS, Seq("s"), "left_semi")
     val index = kept.groupBy($"s")
       .agg(collect_list(struct($"doc_id", $"n", $"is_batch")).as("g"))
       .filter(size($"g") >= 2)
@@ -1529,9 +1537,19 @@ object Pipeline {
   private def jacPairsTouching(
       s: SparkSession, dir: String, touch: DataFrame): DataFrame = {
     import s.implicits._
-    val kept = shingleIndexOf(s, dir)
+    val marked = shingleIndexOf(s, dir)
       .join(broadcast(touch.select($"doc_id", lit(true).as("t"))), Seq("doc_id"), "left")
       .withColumn("is_t", coalesce($"t", lit(false)))
+    // prune BEFORE the group materialization: a posting list with no
+    // touched member generates zero pairs (the explode filters on
+    // x.is_t), so dropping it is exact — and it turns the expensive
+    // stage from "collect every posting list in the corpus" into
+    // "collect the lists the batch actually touches", the index-lookup
+    // cost profile the persisted index exists for. Both sides of the
+    // semi-join carry the bucketed-by-s layout, so the prune itself
+    // exchanges nothing corpus-scale
+    val touchedS = marked.filter($"is_t").select($"s").distinct()
+    val kept = marked.join(touchedS, Seq("s"), "left_semi")
     val index = kept.groupBy($"s")
       .agg(collect_list(struct($"doc_id", $"n", $"is_t")).as("g"))
       .filter(size($"g") >= 2)
@@ -1570,8 +1588,15 @@ object Pipeline {
     // same one-sided discipline as [[jacPairsTouching]]: touched
     // members explode first, |touch∩g|×|g| per band group; XOR is
     // symmetric and the trailing distinct dedups band duplicates, so
-    // the single orientation per (t,t) pair loses nothing
-    capBandGroups(bands).groupBy($"band_idx", $"band")
+    // the single orientation per (t,t) pair loses nothing. Prune to
+    // band groups containing a touched rep BEFORE the cap window —
+    // whole-group pruning keeps each surviving group's membership
+    // intact, so the row_number cap picks the same survivors as the
+    // full rebuild, and untouched groups could only have produced
+    // pairs the is_t filter discards anyway
+    val touchedB = bands.filter($"is_t").select($"band_idx", $"band").distinct()
+    val pruned = bands.join(broadcast(touchedB), Seq("band_idx", "band"), "left_semi")
+    capBandGroups(pruned).groupBy($"band_idx", $"band")
       .agg(collect_list(struct($"doc_id", $"simhash", $"is_t")).as("g"))
       .filter(size($"g") >= 2)
       .select(explode($"g").as("x"), $"g")
@@ -1600,8 +1625,14 @@ object Pipeline {
     // one-sided: the join's left operand is the batch-bounded touched
     // slice, so the cell-blocked pair space is |touch∩cell|×|cell|
     // per cell rather than |cell|²; cosine is symmetric, and the
-    // smaller-id orientation rule keeps each (t,t) pair single
-    e.filter($"is_t").as("a").join(e.as("b"),
+    // smaller-id orientation rule keeps each (t,t) pair single.
+    // Prune the corpus side to cells holding a touched vec first —
+    // the join's label+sub equality makes any other cell unreachable,
+    // so the corpus-scale operand shrinks to the touched cells before
+    // the pair join rather than inside it
+    val touchedC = e.filter($"is_t").select($"label", $"sub").distinct()
+    val eb = e.join(broadcast(touchedC), Seq("label", "sub"), "left_semi")
+    e.filter($"is_t").as("a").join(eb.as("b"),
         $"a.label" === $"b.label" && $"a.sub" === $"b.sub" &&
           $"a.vec_id" =!= $"b.vec_id" &&
           (!$"b.is_t" || $"a.vec_id" < $"b.vec_id"))
