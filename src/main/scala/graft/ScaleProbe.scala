@@ -123,10 +123,18 @@ object ScaleProbe {
     */
   private def buildFixture(
       spark: SparkSession, srcDir: String, dir: String, factor: Int): Long = {
-    deleteTree(java.nio.file.Paths.get(dir))
+    queries.Pipeline.deleteTree(java.nio.file.Paths.get(dir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    // rotation by c positions is only an orthogonal, DISTINCT transform
+    // while c < dim: c = dim reproduces the original vector (cross-copy
+    // cosine 1.0 — exactly the artificial-duplicate blowup the salting
+    // is designed to avoid) and c > dim makes the slice arithmetic
+    // negative. Fail fast instead of measuring a corrupted fixture.
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(factor <= dim,
+      s"factor $factor exceeds embedding dim $dim — rotation copies would collide")
     // one id-offset unit covers both tables, preserving vec_id = doc_id
     val base = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
@@ -138,7 +146,9 @@ object ScaleProbe {
       docs.select(
         (col("doc_id") + lit(c * base)).as("doc_id"), text.as("text"),
         col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")))
+        // int64, matching the fixture contract (FIXTURES.md) and every
+        // other corpus writer — length() alone would ship int32
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
     docCopies.repartition(8)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -161,11 +171,4 @@ object ScaleProbe {
   private def secsSince(t: Long): Double =
     math.round((System.nanoTime() - t) / 1e6) / 1e3
 
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator.asScala.foreach(java.nio.file.Files.delete)
-    }
 }

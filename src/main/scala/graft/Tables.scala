@@ -39,26 +39,37 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val path = s"$sfDir/events.parquet"
-    val inferred =
-      try {
-        val df = spark.read.parquet(path)
-        df.schema("ts").dataType match {
-          case TimestampType => Some(df)
-          // pyarrow writes tz-naive micros → isAdjustedToUTC=false →
-          // Spark infers NTZ; the session runs UTC (Sessions.scala),
-          // so the cast is a pure type relabel, no instant shift
-          case TimestampNTZType =>
-            Some(df.withColumn("ts", col("ts").cast(TimestampType)))
-          case _ => None
-        }
-      } catch { case _: Exception => None } // ns logical type: inference rejects
-    inferred.getOrElse {
+    def nanosFallback: DataFrame = {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       spark.read.schema(schema).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    // the catch covers ONLY schema inference (the ns-logical-type
+    // rejection); type dispatch happens outside it so a fixture with a
+    // missing or unexpected ts column fails loudly instead of riding
+    // the fallback into all-null timestamps
+    val inferredDf =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None } // ns logical type: inference rejects
+    inferredDf match {
+      case None => nanosFallback
+      case Some(df) =>
+        df.schema("ts").dataType match { // throws if ts is absent — intended
+          case TimestampType => df
+          // pyarrow writes tz-naive micros → isAdjustedToUTC=false →
+          // Spark infers NTZ; the session runs UTC (Sessions.scala),
+          // so the cast is a pure type relabel, no instant shift
+          case TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          // plain int64 with no logical annotation: raw nanos
+          case LongType => nanosFallback
+          case other => throw new IllegalArgumentException(
+            s"events.ts has unsupported type ${other.catalogString} — " +
+              "expected a timestamp (any unit) or raw int64 nanos")
+        }
     }
   }
 }

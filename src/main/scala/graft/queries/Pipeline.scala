@@ -1679,6 +1679,8 @@ object Pipeline {
   private def incrDelta(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
+    val sc = s.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet.toSet
     val docs = Tables(s, dir, "documents")
     val batch = docs.filter(isBatchId($"doc_id")).select($"doc_id")
     val hasEmb = java.nio.file.Files.exists(
@@ -1718,9 +1720,23 @@ object Pipeline {
         .select($"a_id", $"b_id"))
       .distinct()
     // every touchDem pair touches a demoted doc, so subtracting the
-    // whole fused set removes exactly the still-jaccard-supported ones
+    // whole fused set removes exactly the still-jaccard-supported
+    // ones. `minus` is a LEX-FAMILY retraction set (rep demotion kills
+    // sim edges; jaccard support was just re-checked): consumers must
+    // subtract it from the base graph's lex rows ONLY — a sem edge on
+    // the same pair is vec-level, untouched by demotion, and must
+    // survive exactly as it does in a full rebuild
     val minus = touchDem.except(jacTouch.select($"a_id", $"b_id"))
-    (plus.localCheckpoint(), minus.localCheckpoint())
+    // the intermediate pins (demoted, jacTouch) have no consumer once
+    // plus/minus are themselves materialized — free their blocks here
+    // rather than stranding 2 RDDs per invocation in the block manager
+    // (the componentsOverSym discipline; localCheckpoint is eager, so
+    // ordering is safe)
+    val intermediates = sc.getPersistentRDDs.keySet.toSet -- preexisting
+    val out = (plus.localCheckpoint(), minus.localCheckpoint())
+    intermediates.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    out
   }
 
   private[graft] def incrEdges(s: SparkSession, dir: String): DataFrame = {
@@ -1728,10 +1744,19 @@ object Pipeline {
     val (plus, minus) = incrDelta(s, dir)
     val baseEdges = s.read.parquet(
       ensureEdgeGraph(s, ensureBaseCorpus(s, dir).toString).toString)
+    // minus retracts lex support only (see incrDelta): a pair keeps
+    // existing while ANY family still supports it, so subtract from
+    // the lex rows and pass sem rows through before collapsing to
+    // pairs — `baseEdges.select(a,b).except(minus)` would also delete
+    // a still-valid sem edge sharing the pair
+    val baseKept = baseEdges.filter($"fam" === "lex")
+      .select($"a_id", $"b_id").except(minus)
+      .union(baseEdges.filter($"fam" =!= "lex").select($"a_id", $"b_id"))
+      .distinct()
     // plus ∩ base = ∅ (every plus pair has a batch endpoint; batch
     // docs are absent from the base corpus), so `added` is plain
     // plus-membership and the union never duplicates a pair
-    baseEdges.select($"a_id", $"b_id").except(minus)
+    baseKept
       .select($"a_id", $"b_id", lit(false).as("added"))
       .union(plus.select($"a_id", $"b_id", lit(true).as("added")))
   }
@@ -1758,7 +1783,7 @@ object Pipeline {
     val (plus, minus) = incrDelta(s, dir)
     val baseEdges = s.read.parquet(
       ensureEdgeGraph(s, ensureBaseCorpus(s, dir).toString).toString)
-      .select($"a_id", $"b_id")
+      .select($"a_id", $"b_id", $"fam")
     val changed = plus.union(minus)
     val touchedIds = changed.select($"a_id".as("id"))
       .union(changed.select($"b_id".as("id"))).distinct()
@@ -1768,8 +1793,13 @@ object Pipeline {
     val regionBase = baseEdges
       .join(baseLabels.select($"id".as("a_id"), $"label"), Seq("a_id"))
       .join(broadcast(touchedLabels), Seq("label"), "left_semi")
-      .select($"a_id", $"b_id")
-    val subEdges = regionBase.except(minus).union(plus).distinct()
+      .select($"a_id", $"b_id", $"fam")
+    // minus is lex-only retraction (see incrDelta): sem rows in the
+    // touched region survive demotion the way they do in a rebuild
+    val regionKept = regionBase.filter($"fam" === "lex")
+      .select($"a_id", $"b_id").except(minus)
+      .union(regionBase.filter($"fam" =!= "lex").select($"a_id", $"b_id"))
+    val subEdges = regionKept.union(plus).distinct()
     val subLabels = connectedComponents(subEdges)
     val untouched = baseLabels
       .join(broadcast(touchedLabels), Seq("label"), "left_anti")
@@ -3553,7 +3583,7 @@ object Pipeline {
       p
     }
 
-  private def deleteTree(p: java.nio.file.Path): Unit =
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p)

@@ -50,18 +50,21 @@ object Streams {
       case Nil => df.withWatermark(tsCol, watermarkDelay)
       case ws =>
         // reusing an upstream frontier is only sound on the SAME
-        // event-time column — a silent reuse across different columns
-        // would give this gate an unrelated stage's frontier
-        ws.find(_.eventTime.name != tsCol).foreach { w =>
+        // event-time column — but the guard is "is tsCol among the
+        // upstream watermarks", not "is every upstream watermark on
+        // tsCol": a stream-stream join legally carries one watermark
+        // per input, and a gate on either column is satisfiable
+        if (!ws.exists(_.eventTime.name == tsCol))
           throw new IllegalArgumentException(
-            s"composed stream already watermarks '${w.eventTime.name}' " +
-              s"but this gate was asked for '$tsCol' — chained gates " +
-              "must share one event-time column")
-        }
+            s"composed stream already watermarks " +
+              s"'${ws.map(_.eventTime.name).distinct.mkString("','")}' " +
+              s"but this gate was asked for '$tsCol' — a gate must ride " +
+              "one of the stream's existing event-time frontiers")
         // a delay mismatch is legal composition (the FIRST stage owns
         // the frontier) but worth a trace: the caller's delay is
         // ignored by design
-        val delays = ws.map(_.delay.toString).distinct
+        val delays = ws.filter(_.eventTime.name == tsCol)
+          .map(_.delay.toString).distinct
         if (!delays.contains(
             org.apache.spark.sql.catalyst.util.IntervalUtils
               .stringToInterval(

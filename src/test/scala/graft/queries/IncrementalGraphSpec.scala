@@ -49,20 +49,13 @@ class IncrementalGraphSpec extends AnyFunSuite {
       s"incr ∖ full: ${incrCl -- fullCl}; full ∖ incr: ${fullCl -- incrCl}")
   }
 
-  /** Sim-only edges arise organically from DF-CAPPED boilerplate: the
-    * jaccard index drops capped shingles, but fingerprints hash the
-    * UNCAPPED set. Construction: a 24-token cyclic phrase carried
-    * (with its wrap shingles) by 102 filler docs pushes every cyclic
-    * 3-gram past SHINGLE_DF_CAP; two different ROTATIONS of the cycle
-    * then have IDENTICAL raw shingle sets (hamming 0 ⇒ sim edge) and
-    * EMPTY kept sets (no jaccard pair possible). Fillers come in
-    * exact-dup twins so the band groups hold ~54 reps — far under
-    * BAND_CAP, keeping the increment inside the documented exactness
-    * boundary.
+  /** The rep-stealing corpus (see the sim-only test below for the
+    * construction rationale); `withEmbeddings` additionally gives docs
+    * 4 and 12 identical vectors in one cell, so the demoted pair also
+    * carries a vec-level sem edge that must SURVIVE the demotion.
     */
-  test("rep-stealing: demoted rep's sim-only edge retracts, full identity holds") {
+  private def writeRepStealingCorpus(dir: String, withEmbeddings: Boolean): Unit = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("incr-graph-").toString
     val cyc = (0 until 24).map(i => s"cyc$i")
     // rotation k, closed with the first two tokens: shingle set = all
     // 24 cyclic 3-grams, identical for every k
@@ -93,6 +86,29 @@ class IncrementalGraphSpec extends AnyFunSuite {
     ) ++ fillers
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
+    if (withEmbeddings) {
+      val v = Array.tabulate(8)(i => (i + 1).toFloat)
+      Seq((4L, v, 0), (12L, v, 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+  }
+
+  /** Sim-only edges arise organically from DF-CAPPED boilerplate: the
+    * jaccard index drops capped shingles, but fingerprints hash the
+    * UNCAPPED set. Construction: a 24-token cyclic phrase carried
+    * (with its wrap shingles) by 102 filler docs pushes every cyclic
+    * 3-gram past SHINGLE_DF_CAP; two different ROTATIONS of the cycle
+    * then have IDENTICAL raw shingle sets (hamming 0 ⇒ sim edge) and
+    * EMPTY kept sets (no jaccard pair possible). Fillers come in
+    * exact-dup twins so the band groups hold ~54 reps — far under
+    * BAND_CAP, keeping the increment inside the documented exactness
+    * boundary.
+    */
+  test("rep-stealing: demoted rep's sim-only edge retracts, full identity holds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("incr-graph-").toString
+    writeRepStealingCorpus(dir, withEmbeddings = false)
 
     // the scenario must actually exist in the base graph: 12 is the
     // base rep of its text and carries the sim-only edge to 4
@@ -128,6 +144,39 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(Seq(4L, 20L).forall(byDoc(_)), s"touched clusters must recompute: $byDoc")
     assert(Seq(30L, 31L).forall(!byDoc(_)), s"untouched cluster must not recompute: $byDoc")
     assert(!byDoc.contains(12L), "the demoted, now edge-less doc must drop out")
+  }
+
+  /** The family-interaction corner of demotion: the SAME pair carries
+    * both the demotion-retracted sim edge and a vec-level sem edge. A
+    * full rebuild keeps the pair (embedNearDup does not care about
+    * rep-ship), so the incremental path must too — `minus` is a
+    * lex-family retraction set and must never delete a sem row sharing
+    * the pair. Regression for exactly that: consumers once subtracted
+    * `minus` from the fam-flattened base edge set.
+    */
+  test("rep-stealing with a sem edge on the demoted pair: the pair survives") {
+    val dir = Files.createTempDirectory("incr-graph-sem-").toString
+    writeRepStealingCorpus(dir, withEmbeddings = true)
+    val incr = edgeSet(Pipeline.incrEdges(spark, dir))
+    val full = edgeSet(
+      spark.read.parquet(Pipeline.ensureEdgeGraph(spark, dir).toString)
+        .select("a_id", "b_id").distinct())
+    assert(incr == full,
+      s"incr ∖ full: ${incr -- full}; full ∖ incr: ${full -- incr}")
+    assert(incr.contains((4L, 12L)),
+      "the sem edge keeps the demoted pair alive through the lex retraction")
+    assert(incr.contains((4L, 7L)),
+      "the stealing batch rep still gains the sim edge")
+    val rows = Pipeline.incrClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val fullCl = Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == fullCl,
+      s"cluster assignment must equal the full rebuild: ${rows.toSeq} vs $fullCl")
+    // 12 keeps a row (its sem edge survives) and its cluster recomputes
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    assert(byDoc.get(12L).contains(true),
+      s"the demoted doc stays clustered via sem and recomputes: $byDoc")
   }
 
   /** The monitor guarding the exactness boundary the two tests above
