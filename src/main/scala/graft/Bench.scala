@@ -185,45 +185,64 @@ object Bench {
     // doesn't absorb session startup (~2-4 s otherwise)
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
+    // gate each one-time setup on whether a SELECTED query consumes its
+    // artifact: the `only` iteration path exists to skip the sweep, and
+    // on a cold /tmp the setups dominate it. Queries build any missing
+    // artifact themselves, so an under-inclusive predicate costs
+    // measurement purity for that one local run, never correctness;
+    // the driver passes no args → every setup runs, as before.
+    def needed(substrings: String*): Boolean =
+      only.forall(names => names.exists(n => substrings.exists(n.contains)))
     // one-time ANN index build (setup, not query time — every ANN
     // system amortizes its index build across the probes it serves)
-    graft.queries.Pipeline.ensureIvfLayout(spark, sfDir)
+    if (needed("ann", "centroids", "kmeans", "pq_codes", "embed"))
+      graft.queries.Pipeline.ensureIvfLayout(spark, sfDir)
+    val clusterFamily = Seq("dedup_clusters", "dedup_full", "cluster_sizes",
+      "corpus_manifest", "manifest_stats", "filter_funnel", "dedup_semantic",
+      "dup_src_matrix", "shard_plan", "shard_stats")
     // one-time near-dup edge-graph build (setup for the dedup-cluster
     // family, same amortization: a real pipeline generates pairs once
     // and feeds clustering/keep-drop/reporting from the stored graph;
     // the pair pipelines themselves are still measured as
     // x_ngram_jaccard / x_simhash_pairs)
-    graft.queries.Pipeline.ensureEdgeGraph(spark, sfDir)
-    // one-time symmetrized bucketed edge layout (setup for the
-    // components passes — the same build-once contract as the edge
-    // graph it derives from)
-    graft.queries.Pipeline.ensureSymEdges(spark, sfDir)
-    // one-time planted-corpus build (setup for x_dedup_recall — the
-    // eval measures the four family pipelines over the augmented
-    // corpus, not the corpus derivation itself)
-    graft.queries.Pipeline.ensurePlantedCorpus(spark, sfDir)
-    // one-time family pair run over the planted corpus (setup for
-    // x_dedup_recall's scoring — the family pair pipelines themselves
-    // stay measured as x_ngram_jaccard / x_minhash_lsh /
-    // x_simhash_pairs / x_embed_near_dup)
-    graft.queries.Pipeline.ensureRecallPairs(spark, sfDir)
-    // one-time bucketed keep-map build (setup for the manifest
-    // family; the decision pipeline itself stays measured as
-    // x_dedup_full)
-    graft.queries.Pipeline.ensureKeepMap(spark, sfDir)
-    // one-time base corpus + yesterday's graph/labels (setup for
-    // x_incr_clusters — the incremental delta and the touched-region
-    // components re-run ARE the measured query; yesterday's artifacts
-    // are the amortized state a daily ingest starts from)
-    graft.queries.Pipeline.ensureBaseLabels(spark, sfDir)
-    // one-time persisted index state for the incremental path: the
-    // shingle posting lists and rep fingerprints a daily-ingest dedup
-    // service keeps between batches — their from-scratch derivations
-    // stay measured as x_ngram_jaccard / x_simhash
-    graft.queries.Pipeline.ensureShingleIndex(spark, sfDir)
-    graft.queries.Pipeline.ensureFingerprints(spark, sfDir)
+    if (needed(clusterFamily: _*)) {
+      graft.queries.Pipeline.ensureEdgeGraph(spark, sfDir)
+      // one-time symmetrized bucketed edge layout (setup for the
+      // components passes — the same build-once contract as the edge
+      // graph it derives from)
+      graft.queries.Pipeline.ensureSymEdges(spark, sfDir)
+      // one-time bucketed keep-map build (setup for the manifest
+      // family; the decision pipeline itself stays measured as
+      // x_dedup_full)
+      graft.queries.Pipeline.ensureKeepMap(spark, sfDir)
+    }
+    if (needed("dedup_recall")) {
+      // one-time planted-corpus build (setup for x_dedup_recall — the
+      // eval measures the four family pipelines over the augmented
+      // corpus, not the corpus derivation itself)
+      graft.queries.Pipeline.ensurePlantedCorpus(spark, sfDir)
+      // one-time family pair run over the planted corpus (setup for
+      // x_dedup_recall's scoring — the family pair pipelines themselves
+      // stay measured as x_ngram_jaccard / x_minhash_lsh /
+      // x_simhash_pairs / x_embed_near_dup)
+      graft.queries.Pipeline.ensureRecallPairs(spark, sfDir)
+    }
+    if (needed("incr", "incremental", "compaction")) {
+      // one-time base corpus + yesterday's graph/labels (setup for
+      // x_incr_clusters — the incremental delta and the touched-region
+      // components re-run ARE the measured query; yesterday's artifacts
+      // are the amortized state a daily ingest starts from)
+      graft.queries.Pipeline.ensureBaseLabels(spark, sfDir)
+      // one-time persisted index state for the incremental path: the
+      // shingle posting lists and rep fingerprints a daily-ingest dedup
+      // service keeps between batches — their from-scratch derivations
+      // stay measured as x_ngram_jaccard / x_simhash
+      graft.queries.Pipeline.ensureShingleIndex(spark, sfDir)
+      graft.queries.Pipeline.ensureFingerprints(spark, sfDir)
+    }
     // one-time media planted corpus (setup for x_media_recall)
-    graft.multimodal.Multimodal.ensureMediaPlanted(spark, sfDir)
+    if (needed("media", "frame"))
+      graft.multimodal.Multimodal.ensureMediaPlanted(spark, sfDir)
     var failed = List.empty[String]
     var retried = List.empty[String]
     // per-query regression gate — the baseline is recorded at sf0.1,

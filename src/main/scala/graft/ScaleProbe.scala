@@ -142,7 +142,12 @@ object ScaleProbe {
       val text =
         if (c == 0) col("text")
         else array_join(
-          transform(split(col("text"), " "), t => concat(t, lit("~" + c))), " ")
+          // leave empty split fragments (consecutive/trailing spaces)
+          // alone: salting '' into the real token '~c' would give the
+          // copy extra shingles and break the exact within-copy
+          // bijection the probe's linear-edges interpretation rests on
+          transform(split(col("text"), " "),
+            t => when(length(t) === 0, t).otherwise(concat(t, lit("~" + c)))), " ")
       docs.select(
         (col("doc_id") + lit(c * base)).as("doc_id"), text.as("text"),
         col("lang"), col("source"))

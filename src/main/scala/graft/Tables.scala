@@ -39,31 +39,41 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val path = s"$sfDir/events.parquet"
-    def nanosFallback: DataFrame = {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      spark.read.schema(schema).parquet(path)
+    def schemaWithTs(ts: DataType): StructType = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", ts),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def nanosFallback: DataFrame =
+      spark.read.schema(schemaWithTs(LongType)).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
-    // the catch covers ONLY schema inference (the ns-logical-type
-    // rejection); type dispatch happens outside it so a fixture with a
-    // missing or unexpected ts column fails loudly instead of riding
-    // the fallback into all-null timestamps
+    // the catch covers ONLY the ns-logical-type inference rejection
+    // (verified: AnalysisException [PARQUET_TYPE_ILLEGAL] "Illegal
+    // Parquet type: INT64 (TIMESTAMP(NANOS,...))"); anything else —
+    // corrupt footer, FS failure — must surface, not silently reroute
+    // into the raw-nanos reinterpretation. Type dispatch likewise
+    // happens outside the catch so a missing/unexpected ts column
+    // fails loudly instead of riding the fallback into nulls.
     val inferredDf =
       try Some(spark.read.parquet(path))
-      catch { case _: Exception => None } // ns logical type: inference rejects
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Illegal Parquet type") ||
+              e.getMessage.contains("PARQUET_TYPE_ILLEGAL") => None
+      }
     inferredDf match {
       case None => nanosFallback
       case Some(df) =>
         df.schema("ts").dataType match { // throws if ts is absent — intended
           case TimestampType => df
           // pyarrow writes tz-naive micros → isAdjustedToUTC=false →
-          // Spark infers NTZ; the session runs UTC (Sessions.scala),
-          // so the cast is a pure type relabel, no instant shift
+          // Spark infers NTZ. A NTZ→Timestamp CAST would reinterpret
+          // the naive value in the SESSION timezone (an instant shift
+          // anywhere but UTC); re-reading with an explicit
+          // TimestampType schema loads the stored micros directly, so
+          // the loader honors its works-in-any-caller's-session
+          // contract with zero session conf
           case TimestampNTZType =>
-            df.withColumn("ts", col("ts").cast(TimestampType))
+            spark.read.schema(schemaWithTs(TimestampType)).parquet(path)
           // plain int64 with no logical annotation: raw nanos
           case LongType => nanosFallback
           case other => throw new IllegalArgumentException(

@@ -1057,16 +1057,7 @@ object Pipeline {
     // cache key — a regenerated embedding table must invalidate the
     // graph. A corpus WITHOUT an embedding table (text-only pipelines,
     // the degenerate-corpus specs) gets the lexical graph.
-    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    // captured ONCE and reused inside the build closure: checking
-    // again at build time could disagree with the stamp (a table
-    // appearing between the two) and cache content under a key that
-    // promises the opposite
-    val hasEmb = java.nio.file.Files.exists(embSrc)
-    val embStamp =
-      if (hasEmb)
-        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
-      else "none"
+    val (hasEmb, embStamp) = embPresenceStamp(dir)
     ensureArtifact("graft-edges", dir, "documents",
         s"|v$EDGE_FMT_VERSION|e$embStamp") { staging =>
       import s.implicits._
@@ -1414,12 +1405,7 @@ object Pipeline {
     * machinery end-to-end instead of maintaining a parallel one.
     */
   def ensureBaseCorpus(s: SparkSession, dir: String): java.nio.file.Path = {
-    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val hasEmb = java.nio.file.Files.exists(embSrc)
-    val embStamp =
-      if (hasEmb)
-        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
-      else "none"
+    val (hasEmb, embStamp) = embPresenceStamp(dir)
     ensureArtifact("graft-basecorpus", dir, "documents",
         s"|v$INCR_FMT_VERSION|e$embStamp") { staging =>
       import s.implicits._
@@ -1731,7 +1717,13 @@ object Pipeline {
     // plus/minus are themselves materialized — free their blocks here
     // rather than stranding 2 RDDs per invocation in the block manager
     // (the componentsOverSym discipline; localCheckpoint is eager, so
-    // ordering is safe)
+    // ordering is safe). The registry diff assumes one incrDelta at a
+    // time per SparkContext — the harnesses and specs are
+    // single-threaded, and the snapshot closes BEFORE the plus/minus
+    // checkpoints so the returned pins are never in the freed set.
+    // The RETURNED checkpoints' lifecycle belongs to the caller's
+    // harness: Bench/Verify unpersist every persistent RDD after each
+    // query, which is where these blocks are reclaimed.
     val intermediates = sc.getPersistentRDDs.keySet.toSet -- preexisting
     val out = (plus.localCheckpoint(), minus.localCheckpoint())
     intermediates.foreach(id =>
@@ -3535,6 +3527,23 @@ object Pipeline {
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     ensureArtifact(kind, dir, srcTable, extraKey)(build)
 
+  /** (exists, size-mtime stamp) of a corpus's embeddings table — the
+    * shared cache-key ingredient for every artifact whose content
+    * depends on semantic edges. Captured ONCE per ensure* call and
+    * reused inside the build closure: re-checking existence at build
+    * time could disagree with the stamp (a table appearing between the
+    * two) and cache content under a key that promises the opposite.
+    */
+  private def embPresenceStamp(dir: String): (Boolean, String) = {
+    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val hasEmb = java.nio.file.Files.exists(embSrc)
+    val stamp =
+      if (hasEmb)
+        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
+      else "none"
+    (hasEmb, stamp)
+  }
+
   private def ensureArtifact(kind: String, dir: String, srcTable: String,
       extraKey: String)(build: java.nio.file.Path => Unit): java.nio.file.Path =
     Pipeline.synchronized {
@@ -4512,12 +4521,7 @@ object Pipeline {
     * [[dedupRecallSql]] does.
     */
   def ensurePlantedCorpus(s: SparkSession, dir: String): java.nio.file.Path = {
-    val embSrc = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val hasEmb = java.nio.file.Files.exists(embSrc)
-    val embStamp =
-      if (hasEmb)
-        s"${java.nio.file.Files.size(embSrc)}-${java.nio.file.Files.getLastModifiedTime(embSrc).toMillis}"
-      else "none"
+    val (hasEmb, embStamp) = embPresenceStamp(dir)
     ensureArtifact("graft-planted", dir, "documents",
         s"|v$PLANT_FMT_VERSION|e$embStamp") { staging =>
       import s.implicits._

@@ -53,8 +53,12 @@ object Streams {
         // event-time column — but the guard is "is tsCol among the
         // upstream watermarks", not "is every upstream watermark on
         // tsCol": a stream-stream join legally carries one watermark
-        // per input, and a gate on either column is satisfiable
-        if (!ws.exists(_.eventTime.name == tsCol))
+        // per input, and a gate on either column is satisfiable. Name
+        // comparison goes through the session's resolver so it matches
+        // what withWatermark itself would resolve under
+        // spark.sql.caseSensitive
+        val resolver = df.sparkSession.sessionState.analyzer.resolver
+        if (!ws.exists(w => resolver(w.eventTime.name, tsCol)))
           throw new IllegalArgumentException(
             s"composed stream already watermarks " +
               s"'${ws.map(_.eventTime.name).distinct.mkString("','")}' " +
@@ -63,7 +67,7 @@ object Streams {
         // a delay mismatch is legal composition (the FIRST stage owns
         // the frontier) but worth a trace: the caller's delay is
         // ignored by design
-        val delays = ws.filter(_.eventTime.name == tsCol)
+        val delays = ws.filter(w => resolver(w.eventTime.name, tsCol))
           .map(_.delay.toString).distinct
         if (!delays.contains(
             org.apache.spark.sql.catalyst.util.IntervalUtils

@@ -60,4 +60,27 @@ class TablesSpec extends AnyFunSuite {
     writeFixture(dir, (col("us") * 1000L).as("ts"))
     assert(loadedMicros(dir) == micros)
   }
+
+  test("TIMESTAMP(NANOS)-annotated fixture (checked-in pyarrow file) reads exact instants") {
+    // a genuine ns-logical-type footer — Spark cannot write one, so the
+    // resource was generated with pyarrow; inference rejects it with
+    // [PARQUET_TYPE_ILLEGAL] and the loader must take the long-schema
+    // fallback, not swallow an unrelated error
+    val dir = getClass.getResource("/events-ns").getPath
+    assert(loadedMicros(dir) == micros)
+  }
+
+  test("micros/NTZ fixtures read the same instants under a non-UTC session timezone") {
+    // the loader promises to work from any caller's session: a naive
+    // NTZ→Timestamp cast would shift instants by the session offset,
+    // so pin the read against a deliberately non-UTC zone
+    val dir = Files.createTempDirectory("graft-events-tz").toString
+    writeFixture(dir, timestamp_micros(col("us")).cast(TimestampNTZType))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(loadedMicros(dir) == micros)
+      assert(loadedMicros(getClass.getResource("/events-ns").getPath) == micros)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
