@@ -157,7 +157,7 @@ object Parity {
     val src = Tables(s, dir, "documents")
     val out = scratch("distributed")
     val sink = new graft.streaming.StreamingShardSink(
-      s, out, src.schema, shardSizeBytes = 256L * 1024, overwrite = true)
+      out, src.schema, shardSizeBytes = 256L * 1024, overwrite = true)
     sink.addBatch(src.filter(col("doc_id") % 2 === 0))
     sink.addBatch(src.filter(col("doc_id") % 2 === 1))
     s.read.schema(src.schema).parquet(out.toString).orderBy("doc_id")

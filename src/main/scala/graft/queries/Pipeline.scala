@@ -3595,9 +3595,12 @@ object Pipeline {
   private[graft] def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p)
+      // materialize then close: Files.walk holds a directory fd open
+      val s = java.nio.file.Files.walk(p)
+      val paths = try s
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        .iterator.asScala.toSeq finally s.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
   def ensureIvfLayout(s: SparkSession, dir: String): java.nio.file.Path =

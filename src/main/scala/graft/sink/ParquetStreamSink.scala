@@ -126,7 +126,16 @@ final class ParquetStreamSink(
   def writeRows(rows: Seq[Row]): Unit = {
     ensureOpen()
     if (rows.forall(RowConformance.conforms(_, schema))) addRows(rows.toArray)
-    else writeBatch(spark.createDataFrame(rows.asJava, schema))
+    else {
+      // the frame must be built under the values' RUNTIME types —
+      // createDataFrame with the target schema would CCE on any
+      // narrower JVM value before the cast could widen it
+      // (RowConformance.runtimeSchema) — and then the writeBatch ANSI
+      // cast owns widening and invalid-value errors, as documented
+      val src = RowConformance.runtimeSchema(rows, schema)
+      val aligned = rows.map(RowConformance.alignTo(_, src))
+      writeBatch(spark.createDataFrame(aligned.asJava, src))
+    }
   }
 
   /** Stream a whole DataFrame through the sink in bounded batches —
@@ -246,9 +255,13 @@ final class ParquetStreamSink(
   private def ensureOpen(): Unit =
     if (closed) throw new IllegalStateException("sink is closed")
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .iterator.asScala.foreach(Files.deleteIfExists(_))
+  private def deleteRecursively(p: Path): Unit = {
+    // materialize then close: Files.walk holds a directory fd open
+    val s = Files.walk(p)
+    val paths = try s.sorted(Comparator.reverseOrder[Path]())
+      .iterator.asScala.toSeq finally s.close()
+    paths.foreach(Files.deleteIfExists(_))
+  }
 }
 
 object ParquetStreamSink {

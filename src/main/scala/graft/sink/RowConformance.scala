@@ -49,4 +49,77 @@ object RowConformance {
     }
     case _ => false // unknown type: let the cast path decide
   }
+
+  /** Best-effort SOURCE schema for rows that failed conformance.
+    * `createDataFrame(rows, targetSchema)` cannot widen — the row
+    * encoder takes the declared type at face value and a narrower JVM
+    * value (an Integer in a LongType column) dies with a
+    * ClassCastException at materialization, never reaching the cast.
+    * So the slow path builds the frame under the types the values
+    * actually HAVE — per column: the target type when every value
+    * already conforms, else a type inferred from the runtime classes
+    * (widest numeric across rows; any fractional presence promotes to
+    * double, the same loss profile as Spark's own numeric widening) —
+    * and lets the subsequent ANSI cast to the target schema own
+    * widening and validation. A column whose values defy inference
+    * keeps the target type: that path fails exactly as it always did,
+    * with the conversion error naming the offending type.
+    */
+  private[sink] def runtimeSchema(rows: Seq[Row], target: StructType): StructType =
+    StructType(target.fields.zipWithIndex.map { case (f, i) =>
+      val values = rows.iterator
+        .filter(r => r.length > i && !r.isNullAt(i)).map(_.get(i)).toSeq
+      val dt =
+        if (values.forall(valueConforms(_, f.dataType))) f.dataType
+        else inferredType(values).getOrElse(f.dataType)
+      StructField(f.name, dt, nullable = true)
+    })
+
+  private def inferredType(values: Seq[Any]): Option[DataType] = {
+    def rank(v: Any): Option[Int] = v match {
+      case _: java.lang.Byte    => Some(1)
+      case _: java.lang.Short   => Some(2)
+      case _: java.lang.Integer => Some(3)
+      case _: java.lang.Long    => Some(4)
+      case _: java.lang.Float   => Some(5)
+      case _: java.lang.Double  => Some(6)
+      case _                    => None
+    }
+    val ranks = values.map(rank)
+    if (values.nonEmpty && ranks.forall(_.isDefined)) {
+      Some(ranks.flatten.max match {
+        case 1 => ByteType
+        case 2 => ShortType
+        case 3 => IntegerType
+        case 4 => LongType
+        case _ => DoubleType // any fractional: promote the column
+      })
+    } else if (values.nonEmpty && values.forall(_.isInstanceOf[String]))
+      Some(StringType)
+    else if (values.nonEmpty && values.forall(_.isInstanceOf[java.lang.Boolean]))
+      Some(BooleanType)
+    else if (values.nonEmpty && values.forall(_.isInstanceOf[java.math.BigDecimal]))
+      Some(DecimalType.SYSTEM_DEFAULT)
+    else None
+  }
+
+  /** Convert a row's numeric values to the exact JVM classes
+    * `runtimeSchema`'s inferred types expect (an Int column promoted
+    * to LongType needs java.lang.Long values — the encoder does not
+    * unbox across widths).
+    */
+  private[sink] def alignTo(r: Row, schema: StructType): Row =
+    Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+      val v = if (r.length > i) r.get(i) else null
+      (v, f.dataType) match {
+        case (null, _) => null
+        case (n: java.lang.Number, LongType)    => java.lang.Long.valueOf(n.longValue)
+        case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue)
+        case (n: java.lang.Number, ShortType)   => java.lang.Short.valueOf(n.shortValue)
+        case (n: java.lang.Number, ByteType)    => java.lang.Byte.valueOf(n.byteValue)
+        case (n: java.lang.Number, DoubleType)  => java.lang.Double.valueOf(n.doubleValue)
+        case (n: java.lang.Number, FloatType)   => java.lang.Float.valueOf(n.floatValue)
+        case _ => v
+      }
+    }.toSeq)
 }

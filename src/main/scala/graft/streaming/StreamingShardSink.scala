@@ -5,7 +5,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, Pa
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.types.StructType
 
@@ -48,20 +48,26 @@ import graft.sink.ColumnarSizeExpr
   * RESTART SAFETY (beyond the single-process reference, which has no
   * such obligation — a "100 TB" sink does): every committed batch is
   * recorded in a sidecar commit log `_graft_commits.tsv` under the
-  * output dir (`batchId \t startIndex \t fileCount`, rewritten
-  * atomically per batch). `addBatch(df, batchId)` skips batchIds the
-  * log already holds, so Structured Streaming's replay of the last
-  * uncommitted micro-batch after a checkpoint restart lands
-  * exactly-once; a partially-renamed batch (crash between the moves
-  * and the log append) is rewritten in place — orphan shard files at
-  * or beyond the restored index are deleted before the batch's
-  * renames, so a replay that produces fewer task files can't leave a
-  * stale duplicate shard behind. Construct with `resume = true` to
-  * re-attach to an existing output directory: the shard counter and
-  * manifest are restored from the log.
+  * output dir — one `batchId \t startIndex \t fileCount` line APPENDED
+  * per batch (a single write syscall; O(1) per batch where a full
+  * rewrite would make a long-running query's cumulative log I/O
+  * quadratic). Completeness is the trailing newline: a torn final
+  * append leaves none, restore drops the fragment, and the batch —
+  * never acknowledged as committed — replays cleanly. `addBatch(df,
+  * batchId)` skips batchIds the log already holds, so Structured
+  * Streaming's replay of the last uncommitted micro-batch after a
+  * checkpoint restart lands exactly-once; a partially-renamed batch
+  * (crash between the moves and the log append) is rewritten in
+  * place — orphan shard files at or beyond the restored index are
+  * deleted before the batch's renames, so a replay that produces
+  * fewer task files can't leave a stale duplicate shard behind.
+  * Construct with `resume = true` to re-attach to an existing output
+  * directory: the shard counter and manifest are restored from the
+  * log. A resume dir holding shard files but NO log fails fast — with
+  * the counter at zero the orphan cleanup would otherwise delete the
+  * entire existing dataset on the first batch.
   */
 final class StreamingShardSink(
-    spark: SparkSession,
     rawPath: Path,
     val schema: StructType,
     val shardSizeBytes: Long,
@@ -83,44 +89,72 @@ final class StreamingShardSink(
   private val commitLog: Path = path.resolve("_graft_commits.tsv")
 
   if (Files.exists(path) && !resume) {
-    if (overwrite) {
-      import java.util.Comparator
-      Files.walk(path).sorted(Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
-    } else throw new FileAlreadyExistsException(s"'$path' already exists.")
+    if (overwrite) deleteRecursively(path)
+    else throw new FileAlreadyExistsException(s"'$path' already exists.")
   }
   if (path.getParent == null || !Files.exists(path.getParent))
     throw new NoSuchFileException(s"'${path.getParent}' does not exist.")
   if (Files.exists(path) && resume) restoreFromCommitLog()
   else Files.createDirectory(path)
 
+  /** Run `f` over a lazily-populated NIO stream and CLOSE it: each of
+    * Files.list/walk holds an open directory fd until closed, and the
+    * per-micro-batch call sites would otherwise leak one per batch
+    * until GC finalization — a long low-allocation query runs into the
+    * process fd limit.
+    */
+  private def withStream[A](s: java.util.stream.Stream[Path])(
+      f: Iterator[Path] => A): A =
+    try f(s.iterator.asScala) finally s.close()
+
+  private def deleteRecursively(p: Path): Unit =
+    withStream(Files.walk(p))(
+      _.toSeq.sorted(Ordering[Path].reverse).foreach(Files.deleteIfExists(_)))
+
   private def restoreFromCommitLog(): Unit = {
     if (Files.exists(commitLog)) {
-      Files.readAllLines(commitLog).asScala.filter(_.nonEmpty).foreach { line =>
+      val bytes = Files.readAllBytes(commitLog)
+      val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      // a record is complete iff its newline landed (appendCommit
+      // writes line+\n in one syscall): drop a torn final fragment —
+      // that batch was never acknowledged and will replay
+      val complete = text.lastIndexOf('\n') match {
+        case -1 => ""
+        case i  => text.substring(0, i + 1)
+      }
+      complete.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val Array(b, start, n) = line.split('\t')
         committed += b.toLong -> (start.toInt, n.toInt)
       }
       shardIndex = committed.valuesIterator
         .map { case (start, n) => start + n }.maxOption.getOrElse(0)
       (0 until shardIndex).foreach(i => manifest += path.resolve(s"$prefix-$i.parquet"))
+    } else {
+      // no log, but shard-patterned files present: resuming would
+      // restore index 0 and the orphan cleanup would delete the whole
+      // dataset on the first batch — refuse instead of losing data
+      val orphaned = withStream(Files.list(path))(_.exists { p =>
+        val n = p.getFileName.toString
+        n.startsWith(s"$prefix-") && n.endsWith(".parquet")
+      })
+      if (orphaned) throw new IllegalStateException(
+        s"resume=true but '$commitLog' is missing while '$path' holds " +
+          s"'$prefix-N.parquet' files — refusing to resume with a zero " +
+          "shard counter, which would delete the existing shards as " +
+          "orphans on the first batch")
     }
     // leftover staging dirs from a crashed batch attempt
-    Files.list(path).iterator.asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".batch-"))
-      .toSeq.foreach { st =>
-        Files.walk(st).sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator.asScala.foreach(Files.deleteIfExists(_))
-      }
+    withStream(Files.list(path))(
+      _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".batch-"))
+        .toSeq).foreach(deleteRecursively)
   }
 
   private def appendCommit(batchId: Long, start: Int, n: Int): Unit = {
     committed += batchId -> (start, n)
-    val tmp = Files.createTempFile(path, ".commits-", ".tmp")
-    val body = committed.iterator
-      .map { case (b, (st, c)) => s"$b\t$st\t$c" }.mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, commitLog, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    Files.write(commitLog,
+      s"$batchId\t$start\t$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Absolute shard paths in creation order. */
@@ -134,7 +168,7 @@ final class StreamingShardSink(
     // a partial earlier attempt of this batch may have renamed some
     // files before crashing; clear anything at/beyond the next index
     // so a replay with a different task-file count can't strand one
-    Files.list(path).iterator.asScala.foreach { p =>
+    withStream(Files.list(path))(_.toSeq).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith(s"$prefix-") && n.endsWith(".parquet")) {
         val idx = n.stripPrefix(s"$prefix-").stripSuffix(".parquet")
@@ -178,19 +212,17 @@ final class StreamingShardSink(
 
     // metadata-only finalize: rename task outputs into the shard
     // sequence, deterministic (partition, file-counter) order
-    val parts = Files.list(staging).iterator.asScala
-      .filter { p =>
+    val parts = withStream(Files.list(staging))(
+      _.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
-      }
-      .toSeq.sortBy(_.getFileName.toString)
+      }.toSeq).sortBy(_.getFileName.toString)
     parts.foreach { p =>
       val dest = path.resolve(s"$prefix-$shardIndex.parquet")
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
       manifest += dest
       shardIndex += 1
     }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    deleteRecursively(staging)
   }
 }

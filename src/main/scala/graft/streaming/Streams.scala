@@ -218,7 +218,11 @@ object Streams {
   def tumblingAgg(
       df: DataFrame, tsCol: String, keyCol: String,
       windowDuration: String, watermarkDelay: String): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
+    // through watermarked(), like every other stateful stage: composed
+    // after the gates, the upstream frontier is reused instead of
+    // redefined (a direct withWatermark here would stack a second
+    // watermark operator with min-policy resolution)
+    watermarked(df, tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),

@@ -34,20 +34,20 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
 
   test("StreamingShardSink validates paths like the reference ctor") {
     intercept[NoSuchFileException] {
-      new StreamingShardSink(spark, tmp.resolve("missing/out"), schema, 1024L)
+      new StreamingShardSink(tmp.resolve("missing/out"), schema, 1024L)
     }
     Files.createDirectory(tmp.resolve("occupied"))
     intercept[FileAlreadyExistsException] {
-      new StreamingShardSink(spark, tmp.resolve("occupied"), schema, 1024L)
+      new StreamingShardSink(tmp.resolve("occupied"), schema, 1024L)
     }
     intercept[IllegalArgumentException] {
-      new StreamingShardSink(spark, tmp.resolve("x"), schema, -5L)
+      new StreamingShardSink(tmp.resolve("x"), schema, -5L)
     }
   }
 
   test("StreamingShardSink batch-mode addBatch: empty batch writes nothing") {
     val out = tmp.resolve("stream")
-    val sink = new StreamingShardSink(spark, out, schema, 1024L)
+    val sink = new StreamingShardSink(out, schema, 1024L)
     sink.addBatch(spark.createDataFrame(Seq.empty[Row].asJava, schema))
     assert(Files.list(out).iterator.asScala.isEmpty)
     assert(sink.writtenFiles.isEmpty)
@@ -85,7 +85,7 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
 
   test("StreamingShardSink writerTasks: parallel encode still lands sequential shards") {
     val out = tmp.resolve("par")
-    val sink = new StreamingShardSink(spark, out, schema,
+    val sink = new StreamingShardSink(out, schema,
       shardSizeBytes = 1024L * 1024, writerTasks = 4)
     val df = spark.range(0, 500).selectExpr("id", "repeat('w', 20) AS value")
     sink.addBatch(df)
@@ -99,7 +99,7 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
 
   test("StreamingShardSink rejects batches missing schema columns") {
     val out = tmp.resolve("badcols")
-    val sink = new StreamingShardSink(spark, out, schema, 1024L)
+    val sink = new StreamingShardSink(out, schema, 1024L)
     val wrong = spark.range(5).selectExpr("id AS something_else")
     intercept[org.apache.spark.sql.AnalysisException] { sink.addBatch(wrong) }
   }

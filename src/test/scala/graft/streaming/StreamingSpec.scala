@@ -106,7 +106,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       StructField("id", LongType), StructField("value", StringType)))
     val rowBytes = 8 + (100 + 4) // ColumnarSize of one (Long, 100-char) row
     val out = tmp.resolve("stream-shards")
-    val sink = new StreamingShardSink(spark, out, schema,
+    val sink = new StreamingShardSink(out, schema,
       shardSizeBytes = rowBytes * 10L, filePrefix = Some("ev"))
 
     val mem = MemoryStream[(Long, String)]
@@ -151,7 +151,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     val out = tmp.resolve("resume-shards")
     val ckpt = tmp.resolve("ckpt-resume")
 
-    val sink1 = new StreamingShardSink(spark, out, schema,
+    val sink1 = new StreamingShardSink(out, schema,
       shardSizeBytes = rowBytes * 10L, filePrefix = Some("ev"))
     val mem = MemoryStream[(Long, String)]
     def startQuery(sink: StreamingShardSink) = mem.toDF().toDF("id", "value")
@@ -180,7 +180,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     // makes the replayed commit's rename fail as "already exists"
     Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
 
-    val sink2 = new StreamingShardSink(spark, out, schema,
+    val sink2 = new StreamingShardSink(out, schema,
       shardSizeBytes = rowBytes * 10L, filePrefix = Some("ev"), resume = true)
     // manifest + shard counter restored from the sidecar commit log
     assert(sink2.writtenFiles == sink1.writtenFiles)
@@ -249,7 +249,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       StructField("ts", TimestampType), StructField("doc_id", LongType),
       StructField("text", StringType)))
     val out = tmp.resolve("ingest-shards")
-    val sink = new StreamingShardSink(spark, out, schema,
+    val sink = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("doc"))
 
     val mem = MemoryStream[(Timestamp, Long, String)]
@@ -291,7 +291,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
         "ts", "10 minutes", Seq("text")),
       sink, ckpt)
 
-    val sink1 = new StreamingShardSink(spark, out, schema,
+    val sink1 = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("doc"))
     val q1 = startQuery(sink1)
     try {
@@ -311,7 +311,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     Files.delete(newest)
     Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
 
-    val sink2 = new StreamingShardSink(spark, out, schema,
+    val sink2 = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("doc"), resume = true)
     // in a real crash the state store commits its version BEFORE the
     // engine writes the batch's commit marker, so the replayed batch
@@ -388,7 +388,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
         "ts", "10 minutes", Seq("doc_id")),
       sink, ckpt)
 
-    val sink1 = new StreamingShardSink(spark, out, schema,
+    val sink1 = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("doc"))
     val q1 = startQuery(sink1)
     try {
@@ -413,7 +413,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     Files.delete(newest)
     Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
 
-    val sink2 = new StreamingShardSink(spark, out, schema,
+    val sink2 = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("doc"), resume = true)
     spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
     val q2 = startQuery(sink2)
@@ -486,7 +486,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
         "ts", "10 minutes", Seq("asset_id")),
       sink, ckpt)
 
-    val sink1 = new StreamingShardSink(spark, out, schema,
+    val sink1 = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("asset"))
     val q1 = startQuery(sink1)
     try {
@@ -508,7 +508,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     Files.delete(newest)
     Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
 
-    val sink2 = new StreamingShardSink(spark, out, schema,
+    val sink2 = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("asset"), resume = true)
     spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
     val q2 = startQuery(sink2)
@@ -611,7 +611,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       StructField("ts", TimestampType), StructField("doc_id", LongType),
       StructField("text", StringType)))
     val out = tmp.resolve("novelty-shards")
-    val sink = new StreamingShardSink(spark, out, schema,
+    val sink = new StreamingShardSink(out, schema,
       shardSizeBytes = 1 << 20, filePrefix = Some("doc"))
     val mem = MemoryStream[(Timestamp, Long, String)]
     val q = Streams.toShardSink(
@@ -654,7 +654,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("doc_id", LongType),
       StructField("text", StringType)))
-    val sink = new StreamingShardSink(spark, out, schema,
+    val sink = new StreamingShardSink(out, schema,
       shardSizeBytes = 1 << 20, filePrefix = Some("doc"))
     val mem = MemoryStream[(Timestamp, Long, String)]
     val q = Streams.toShardSink(
@@ -688,7 +688,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("value", StringType)))
     val out = tmp.resolve("facade-shards")
-    val sink = new StreamingShardSink(spark, out, schema,
+    val sink = new StreamingShardSink(out, schema,
       shardSizeBytes = 4096L, filePrefix = Some("f"))
     val mem = MemoryStream[(Long, String)]
     val q = Streams.toShardSink(
