@@ -42,6 +42,13 @@ case class DotProduct(left: Expression, right: Expression)
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = DoubleType
+  // null on a null ELEMENT, not just a null input — same contract as
+  // MicroVec/L2Micro2/SimHash64: with the default (children nullable)
+  // two non-nullable inputs make codegen elide the isNull variable the
+  // generated loop assigns (Janino failure → silent interpreted
+  // fallback), and the declared-non-nullable output hides the
+  // null-element null from downstream consumers
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -260,13 +267,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  // one digest per thread, reset per element: getInstance is a JCA
+  // provider lookup + allocation, and compute() runs once per ROW in
+  // the streaming gate's hot path — per-row instances are pure
+  // allocation/lookup overhead (MessageDigest is not thread-safe, so
+  // a shared instance must be thread-local)
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Interpreted kernel shared by eval and codegen. Returns null on a
     * null element (boxed Long otherwise).
     */
   def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null

@@ -105,9 +105,16 @@ object Multimodal {
     * function (e.g. with a JNI decoder), keeping the signature
     * `MediaAsset => DecodedMedia`.
     */
+  // per-thread digest: decodeStub runs once per asset row inside
+  // mapPartitions — per-row getInstance is provider-lookup overhead
+  // (named to avoid shadowing functions.md5, which this file also uses)
+  private val md5Digest = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   def decodeStub(a: MediaAsset): DecodedMedia = {
     val n = a.payload.length.toLong
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5Digest.get()
+    md.reset()
     val checksum = md.digest(a.payload).map("%02x".format(_)).mkString
     val (w, h) = a.kind match {
       case "image" => (16 + (n % 64).toInt, 16 + ((n * 7) % 64).toInt)
@@ -123,11 +130,11 @@ object Multimodal {
       case _       => 1L
     }
     val resized =
-      if (a.kind == "image")
-        MessageDigest.getInstance("MD5")
-          .digest((checksum + "|32x32").getBytes("UTF-8"))
+      if (a.kind == "image") {
+        md.reset()
+        md.digest((checksum + "|32x32").getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-      else ""
+      } else ""
     DecodedMedia(a.asset_id, a.kind, n, w, h, rate, durationMs, frames, checksum, resized)
   }
 
@@ -285,11 +292,19 @@ object Multimodal {
     val index = kept.groupBy($"frame_md5")
       .agg(collect_list(struct($"asset_id", $"n")).as("g"))
       .filter(size($"g") >= 2)
-    index.select(explode($"g").as("x"), $"g")
-      .select($"x", explode($"g").as("y"))
-      .filter($"x.asset_id" < $"y.asset_id")
-      .groupBy($"x.asset_id".as("a_id"), $"y.asset_id".as("b_id"))
-      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+    // one-sided generation: explode only the STRICT TAIL after each
+    // x's position, so a group of n assets expands to n(n-1)/2 rows
+    // instead of n² rows filtered in half afterwards (the incremental
+    // touching cores' discipline); least/greatest restores the
+    // id-ordered orientation the list order doesn't guarantee
+    index.select(posexplode($"g").as(Seq("px", "x")), $"g")
+      .select($"x",
+        explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y"))
+      .groupBy(least($"x.asset_id", $"y.asset_id").as("a_id"),
+        greatest($"x.asset_id", $"y.asset_id").as("b_id"))
+      .agg(count(lit(1)).as("c"),
+        first(when($"x.asset_id" < $"y.asset_id", $"x.n").otherwise($"y.n")).as("na"),
+        first(when($"x.asset_id" < $"y.asset_id", $"y.n").otherwise($"x.n")).as("nb"))
       .select($"a_id", $"b_id",
         ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"),
         ($"c" / least($"na", $"nb")).as("containment"))

@@ -28,6 +28,10 @@ import Num._
   */
 object Relational {
 
+  // per-call temp-view name suffix for the SQL-only queries (LATERAL,
+  // GROUPING SETS): session-global fixed names are not reentrant
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** TPC-H Q1-style pricing summary: scan-side filter, 2-key hash agg. */
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -226,28 +230,36 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Rollup (grouping sets) over orders: per (status, priority), per
-    * status, and grand total. GROUPING() disambiguates NULL group keys.
+    * status, and grand total. GROUPING() flags disambiguate subtotal
+    * rows from genuine NULL group keys — with bare coalesce a real
+    * NULL priority and the per-status subtotal both rendered as
+    * (status, 'ALL') and collided under identical sort keys.
     */
   def rollupOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "orders")
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      // grouping() is only resolvable inside the grouping aggregate
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"))
       .select(
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
-        $"n", $"total")
-      .orderBy($"status", $"priority")
+        $"g_status", $"g_priority", $"n", $"total")
+      .orderBy($"g_status", $"g_priority", $"status", $"priority")
   }
 
   val rollupOrdersSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-      |ORDER BY status, priority""".stripMargin
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
   /** Global top-k: most expensive lineitems (sort + limit → Spark
     * TakeOrderedAndProject, no full global sort at scale).
@@ -416,15 +428,22 @@ object Relational {
     * engine-stable output.
     */
   def lateralTopN(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "nation").createOrReplaceTempView("graft_nation")
-    Tables(s, dir, "customer").createOrReplaceTempView("graft_customer")
-    s.sql(
-      """SELECT n.n_name, t.c_name, t.c_acctbal
-        |FROM graft_nation n, LATERAL (
-        |  SELECT c_name, c_acctbal FROM graft_customer c
+    // per-call view names + drop-after-analysis: fixed names made two
+    // concurrent/interleaved calls against different dirs silently
+    // read each other's corpus (s.sql resolves views eagerly, so
+    // dropping right after keeps the returned frame valid)
+    val tag = viewSeq.incrementAndGet()
+    val (nv, cv) = (s"graft_nation_$tag", s"graft_customer_$tag")
+    Tables(s, dir, "nation").createOrReplaceTempView(nv)
+    Tables(s, dir, "customer").createOrReplaceTempView(cv)
+    try s.sql(
+      s"""SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM $nv n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM $cv c
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    finally { s.catalog.dropTempView(nv); s.catalog.dropTempView(cv) }
   }
 
   val lateralTopNSql: String =
@@ -442,17 +461,20 @@ object Relational {
     * flags disambiguate subtotal rows from genuine values.
     */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority,
+    // per-call view name, same reentrancy contract as lateralTopN
+    val ov = s"graft_orders_${viewSeq.incrementAndGet()}"
+    Tables(s, dir, "orders").createOrReplaceTempView(ov)
+    try s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM graft_orders
+        |FROM $ov
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderpriority), ())
         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+    finally s.catalog.dropTempView(ov)
   }
 
   val groupingSetsSql: String =
@@ -568,7 +590,8 @@ object Relational {
     fact.hint("merge")
       .join(dim.hint("merge"), Seq("lang", "salt"))
       .select($"doc_id", $"lang", $"lang_docs",
-        expr("n_chars * 1000000 div lang_chars").as("share_ppm"))
+        // nullif for the zero-sum lang group: engine-parity on division
+        expr("n_chars * 1000000 div nullif(lang_chars, 0)").as("share_ppm"))
       .orderBy($"doc_id")
   }
 
@@ -577,7 +600,7 @@ object Relational {
       |  SELECT lang, COUNT(*) AS lang_docs, SUM(n_chars) AS lang_chars
       |  FROM documents GROUP BY 1)
       |SELECT doc_id, d.lang, lang_docs,
-      |  CAST(n_chars * 1000000 // lang_chars AS BIGINT) AS share_ppm
+      |  CAST(n_chars * 1000000 // NULLIF(lang_chars, 0) AS BIGINT) AS share_ppm
       |FROM documents d JOIN dim USING (lang)
       |ORDER BY doc_id""".stripMargin
 
@@ -671,7 +694,9 @@ object Relational {
       .union(stage(p, 3, "purchase"))
       .crossJoin(broadcast(v.agg(count(lit(1)).as("nv"))))
       .select($"stage", $"event_type", $"n_users",
-        expr("(n_users * 1000000) div nv").as("conv_ppm"))
+        // nullif: an empty stage-1 cohort must read as NULL in BOTH
+        // engines (DuckDB's // raises on zero where Spark's div nulls)
+        expr("(n_users * 1000000) div nullif(nv, 0)").as("conv_ppm"))
       .orderBy($"stage")
   }
 
@@ -690,7 +715,7 @@ object Relational {
       |  UNION ALL SELECT 2, 'click', COUNT(*) FROM c
       |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p)
       |SELECT stage, event_type, n_users,
-      |  CAST((n_users * 1000000) // nv AS BIGINT) AS conv_ppm
+      |  CAST((n_users * 1000000) // NULLIF(nv, 0) AS BIGINT) AS conv_ppm
       |FROM stages, (SELECT COUNT(*) AS nv FROM v)
       |ORDER BY stage""".stripMargin
 

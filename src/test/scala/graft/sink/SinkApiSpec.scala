@@ -139,6 +139,19 @@ class SinkApiSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("graft_dot declares nullable and nulls on a null element") {
+    graft.functions.VectorFunctions.register(spark)
+    // NON-nullable array inputs: without the nullable=true override
+    // the schema claimed non-null output while the generated loop
+    // assigned an isNull variable codegen never declared (its three
+    // sibling expressions all carry the override for this reason)
+    val df = spark.sql(
+      "SELECT graft_dot(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+    assert(df.schema.head.nullable, "output must be declared nullable")
+    assert(df.head().isNullAt(0), "a null element must null the product")
+  }
+
   test("graft_micro_vec / graft_l2_micro2 match their HOF definitions") {
     graft.functions.VectorFunctions.register(spark)
     // micro_vec: floor((double)f * 1e6) per element, incl. negatives
