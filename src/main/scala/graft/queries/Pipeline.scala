@@ -1665,8 +1665,6 @@ object Pipeline {
   private def incrDelta(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val sc = s.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet.toSet
     val docs = Tables(s, dir, "documents")
     val batch = docs.filter(isBatchId($"doc_id")).select($"doc_id")
     val hasEmb = java.nio.file.Files.exists(
@@ -1716,20 +1714,34 @@ object Pipeline {
     // the intermediate pins (demoted, jacTouch) have no consumer once
     // plus/minus are themselves materialized — free their blocks here
     // rather than stranding 2 RDDs per invocation in the block manager
-    // (the componentsOverSym discipline; localCheckpoint is eager, so
-    // ordering is safe). The registry diff assumes one incrDelta at a
-    // time per SparkContext — the harnesses and specs are
-    // single-threaded, and the snapshot closes BEFORE the plus/minus
-    // checkpoints so the returned pins are never in the freed set.
-    // The RETURNED checkpoints' lifecycle belongs to the caller's
-    // harness: Bench/Verify unpersist every persistent RDD after each
-    // query, which is where these blocks are reclaimed.
-    val intermediates = sc.getPersistentRDDs.keySet.toSet -- preexisting
+    // (localCheckpoint is eager, so ordering is safe). Freed DIRECTLY
+    // from each pin's own plan, never by diffing the context-global
+    // registry: a second concurrent incrDelta would land inside the
+    // diff window and have its pins freed out from under it. The
+    // RETURNED checkpoints' lifecycle belongs to the caller's harness:
+    // Bench/Verify unpersist every persistent RDD after each query,
+    // which is where those blocks are reclaimed.
     val out = (plus.localCheckpoint(), minus.localCheckpoint())
-    intermediates.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    freeCheckpoint(demoted)
+    freeCheckpoint(jacTouch)
     out
   }
+
+  /** Unpersist the backing RDD of an eagerly `localCheckpoint`ed
+    * DataFrame, read straight out of its plan's LogicalRDD. The
+    * alternative — diffing `sc.getPersistentRDDs` around the region
+    * that created the pins — assumes one caller at a time per
+    * SparkContext: a concurrent caller's pins land inside the diff
+    * window and get freed under it, and a freed localCheckpoint has
+    * truncated lineage, so the victim job dies unrecoverably instead
+    * of recomputing.
+    */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   private[graft] def incrEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -122,6 +122,13 @@ final class StreamingShardSink(
         case -1 => ""
         case i  => text.substring(0, i + 1)
       }
+      val completeBytes = complete.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // truncate the fragment ON DISK too: appendCommit O_APPENDs, so a
+      // surviving fragment would merge with the next record into one
+      // line and poison the restart after this one
+      if (completeBytes.length != bytes.length)
+        Files.write(commitLog, completeBytes,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
       complete.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val Array(b, start, n) = line.split('\t')
         committed += b.toLong -> (start.toInt, n.toInt)

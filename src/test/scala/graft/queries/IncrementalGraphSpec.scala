@@ -208,4 +208,29 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(rows("simhash") == ((0L, 0L, false)),
       s"band groups stay far under BAND_CAP: ${rows("simhash")}")
   }
+  /** The concurrent-caller contract behind [[Pipeline.freeCheckpoint]]:
+    * freeing one pin must never touch another's blocks. The old
+    * registry-diff release freed every RDD persisted inside its
+    * window, including a concurrent caller's — and a freed
+    * localCheckpoint has truncated lineage, so the victim dies
+    * unrecoverably rather than recomputing.
+    */
+  test("freeCheckpoint frees exactly its own pin, never a neighbor's") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val mine = Seq(1L, 2L).toDF("x").localCheckpoint()
+    val theirs = Seq(3L, 4L, 5L).toDF("x").localCheckpoint()
+    def rddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    val (mineIds, theirIds) = (rddIds(mine), rddIds(theirs))
+    assert(mineIds.nonEmpty && theirIds.nonEmpty, "checkpoints must pin RDDs")
+    Pipeline.freeCheckpoint(mine)
+    val persisted = sc.getPersistentRDDs.keySet
+    assert(mineIds.forall(id => !persisted.contains(id)), "own pin must be freed")
+    assert(theirIds.forall(persisted.contains), "neighbor's pin must survive")
+    assert(theirs.count() == 3)
+    Pipeline.freeCheckpoint(theirs)
+  }
 }

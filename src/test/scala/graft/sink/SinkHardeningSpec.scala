@@ -118,4 +118,32 @@ class SinkHardeningSpec extends AnyFunSuite with BeforeAndAfterEach {
     sink.addBatch(df, batchId = 0L)
     assert(sink.writtenFiles.size == before)
   }
+
+  /** Restore must TRUNCATE a torn fragment on disk, not just skip it
+    * in memory: appendCommit O_APPENDs, so a surviving fragment merges
+    * with the next record into one line — and the restart AFTER that
+    * either throws on the malformed line or silently restores a bogus
+    * (batchId, startIndex) pair, skipping an uncommitted batch.
+    */
+  test("second restart after a torn-line replay restores cleanly") {
+    import spark.implicits._
+    val out = tmp.resolve("torn2")
+    Files.createDirectory(out)
+    Files.write(out.resolve("_graft_commits.tsv"),
+      "0\t0\t2\n1\t2\t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(out.resolve("torn2-0.parquet"), Array[Byte](1))
+    Files.write(out.resolve("torn2-1.parquet"), Array[Byte](1))
+    val sink = new StreamingShardSink(out, idVal, shardSizeBytes = 1024, resume = true)
+    val df = Seq((10L, "x")).toDF("id", "value")
+    sink.addBatch(df, batchId = 1L) // appends onto wherever the log ends
+    val filesAfterReplay = sink.writtenFiles.size
+    // the crash-restart after the replay: every committed record must
+    // parse, batch 1 must now be committed, and the counter must match
+    val sink2 = new StreamingShardSink(out, idVal, shardSizeBytes = 1024, resume = true)
+    assert(sink2.writtenFiles.size == filesAfterReplay,
+      s"restored ${sink2.writtenFiles.size} shards, wrote $filesAfterReplay")
+    val before = sink2.writtenFiles.size
+    sink2.addBatch(df, batchId = 1L) // committed → no-op
+    assert(sink2.writtenFiles.size == before, "batch 1 must stay committed")
+  }
 }
