@@ -350,12 +350,22 @@ object Pipeline {
     val index = kept.groupBy($"s")
       .agg(collect_list(struct($"doc_id", $"n")).as("g"))
       .filter(size($"g") >= 2)
+    // one-sided generation (the x_media_neardup slice idiom): explode
+    // only the STRICT TAIL after each x's position, so a group of n
+    // docs expands to n(n-1)/2 rows instead of n² filtered in half —
+    // this stage feeds the hottest shuffle in the family, so the
+    // constant is wall-clock. collect_list order is nondeterministic,
+    // so least/greatest restores the id orientation per row and na/nb
+    // follow the ids, not the list positions.
     index
-      .select(explode($"g").as("x"), $"g")
-      .select($"x", explode($"g").as("y"))
-      .filter($"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("c"), first($"x.n").as("na"), first($"y.n").as("nb"))
+      .select(posexplode($"g").as(Seq("px", "x")), $"g")
+      .select($"x",
+        explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y"))
+      .groupBy(least($"x.doc_id", $"y.doc_id").as("a_id"),
+        greatest($"x.doc_id", $"y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("c"),
+        first(when($"x.doc_id" < $"y.doc_id", $"x.n").otherwise($"y.n")).as("na"),
+        first(when($"x.doc_id" < $"y.doc_id", $"y.n").otherwise($"x.n")).as("nb"))
   }
 
   /** DuckDB twin of [[ngramPairCounts]] as a CTE chain ending in
@@ -658,21 +668,35 @@ object Pipeline {
     val member =
       if (withSig) struct($"doc_id", $"ss", $"sig")
       else struct($"doc_id", $"ss")
+    // slot agreement as a codegen'd sum of 8 fixed-index equality
+    // terms — an interpreted aggregate(zip_with(...)) here sat outside
+    // whole-stage codegen and was evaluated once per exploded pair,
+    // the estimator's measured hot spot (the same anti-pattern the
+    // k-means/PQ family shed in favor of native expressions). `eq` is
+    // symmetric, so pair orientation below cannot affect it.
     val eqCol =
-      if (withSig) Seq(aggregate(zip_with($"x.sig", $"y.sig",
-          (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, v) => acc + v).as("eq"))
+      if (withSig) Seq((0 until 8).map(i =>
+          when($"x.sig".getItem(i) === $"y.sig".getItem(i), lit(1L))
+            .otherwise(lit(0L))).reduce(_ + _).as("eq"))
       else Nil
+    // one-sided generation (the x_media_neardup slice idiom): each x
+    // pairs with the strict tail after its position — n(n-1)/2 rows
+    // per group, not n² filtered in half. least/greatest restores the
+    // id orientation (collect_list order is nondeterministic) and
+    // na/nb follow the ids; c and eq are symmetric.
     capBandGroups(bands).groupBy($"band_idx", $"band")
       .agg(collect_list(member).as("g"))
       .filter(size($"g") >= 2)
-      .select(explode($"g").as("x"), $"g")
-      .select($"x", explode($"g").as("y"))
-      .filter($"x.doc_id" < $"y.doc_id")
-      .select(Seq($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")) ++ eqCol ++ Seq(
+      .select(posexplode($"g").as(Seq("px", "x")), $"g")
+      .select($"x",
+        explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y"))
+      .select(Seq(least($"x.doc_id", $"y.doc_id").as("a_id"),
+        greatest($"x.doc_id", $"y.doc_id").as("b_id")) ++ eqCol ++ Seq(
         size(array_intersect($"x.ss", $"y.ss")).cast("long").as("c"),
-        size($"x.ss").cast("long").as("na"),
-        size($"y.ss").cast("long").as("nb")): _*)
+        when($"x.doc_id" < $"y.doc_id", size($"x.ss")).otherwise(size($"y.ss"))
+          .cast("long").as("na"),
+        when($"x.doc_id" < $"y.doc_id", size($"y.ss")).otherwise(size($"x.ss"))
+          .cast("long").as("nb")): _*)
       .distinct() // a pair sharing k bands appears k times, identically
   }
 
@@ -886,13 +910,18 @@ object Pipeline {
       posexplode(array((0 until 4).map(b =>
         shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "band")))
+    // one-sided generation (the x_media_neardup slice idiom): pair
+    // each x with the strict tail after its position — n(n-1)/2 rows
+    // per band group, not n² filtered in half. XOR is symmetric;
+    // least/greatest restores the id orientation per row.
     capBandGroups(bands).groupBy($"band_idx", $"band")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("g"))
       .filter(size($"g") >= 2)
-      .select(explode($"g").as("x"), $"g")
-      .select($"x", explode($"g").as("y"))
-      .filter($"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+      .select(posexplode($"g").as(Seq("px", "x")), $"g")
+      .select($"x",
+        explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y"))
+      .select(least($"x.doc_id", $"y.doc_id").as("a_id"),
+        greatest($"x.doc_id", $"y.doc_id").as("b_id"),
         bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
       .filter($"hamming" <= 3)
       .distinct() // one row per pair even when several bands collide

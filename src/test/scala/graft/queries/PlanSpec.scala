@@ -337,4 +337,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"),
       "the salted demo must not broadcast the dim:\n" + p.take(2000))
   }
+
+  /** The three lexical pair cores generate candidates ONE-SIDED: each
+    * group member pairs with the strict tail slice after its position
+    * (n(n-1)/2 explode rows), never the full g×g product filtered in
+    * half — these explodes feed the hottest shuffles in the dedup
+    * family, so the 2× row constant is wall-clock at any corpus size.
+    * The estimator's slot agreement must also stay a codegen'd
+    * equality sum, not an interpreted higher-order function.
+    */
+  test("pair cores are one-sided (tail slice), estimator eq is codegen'd") {
+    for (q <- Seq("x_ngram_jaccard", "x_simhash_pairs", "x_minhash_lsh", "x_minhash_est")) {
+      val p = plan(q)
+      assert(p.contains("slice("),
+        s"$q must pair via the one-sided tail slice:\n" + p.take(2000))
+      assert(p.contains("posexplode"),
+        s"$q must posexplode to index the tail slice:\n" + p.take(2000))
+    }
+    val est = plan("x_minhash_est")
+    assert(!est.contains("zip_with") && !est.contains("aggregate(lambda"),
+      "slot agreement must be a codegen'd 8-term sum, not an interpreted HOF:\n" +
+        est.take(2000))
+  }
 }
