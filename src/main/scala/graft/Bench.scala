@@ -46,6 +46,12 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10: the five queries the one-sided pair-core rewrite and
+    * the estimator codegen fix touched are re-recorded from two fresh
+    * identical-code runs (max of min-of-2, doubled); every move is
+    * under 20% — the rewrite mostly recovered the round-9 drift
+    * rather than shifting the recorded cost bands.
+    *
     * Late round 9: ONLY the eight queries the session's changes
     * touched (events loader, touching-core prunes) are re-recorded,
     * from two fresh identical-code runs. The rest keep their round-8
@@ -119,7 +125,7 @@ object Bench {
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
     "x_incremental_dedup" -> 0.64,
     "x_incremental_neardup" -> 1.67,
-    "x_jaccard_sweep" -> 4.31,
+    "x_jaccard_sweep" -> 4.06,
     "x_kmeans_converge" -> 2.56,
     "x_kmeans_iter" -> 0.82,
     "x_kmeans_moves" -> 0.91,
@@ -133,9 +139,9 @@ object Bench {
     "x_media_neardup" -> 1.97,
     "x_media_recall" -> 3.36, // re-recorded after the containment-linking change (windows at stride 48)
 
-    "x_minhash_est" -> 5.41,
-    "x_minhash_lsh" -> 5.62, // re-recorded after the 64-bit shingle-hash band shuffle fix (5.4 s runtime -> 2.8 s)
-    "x_ngram_jaccard" -> 4.38,
+    "x_minhash_est" -> 4.84,
+    "x_minhash_lsh" -> 5.12,
+    "x_ngram_jaccard" -> 4.56,
     "x_pq_codes" -> 1.22,
     "x_quality_score" -> 0.57,
     "x_redact" -> 0.87,
@@ -147,7 +153,7 @@ object Bench {
     "x_shingle_novelty" -> 1.90,
     "x_sim_search" -> 0.29,
     "x_simhash" -> 3.11,
-    "x_simhash_pairs" -> 3.58,
+    "x_simhash_pairs" -> 3.56,
     "x_stratified_sample" -> 0.35,
     "x_text_stats" -> 0.36,
     "x_tfidf_terms" -> 1.07,
