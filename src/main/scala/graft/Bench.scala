@@ -246,6 +246,18 @@ object Bench {
       graft.queries.Pipeline.ensureShingleIndex(spark, sfDir)
       graft.queries.Pipeline.ensureFingerprints(spark, sfDir)
     }
+    if (needed("compaction_run")) {
+      // one-time crossed-corpus plant + its incremental-state artifacts
+      // (setup for x_compaction_run — the measured query is the repair
+      // itself: crossing detection, blast-radius retraction, touched
+      // rebuild; yesterday's graph and the persisted indexes are the
+      // amortized state the compaction starts from)
+      val adir = graft.queries.Pipeline.ensureCrossedCorpus(spark, sfDir).toString
+      graft.queries.Pipeline.ensureEdgeGraph(spark,
+        graft.queries.Pipeline.ensureBaseCorpus(spark, adir).toString)
+      graft.queries.Pipeline.ensureShingleIndex(spark, adir)
+      graft.queries.Pipeline.ensureFingerprints(spark, adir)
+    }
     // one-time media planted corpus (setup for x_media_recall)
     if (needed("media", "frame"))
       graft.multimodal.Multimodal.ensureMediaPlanted(spark, sfDir)

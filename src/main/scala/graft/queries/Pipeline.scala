@@ -2003,6 +2003,255 @@ object Pipeline {
        |      UNION ALL SELECT * FROM erow)
        |ORDER BY family""".stripMargin
 
+  // ------------------------------------------------------ compaction run
+
+  /** Crossed-corpus plant ids live here, above [[PLANT_OFF]]'s recall
+    * variants — `id >= CROSS_OFF` cleanly separates the compaction
+    * plants from both the fixture and the recall corpus.
+    */
+  private val CROSS_OFF = 2000000L
+
+  /** Bump when the crossing-plant semantics change (doc shapes,
+    * counts, marker scheme) — [[PLANT_FMT_VERSION]]'s contract.
+    */
+  private val CROSS_FMT_VERSION = 1
+
+  /** Planted document text for the cap-crossing corpus. Every plant
+    * carries the shared trigram `zqc0 zqc1 zqc2` (the shingle the
+    * batch pushes across [[SHINGLE_DF_CAP]]) plus id-bearing filler
+    * tokens that keep the texts distinct (no rep collapse, scattered
+    * fingerprints). The first ten base plants additionally share a
+    * per-pair trigram with their partner, so the FULL corpus still
+    * holds five planted jaccard edges after the crossed shingle
+    * drops — the repair must both RETRACT (the shared-trigram edges
+    * the base graph derived while df sat under the cap) and RE-ADD
+    * (the partner edges, which survive on their pair trigrams).
+    */
+  private def crossedPlantText(id: Long, i: Int, paired: Boolean): String = {
+    val pair = if (paired) { val k = i / 2; s"zqp${k}0 zqp${k}1 zqp${k}2 " } else ""
+    s"zqc0 zqc1 zqc2 ${pair}zqu${id}w zqu${id}x zqu${id}y zqu${id}z"
+  }
+
+  /** One-time build of the CAP-CROSSING corpus — the fixture plus 95
+    * base-id and 10 batch-id planted docs sharing one trigram, so the
+    * arriving batch pushes its document frequency 95 → 105 across
+    * [[SHINGLE_DF_CAP]] = 100: the exactness boundary [[incrDelta]]
+    * documents and [[compactionSignal]] detects, planted
+    * deterministically (both engines derive the identical corpus, the
+    * [[ensurePlantedCorpus]] discipline). Embeddings pass through
+    * unchanged — no semantic crossing is planted; the repair's cell
+    * handling is exercised by its shared derivation with the signal.
+    */
+  def ensureCrossedCorpus(s: SparkSession, dir: String): java.nio.file.Path = {
+    val (hasEmb, embStamp) = embPresenceStamp(dir)
+    ensureArtifact("graft-crossed", dir, "documents",
+        s"|v$CROSS_FMT_VERSION|e$embStamp") { staging =>
+      import s.implicits._
+      val maxId = Tables(s, dir, "documents")
+        .agg(max($"doc_id")).as[Long].head()
+      require(maxId < CROSS_OFF,
+        s"crossed corpus: max doc_id $maxId collides with plant offset $CROSS_OFF")
+      val rows =
+        (0 until 95).map { i =>
+          val id = CROSS_OFF + 10 * i + 1 // ≡ 1 (mod 10): base side
+          (id, crossedPlantText(id, i, paired = i < 10))
+        } ++ (0 until 10).map { i =>
+          val id = CROSS_OFF + 10 * i + 7 // ≡ 7 (mod 10): the batch
+          (id, crossedPlantText(id, i, paired = false))
+        }
+      val plant = rows.toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("xx").as("lang"),
+          lit("plant").as("source"), length($"text").cast("long").as("n_chars"))
+      Tables(s, dir, "documents").unionByName(plant)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("documents.parquet").toString)
+      if (hasEmb)
+        Tables(s, dir, "embeddings")
+          .write.mode("overwrite")
+          .parquet(staging.resolve("embeddings.parquet").toString)
+    }
+  }
+
+  /** Docs under a crossed cap key — [[compactionSignal]]'s crossing
+    * derivations, returned as the doc set instead of counts: carriers
+    * of a crossed shingle, members of a crossed band group, vecs of a
+    * crossed cell. This is the repair's blast radius: every pair the
+    * crossing can have invalidated touches one of these docs (a
+    * crossed shingle changes its carriers' kept sets; a crossed band
+    * group changes its members' cap survivors; a crossed cell changes
+    * its members' sub-blocking — each family's divergence is confined
+    * to pairs with an endpoint in its own affected set).
+    */
+  private def affectedDocs(s: SparkSession, adir: String): DataFrame = {
+    import s.implicits._
+    val sh = shinglesOf(Tables(s, adir, "documents"))
+    val jacCrossed = sh.groupBy($"s")
+      .agg(count(lit(1)).as("n_full"),
+        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+      .filter($"n_full" > SHINGLE_DF_CAP &&
+        $"n_full" - $"n_batch" <= SHINGLE_DF_CAP)
+      .select($"s")
+    val jacAff = sh.join(broadcast(jacCrossed), Seq("s"), "left_semi")
+      .select($"doc_id")
+    val bands = s.read.parquet(ensureFingerprints(s, adir).toString)
+      .select($"doc_id",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band")))
+    val simCrossed = bands.groupBy($"band_idx", $"band")
+      .agg(count(lit(1)).as("n_full"),
+        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+      .filter($"n_full" > BAND_CAP && $"n_full" - $"n_batch" <= BAND_CAP)
+      .select($"band_idx", $"band")
+    val simAff = bands
+      .join(broadcast(simCrossed), Seq("band_idx", "band"), "left_semi")
+      .select($"doc_id")
+    val hasEmb = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(adir, "embeddings.parquet"))
+    val lexAff = jacAff.union(simAff)
+    val all =
+      if (!hasEmb) lexAff
+      else {
+        val emb = Tables(s, adir, "embeddings")
+        val cellCrossed = emb.groupBy($"label")
+          .agg(count(lit(1)).as("n_full"),
+            count(when(isBatchId($"vec_id"), lit(1))).as("n_batch"))
+          .filter($"n_full" > EMBED_CELL_CAP &&
+            $"n_full" - $"n_batch" <= EMBED_CELL_CAP)
+          .select($"label")
+        lexAff.union(emb
+          .join(broadcast(cellCrossed), Seq("label"), "left_semi")
+          .select($"vec_id".as("doc_id")))
+      }
+    all.distinct()
+  }
+
+  /** Compaction REPAIR — the operator [[compactionSignal]] schedules:
+    * rebuild the maintained near-dup graph at exactly the keys the
+    * batch pushed across a structural cap, leaving every other edge
+    * untouched, instead of the full-corpus rebuild the signal would
+    * otherwise force. Runs over [[ensureCrossedCorpus]] — a planted
+    * crossing (df 95 → 105 across [[SHINGLE_DF_CAP]]) the
+    * incremental path provably gets wrong: the base graph derived
+    * C(85,2)+5 edges from the shared trigram while its df sat under
+    * the cap; the full rebuild drops that shingle, keeping only the
+    * five partner-trigram edges.
+    *
+    * The repair: take the incrementally-maintained graph
+    * ([[incrEdges]] — base edges kept + batch delta), retract every
+    * pair touching an affected doc ([[affectedDocs]] — the crossings'
+    * complete blast radius), and regenerate those docs' pairs with
+    * the full-corpus family pipelines (the [[jacPairsTouching]] /
+    * [[simPairsTouching]] / [[semPairsTouching]] cores, which already
+    * compute full-pipeline semantics restricted to pairs touching a
+    * doc set). Cost scales with the affected sets, not the corpus —
+    * the daily-compaction shape a 100 TB dedup service runs when its
+    * monitor fires. Output is the repaired edge set with `repaired` =
+    * the pair has an affected endpoint (went through the rebuild
+    * stage); the oracle derives the SAME planted corpus as CTEs and
+    * rebuilds the whole graph from scratch, so the hash match IS the
+    * "repair ≡ full rebuild" proof on a corpus where the unrepaired
+    * maintained graph demonstrably diverges.
+    */
+  def compactionRun(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adir = ensureCrossedCorpus(s, dir).toString
+    // small by construction (crossed-key members only); pinned because
+    // five consumers would otherwise re-run the crossing aggregations.
+    // The pin's lifecycle belongs to the caller's harness (incrDelta's
+    // returned-checkpoint contract).
+    val aff = affectedDocs(s, adir).localCheckpoint()
+    val maintained = incrEdges(s, adir).select($"a_id", $"b_id")
+    val kept = maintained
+      .join(broadcast(aff.select($"doc_id".as("a_id"))), Seq("a_id"), "left_anti")
+      .join(broadcast(aff.select($"doc_id".as("b_id"))), Seq("b_id"), "left_anti")
+    val hasEmb = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(adir, "embeddings.parquet"))
+    val lexRebuilt = jacPairsTouching(s, adir, aff)
+      .unionByName(simPairsTouching(s, adir, aff))
+    val rebuilt =
+      (if (hasEmb) lexRebuilt.unionByName(semPairsTouching(s, adir, aff))
+       else lexRebuilt).distinct()
+    kept.select($"a_id", $"b_id", lit(false).as("repaired"))
+      .unionByName(rebuilt.select($"a_id", $"b_id", lit(true).as("repaired")))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** DuckDB twin: derive the identical planted corpus as CTEs, then
+    * FULL-REBUILD the three-family edge graph over it — the Spark
+    * side never rebuilds, so the hash match proves the targeted
+    * repair reproduces the rebuild exactly. `repaired` ground truth
+    * is affected-endpoint membership, derived with the same crossing
+    * arithmetic.
+    */
+  lazy val compactionRunSql: String = {
+    def plantSel(off: Long, n: Int, pairedUpto: Int): String = {
+      val id = s"CAST($CROSS_OFF + 10 * i + $off AS BIGINT)"
+      val ids = s"CAST($id AS VARCHAR)"
+      val pair = "'zqp' || CAST(i // 2 AS VARCHAR) || '0 zqp' || " +
+        "CAST(i // 2 AS VARCHAR) || '1 zqp' || CAST(i // 2 AS VARCHAR) || '2 '"
+      val pairPart =
+        if (pairedUpto > 0) s"CASE WHEN i < $pairedUpto THEN $pair ELSE '' END"
+        else "''"
+      s"""SELECT $id AS doc_id,
+         |    'zqc0 zqc1 zqc2 ' || $pairPart ||
+         |    'zqu' || $ids || 'w zqu' || $ids || 'x zqu' || $ids ||
+         |    'y zqu' || $ids || 'z' AS text
+         |  FROM range(0, $n) t(i)""".stripMargin
+    }
+    s"""WITH plant AS (
+       |  SELECT doc_id, text, 'xx' AS lang, 'plant' AS source,
+       |    CAST(length(text) AS BIGINT) AS n_chars FROM (
+       |  ${plantSel(1, 95, pairedUpto = 10)}
+       |  UNION ALL
+       |  ${plantSel(7, 10, pairedUpto = 0)})),
+       |adocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  UNION ALL SELECT * FROM plant),
+       |jac AS (WITH ${ngramPairCountsCtesSqlFrom("adocs")}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |sim AS (WITH ${simhashPairsCtesSqlFrom("adocs")}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |sem AS (SELECT a_id, b_id FROM (${embedNearDupBodySqlFrom("embeddings")})),
+       |edges AS (
+       |  SELECT a_id, b_id FROM jac UNION SELECT a_id, b_id FROM sim
+       |  UNION SELECT a_id, b_id FROM sem),
+       |shx AS (${shinglesSqlFrom("adocs")}),
+       |dfx AS (
+       |  SELECT s, COUNT(*) AS n_full,
+       |    COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
+       |  FROM shx GROUP BY 1),
+       |jaff AS (
+       |  SELECT DISTINCT doc_id FROM shx WHERE s IN (
+       |    SELECT s FROM dfx
+       |    WHERE n_full > $SHINGLE_DF_CAP AND n_full - n_batch <= $SHINGLE_DF_CAP)),
+       |fpx AS (${simhashSqlFrom(repsSqlFrom("adocs"))}),
+       |bx AS (
+       |  SELECT doc_id, band_idx, (simhash >> (16 * band_idx)) & 65535 AS band
+       |  FROM fpx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+       |bc AS (
+       |  SELECT band_idx, band FROM (
+       |    SELECT band_idx, band, COUNT(*) AS n_full,
+       |      COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
+       |    FROM bx GROUP BY 1, 2)
+       |  WHERE n_full > $BAND_CAP AND n_full - n_batch <= $BAND_CAP),
+       |saff AS (SELECT DISTINCT b.doc_id FROM bx b JOIN bc USING (band_idx, band)),
+       |cc AS (
+       |  SELECT label FROM (
+       |    SELECT label, COUNT(*) AS n_full,
+       |      COUNT(*) FILTER (WHERE vec_id % 10 = 7) AS n_batch
+       |    FROM embeddings GROUP BY 1)
+       |  WHERE n_full > $EMBED_CELL_CAP AND n_full - n_batch <= $EMBED_CELL_CAP),
+       |eaff AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings JOIN cc USING (label)),
+       |aff AS (SELECT doc_id FROM jaff UNION SELECT doc_id FROM saff
+       |        UNION SELECT doc_id FROM eaff)
+       |SELECT e.a_id, e.b_id,
+       |  (e.a_id IN (SELECT doc_id FROM aff)
+       |   OR e.b_id IN (SELECT doc_id FROM aff)) AS repaired
+       |FROM edges e
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   lazy val dedupFullSql: String =
     s"""WITH RECURSIVE
        |$lexEdgeCtesSql,
@@ -4798,6 +5047,7 @@ object Pipeline {
     "x_incremental_neardup" -> incrementalNearDup _,
     "x_incr_clusters" -> incrClusters _,
     "x_compaction_signal" -> compactionSignal _,
+    "x_compaction_run" -> compactionRun _,
     "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
@@ -4867,6 +5117,7 @@ object Pipeline {
     "x_incremental_neardup" -> incrementalNearDupSql,
     "x_incr_clusters" -> incrClustersSql,
     "x_compaction_signal" -> compactionSignalSql,
+    "x_compaction_run" -> compactionRunSql,
     "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,
