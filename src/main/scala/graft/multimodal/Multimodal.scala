@@ -266,7 +266,12 @@ object Multimodal {
     * hashes them, one pass slices them) — only (asset_id, 32-byte
     * checksum) rows ever reach an exchange, plan-asserted.
     */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** The kept-frame feature table `(asset_id, n, frame_md5)` —
+    * [[mediaNearDup]]'s exact-dup pre-collapse + windowing + df-cap
+    * stages, shared with [[ensureFrameIndex]] so the from-scratch
+    * pipeline and the persisted incremental index can never diverge.
+    */
+  private def keptFrames(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val hashed = assets(s, dir).select($"asset_id", md5($"payload").as("h"))
@@ -287,8 +292,13 @@ object Multimodal {
     val frequent = frames.groupBy($"frame_md5").agg(count(lit(1)).as("df"))
       .filter($"df" > FRAME_DF_CAP)
       .select($"frame_md5")
-    val kept = frames.join(broadcast(frequent), Seq("frame_md5"), "left_anti")
+    frames.join(broadcast(frequent), Seq("frame_md5"), "left_anti")
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"asset_id")))
+  }
+
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = keptFrames(s, dir)
     val index = kept.groupBy($"frame_md5")
       .agg(collect_list(struct($"asset_id", $"n")).as("g"))
       .filter(size($"g") >= 2)
@@ -348,6 +358,142 @@ object Multimodal {
        |ORDER BY a_id, b_id""".stripMargin
 
   val mediaNearDupSql: String = mediaNearDupBodySqlFrom("documents")
+
+  // ------------------------------------------------ incremental media dedup
+
+  /** Bump when the frame-feature semantics ([[WIN_BYTES]],
+    * [[WIN_STRIDE]], [[FRAME_DF_CAP]], rep collapse) or the index
+    * layout change.
+    */
+  private val FRAME_IDX_FMT_VERSION = 1
+
+  /** Bucket count of the frame-index layout — the shingle-index
+    * sizing contract applied to the frame posting key.
+    */
+  private val FRAME_IDX_BUCKETS = 8
+
+  /** One-time build of the kept-frame inverted index — `(asset_id, n,
+    * frame_md5)` written `bucketBy(frame_md5)`: the persisted state a
+    * daily media-ingest dedup service keeps between batches, exactly
+    * [[graft.queries.Pipeline]]'s shingle-index discipline re-applied
+    * to frame checksums. Re-deriving the window features per batch
+    * would hash and slice every payload in the corpus per increment —
+    * the dominant cost the index exists to avoid at 100 TB. The
+    * incremental query groups by `frame_md5`, so the bucket metadata
+    * hands it posting groups with zero exchange of the corpus-scale
+    * operand; the from-scratch pipeline ([[mediaNearDup]]) stays the
+    * measured index-build cost.
+    */
+  def ensureFrameIndex(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.queries.Pipeline.ensureArtifactFor("graft-frameidx", dir,
+        "documents", s"|v$FRAME_IDX_FMT_VERSION|b$FRAME_IDX_BUCKETS") { staging =>
+      val rows = keptFrames(s, dir)
+      val tmp = s"graft_frameidx_build_${ProcessHandle.current.pid}"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      rows.select(col("asset_id"), col("n"), col("frame_md5"))
+        .repartition(FRAME_IDX_BUCKETS, col("frame_md5"))
+        .write.bucketBy(FRAME_IDX_BUCKETS, "frame_md5").sortBy("frame_md5")
+        .option("path", staging.toString)
+        .saveAsTable(tmp)
+      s.sql(s"DROP TABLE $tmp")
+    }
+
+  /** The frame index as a bucket-aware DataFrame (the shingle-index
+    * registration pattern).
+    */
+  private def frameIndexOf(s: SparkSession, dir: String): DataFrame =
+    Multimodal.synchronized {
+      val p = ensureFrameIndex(s, dir)
+      val tbl = s"graft_frameidx_${p.getFileName}"
+      if (!s.catalog.tableExists(tbl))
+        s.sql(
+          s"""CREATE TABLE $tbl (asset_id BIGINT, n BIGINT, frame_md5 STRING)
+             |USING parquet
+             |CLUSTERED BY (frame_md5) SORTED BY (frame_md5)
+             |INTO $FRAME_IDX_BUCKETS BUCKETS
+             |LOCATION '$p'""".stripMargin)
+      s.table(tbl).select(col("asset_id"), col("n"), col("frame_md5"))
+    }
+
+  /** Incremental media near-dup — the daily-ingest twin of
+    * [[mediaNearDup]], the `x_incremental_neardup` discipline applied
+    * to the media family: the arriving batch (`asset_id ≡ 7 mod 10`,
+    * the corpus-wide batch convention) is linked against the stored
+    * corpus via the persisted [[ensureFrameIndex]] posting lists, so
+    * per-batch cost scales with the batch's posting groups, never the
+    * corpus. Group-local ONE-SIDED generation (batch members explode
+    * against their groups — |batch∩g|×|g| per group, not |g|²), with
+    * posting groups pruned to those holding a batch member BEFORE
+    * materialization (the index-lookup cost profile). Both linking
+    * metrics ride along (Jaccard for symmetric near-dups, containment
+    * for truncations). The oracle is the FULL from-scratch rebuild
+    * restricted to batch-touching pairs, so the hash match proves the
+    * incremental path computes exactly the rebuild's delta.
+    *
+    * Runs over the PLANTED media corpus ([[ensureMediaPlanted]], the
+    * [[mediaRecall]] discipline): the raw fixture's batch slice holds
+    * no media near-dups (an all-green 0-row oracle proves nothing),
+    * while the planted corpus guarantees genuine batch-touching links
+    * — every truncation variant whose id lands ≡ 7 (mod 10) is a
+    * batch asset the incremental path must link back to its stored
+    * source through the index.
+    */
+  def incrMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adir = ensureMediaPlanted(s, dir).toString
+    val marked = frameIndexOf(s, adir)
+      .withColumn("is_t", $"asset_id" % 10 === 7)
+    // prune to posting groups the batch touches: a group with no batch
+    // member generates zero batch-touching pairs, so whole-group
+    // pruning is exact, and both sides carry the bucketed layout —
+    // the prune exchanges nothing corpus-scale
+    val touchedF = marked.filter($"is_t").select($"frame_md5").distinct()
+    val kept = marked.join(touchedF, Seq("frame_md5"), "left_semi")
+    val index = kept.groupBy($"frame_md5")
+      .agg(collect_list(struct($"asset_id", $"n", $"is_t")).as("g"))
+      .filter(size($"g") >= 2)
+    index
+      .select(explode($"g").as("x"), $"g")
+      .filter($"x.is_t")
+      .select($"x", explode($"g").as("y"))
+      .filter($"x.asset_id" =!= $"y.asset_id" &&
+        (!$"y.is_t" || $"x.asset_id" < $"y.asset_id"))
+      .groupBy(least($"x.asset_id", $"y.asset_id").as("a_id"),
+        greatest($"x.asset_id", $"y.asset_id").as("b_id"))
+      .agg(count(lit(1)).as("c"),
+        first(when($"x.asset_id" < $"y.asset_id", $"x.n").otherwise($"y.n")).as("na"),
+        first(when($"x.asset_id" < $"y.asset_id", $"y.n").otherwise($"x.n")).as("nb"))
+      .select($"a_id", $"b_id",
+        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"),
+        ($"c" / least($"na", $"nb")).as("containment"))
+      .filter($"jaccard" >= 0.5 || $"containment" >= 0.9)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** DuckDB twin: derive the identical planted corpus, FULL-rebuild
+    * its pair set from scratch, restrict to pairs with a batch
+    * endpoint — matching it proves incremental ≡ rebuild on the
+    * batch's slice.
+    */
+  // lazy: interpolates MEDIA_OFF, which is declared LATER in this
+  // object — a strict val here reads the pre-initialization default
+  // (0L) and silently plants colliding variant ids in the oracle
+  lazy val incrMediaSql: String =
+    s"""WITH plant AS (
+       |  SELECT doc_id, text, (doc_id // 3) % 3 + 1 AS trunc_q
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= 8
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |aug_media AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT p.doc_id + $MEDIA_OFF,
+       |    substr(p.text, 1, CAST((length(p.text) * p.trunc_q) // 4 AS BIGINT))
+       |  FROM plant p),
+       |pairs AS (${mediaNearDupBodySqlFrom("aug_media")})
+       |SELECT a_id, b_id, jaccard, containment FROM pairs
+       |WHERE a_id % 10 = 7 OR b_id % 10 = 7
+       |ORDER BY a_id, b_id""".stripMargin
 
   // ------------------------------------------------- media planted recall
 
@@ -484,6 +630,7 @@ object Multimodal {
     "x_frame_sample"  -> frameSample _,
     "x_media_dedup"   -> mediaDedup _,
     "x_media_neardup" -> mediaNearDup _,
+    "x_incr_media"    -> incrMedia _,
     "x_media_recall"  -> mediaRecall _)
 
   val oracle: Map[String, String] = Map(
@@ -492,5 +639,6 @@ object Multimodal {
     "x_frame_sample"  -> frameSampleSql,
     "x_media_dedup"   -> mediaDedupSql,
     "x_media_neardup" -> mediaNearDupSql,
+    "x_incr_media"    -> incrMediaSql,
     "x_media_recall"  -> mediaRecallSql)
 }
