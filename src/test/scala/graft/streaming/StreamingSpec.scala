@@ -680,6 +680,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!kept.contains(5000000L))
   }
 
+  test("noveltyGate per-rate catch curve on the planted corpus (streaming near-dup recall)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // The streaming twin of x_dedup_recall, closing the gate family's
+    // eval gap: the hamming-0 nearDupGate measurably cannot catch
+    // mutated variants (pinned above), so the lexical catch falls to
+    // the NOVELTY gate — arriving docs whose shingles are mostly
+    // already in the stored-corpus Bloom filter drop below the
+    // NOVELTY_MIN floor. Catch rate must RISE as mutation rate falls
+    // (rate 16 = 6.25% edits ≈ 19% novel shingles < the 20% floor;
+    // rate 2 = 50% edits ≈ 94% novel → passes).
+    val adir = graft.queries.Pipeline.ensurePlantedCorpus(spark, dir).toString
+    val filter = graft.queries.Pipeline.corpusShingleFilter(
+      spark, adir, batchPred = col("doc_id") >= 1000000L)
+    val variants = spark.read.parquet(s"$adir/documents.parquet")
+      .filter($"doc_id" >= 1000000L)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(variants.nonEmpty)
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("novelty-recall").toString
+    val q = Streams.noveltyGate(
+        mem.toDF().toDF("doc_id", "text"), filter)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-nr").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(variants.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+
+    // rate class by source id, the plantRate convention (src % 4:
+    // 0→2, 1→4, 2→8, 3→16 — every rate-th token replaced)
+    def rateOf(vid: Long): Long = ((vid - 1000000L) % 4) match {
+      case 0 => 2L; case 1 => 4L; case 2 => 8L; case _ => 16L
+    }
+    val byRate = variants.groupBy(v => rateOf(v._1)).map { case (r, vs) =>
+      val caught = vs.count(v => !kept.contains(v._1))
+      r -> ((vs.length, caught, caught.toLong * 1000000L / vs.length))
+    }
+    byRate.toSeq.sortBy(_._1).foreach { case (r, (n, c, ppm)) =>
+      info(s"rate $r: planted $n, caught $c, catch_ppm $ppm")
+    }
+    val ppm = byRate.view.mapValues(_._3).toMap
+    // recorded curve (deterministic corpus, fixed-seed Bloom): the
+    // gate catches 14/24 rate-16 variants and rightly passes every
+    // heavier mutation class — the measured streaming complement to
+    // the batch family's x_dedup_recall row
+    assert(ppm == Map(2L -> 0L, 4L -> 0L, 8L -> 0L, 16L -> 583333L),
+      s"recorded catch curve moved: $ppm")
+    // the curve's shape: monotone non-decreasing catch as edits shrink
+    assert(ppm(2L) <= ppm(4L) && ppm(4L) <= ppm(8L) && ppm(8L) <= ppm(16L),
+      s"catch must rise as mutation rate falls: $ppm")
+    // heavily-mutated variants are genuinely novel and must pass
+    assert(ppm(2L) == 0L, s"rate-2 variants are designed novelty: $ppm")
+    // lightly-mutated variants sit under the 20% novelty floor
+    assert(ppm(16L) > 500000L,
+      s"the novelty gate must catch most rate-16 near-dups: $ppm")
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
