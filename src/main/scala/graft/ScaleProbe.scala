@@ -106,6 +106,35 @@ object ScaleProbe {
     val tSignal = secsSince(t9)
     require(nIncr > 0, "incremental clusters returned no rows")
 
+    // the retrieval family at scale — the same measured treatment the
+    // dedup capstones get: the IVF partition layout build (index
+    // amortization), the nprobe-pruned probe (the pruned-scan claim:
+    // cost tracks the probed cells' share, never the unprobed corpus),
+    // the PQ search (codebook = driver-side cells×8 index metadata),
+    // BM25 batch scoring (posting materialization + candidate-bounded
+    // scoring), and the declared brute-force baseline for contrast.
+    val t10 = System.nanoTime()
+    queries.Pipeline.ensureIvfLayout(spark, dir)
+    val tIvfLayout = secsSince(t10)
+    val t11 = System.nanoTime()
+    val nProbe = queries.Pipeline.queries("x_ann_ivf_nprobe")(spark, dir).count()
+    val tNprobe = secsSince(t11)
+    val t12 = System.nanoTime()
+    val nPq = queries.Pipeline.queries("x_ann_pq")(spark, dir).count()
+    val tPq = secsSince(t12)
+    val t13 = System.nanoTime()
+    val nBm = queries.Pipeline.queries("x_bm25_batch")(spark, dir).count()
+    val tBm25 = secsSince(t13)
+    val t14 = System.nanoTime()
+    val nBrute = queries.Pipeline.queries("x_sim_search")(spark, dir).count()
+    val tBrute = secsSince(t14)
+    require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0,
+      s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute)")
+    // BM25 pins its posting table per call; free the blocks so the
+    // next factor's measurements start clean (the Bench discipline)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
     // stdout contract mirrors Bench: one greppable JSON line per factor
     println(
       s"""{"probe":"scale","factor":$factor,"docs":$nDocs,"edges":$nEdges,""" +
@@ -113,7 +142,9 @@ object ScaleProbe {
       s""""sym_sec":$tSym,"components_sec":$tDecision,""" +
       s""""keepmap_sec":$tKeepMap,"manifest_sec":$tManifest,""" +
       s""""index_sec":$tIndex,"base_state_sec":$tBaseState,""" +
-      s""""incr_sec":$tIncr,"incr_rounds":$incrRounds,"signal_sec":$tSignal}""")
+      s""""incr_sec":$tIncr,"incr_rounds":$incrRounds,"signal_sec":$tSignal,""" +
+      s""""ivf_layout_sec":$tIvfLayout,"nprobe_sec":$tNprobe,"pq_sec":$tPq,""" +
+      s""""bm25_sec":$tBm25,"brute_sec":$tBrute}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),
