@@ -113,27 +113,39 @@ object ScaleProbe {
     // the PQ search (codebook = driver-side cells×8 index metadata),
     // BM25 batch scoring (posting materialization + candidate-bounded
     // scoring), and the declared brute-force baseline for contrast.
+    // isolate each timed step (the Bench attempt() discipline): BM25's
+    // pinned posting table or the incremental section's leftover
+    // checkpoints must not sit in block-manager memory under a later
+    // measurement — at 30× that pressure bends exactly the curves the
+    // probe exists to record
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    isolate()
     val t10 = System.nanoTime()
     queries.Pipeline.ensureIvfLayout(spark, dir)
     val tIvfLayout = secsSince(t10)
+    isolate()
     val t11 = System.nanoTime()
     val nProbe = queries.Pipeline.queries("x_ann_ivf_nprobe")(spark, dir).count()
     val tNprobe = secsSince(t11)
+    isolate()
     val t12 = System.nanoTime()
     val nPq = queries.Pipeline.queries("x_ann_pq")(spark, dir).count()
     val tPq = secsSince(t12)
+    isolate()
     val t13 = System.nanoTime()
     val nBm = queries.Pipeline.queries("x_bm25_batch")(spark, dir).count()
     val tBm25 = secsSince(t13)
+    isolate()
     val t14 = System.nanoTime()
     val nBrute = queries.Pipeline.queries("x_sim_search")(spark, dir).count()
     val tBrute = secsSince(t14)
     require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0,
       s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute)")
-    // BM25 pins its posting table per call; free the blocks so the
-    // next factor's measurements start clean (the Bench discipline)
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    isolate()
 
     // stdout contract mirrors Bench: one greppable JSON line per factor
     println(

@@ -296,6 +296,31 @@ object Multimodal {
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"asset_id")))
   }
 
+  /** Shared pair-scoring tail of [[mediaNearDup]] and [[incrMedia]] —
+    * the keptFrames discipline applied to the scoring side: one
+    * definition of the orientation-normalizing aggregation, the two
+    * linking metrics, and the 0.5 / 0.9 thresholds, so the incremental
+    * path's "≡ rebuild restricted to the batch" contract cannot be
+    * broken by a threshold tweak applied to one pipeline alone. Input:
+    * exploded `(x, y)` member-struct pairs, one row per shared frame
+    * per unordered pair (structs carry `asset_id` and `n`; extra
+    * fields are fine).
+    */
+  private def scoreFramePairs(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(least(col("x.asset_id"), col("y.asset_id")).as("a_id"),
+        greatest(col("x.asset_id"), col("y.asset_id")).as("b_id"))
+      .agg(count(lit(1)).as("c"),
+        first(when(col("x.asset_id") < col("y.asset_id"), col("x.n"))
+          .otherwise(col("y.n"))).as("na"),
+        first(when(col("x.asset_id") < col("y.asset_id"), col("y.n"))
+          .otherwise(col("x.n"))).as("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
+        (col("c") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("jaccard") >= 0.5 || col("containment") >= 0.9)
+      .orderBy(col("a_id"), col("b_id"))
+
   def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val kept = keptFrames(s, dir)
@@ -305,21 +330,13 @@ object Multimodal {
     // one-sided generation: explode only the STRICT TAIL after each
     // x's position, so a group of n assets expands to n(n-1)/2 rows
     // instead of n² rows filtered in half afterwards (the incremental
-    // touching cores' discipline); least/greatest restores the
-    // id-ordered orientation the list order doesn't guarantee
-    index.select(posexplode($"g").as(Seq("px", "x")), $"g")
-      .select($"x",
-        explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y"))
-      .groupBy(least($"x.asset_id", $"y.asset_id").as("a_id"),
-        greatest($"x.asset_id", $"y.asset_id").as("b_id"))
-      .agg(count(lit(1)).as("c"),
-        first(when($"x.asset_id" < $"y.asset_id", $"x.n").otherwise($"y.n")).as("na"),
-        first(when($"x.asset_id" < $"y.asset_id", $"y.n").otherwise($"x.n")).as("nb"))
-      .select($"a_id", $"b_id",
-        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"),
-        ($"c" / least($"na", $"nb")).as("containment"))
-      .filter($"jaccard" >= 0.5 || $"containment" >= 0.9)
-      .orderBy($"a_id", $"b_id")
+    // touching cores' discipline); least/greatest in the shared tail
+    // restores the id-ordered orientation the list order doesn't
+    // guarantee
+    scoreFramePairs(
+      index.select(posexplode($"g").as(Seq("px", "x")), $"g")
+        .select($"x",
+          explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y")))
   }
 
   /** [[mediaNearDup]]'s oracle over an arbitrary documents source
@@ -385,35 +402,20 @@ object Multimodal {
     * measured index-build cost.
     */
   def ensureFrameIndex(s: SparkSession, dir: String): java.nio.file.Path =
-    graft.queries.Pipeline.ensureArtifactFor("graft-frameidx", dir,
-        "documents", s"|v$FRAME_IDX_FMT_VERSION|b$FRAME_IDX_BUCKETS") { staging =>
-      val rows = keptFrames(s, dir)
-      val tmp = s"graft_frameidx_build_${ProcessHandle.current.pid}"
-      s.sql(s"DROP TABLE IF EXISTS $tmp")
-      rows.select(col("asset_id"), col("n"), col("frame_md5"))
-        .repartition(FRAME_IDX_BUCKETS, col("frame_md5"))
-        .write.bucketBy(FRAME_IDX_BUCKETS, "frame_md5").sortBy("frame_md5")
-        .option("path", staging.toString)
-        .saveAsTable(tmp)
-      s.sql(s"DROP TABLE $tmp")
+    graft.queries.Pipeline.ensureBucketedIndex(s, "graft-frameidx", dir,
+        "documents", s"|v$FRAME_IDX_FMT_VERSION|b$FRAME_IDX_BUCKETS",
+        FRAME_IDX_BUCKETS, "frame_md5") {
+      keptFrames(s, dir).select(col("asset_id"), col("n"), col("frame_md5"))
     }
 
   /** The frame index as a bucket-aware DataFrame (the shingle-index
-    * registration pattern).
+    * registration pattern, via the shared machinery).
     */
   private def frameIndexOf(s: SparkSession, dir: String): DataFrame =
-    Multimodal.synchronized {
-      val p = ensureFrameIndex(s, dir)
-      val tbl = s"graft_frameidx_${p.getFileName}"
-      if (!s.catalog.tableExists(tbl))
-        s.sql(
-          s"""CREATE TABLE $tbl (asset_id BIGINT, n BIGINT, frame_md5 STRING)
-             |USING parquet
-             |CLUSTERED BY (frame_md5) SORTED BY (frame_md5)
-             |INTO $FRAME_IDX_BUCKETS BUCKETS
-             |LOCATION '$p'""".stripMargin)
-      s.table(tbl).select(col("asset_id"), col("n"), col("frame_md5"))
-    }
+    graft.queries.Pipeline.bucketedIndexOf(s, ensureFrameIndex(s, dir),
+        "graft_frameidx", "asset_id BIGINT, n BIGINT, frame_md5 STRING",
+        "frame_md5", FRAME_IDX_BUCKETS)
+      .select(col("asset_id"), col("n"), col("frame_md5"))
 
   /** Incremental media near-dup — the daily-ingest twin of
     * [[mediaNearDup]], the `x_incremental_neardup` discipline applied
@@ -452,22 +454,13 @@ object Multimodal {
     val index = kept.groupBy($"frame_md5")
       .agg(collect_list(struct($"asset_id", $"n", $"is_t")).as("g"))
       .filter(size($"g") >= 2)
-    index
-      .select(explode($"g").as("x"), $"g")
-      .filter($"x.is_t")
-      .select($"x", explode($"g").as("y"))
-      .filter($"x.asset_id" =!= $"y.asset_id" &&
-        (!$"y.is_t" || $"x.asset_id" < $"y.asset_id"))
-      .groupBy(least($"x.asset_id", $"y.asset_id").as("a_id"),
-        greatest($"x.asset_id", $"y.asset_id").as("b_id"))
-      .agg(count(lit(1)).as("c"),
-        first(when($"x.asset_id" < $"y.asset_id", $"x.n").otherwise($"y.n")).as("na"),
-        first(when($"x.asset_id" < $"y.asset_id", $"y.n").otherwise($"x.n")).as("nb"))
-      .select($"a_id", $"b_id",
-        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"),
-        ($"c" / least($"na", $"nb")).as("containment"))
-      .filter($"jaccard" >= 0.5 || $"containment" >= 0.9)
-      .orderBy($"a_id", $"b_id")
+    scoreFramePairs(
+      index
+        .select(explode($"g").as("x"), $"g")
+        .filter($"x.is_t")
+        .select($"x", explode($"g").as("y"))
+        .filter($"x.asset_id" =!= $"y.asset_id" &&
+          (!$"y.is_t" || $"x.asset_id" < $"y.asset_id")))
   }
 
   /** DuckDB twin: derive the identical planted corpus, FULL-rebuild

@@ -971,8 +971,6 @@ object Pipeline {
     * HDFS dir.
     */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     // repartition on src BEFORE the checkpoint: every round joins sym
     // on src, and a checkpointed plan carries its partitioning into
     // the LogicalRDD — so the edge set is exchanged ONCE here instead
@@ -983,7 +981,7 @@ object Pipeline {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint() // reused every round; never recompute the edge pipeline
-    componentsOverSym(sym, sc.getPersistentRDDs.keySet.toSet -- before)
+    componentsOverSym(sym, freeSym = true)
   }
 
   /** The label-propagation loop over an already-symmetrized edge set
@@ -992,25 +990,22 @@ object Pipeline {
     * directly: the scan arrives hash-partitioned on `src`, so the
     * per-round propagation join never exchanges the edge side, and
     * storage (not executor block-manager memory) backs its per-round
-    * reuse — the corpus-scale operand stays unpinned. `symIds` are
-    * the caller's checkpoint RDD ids to release on convergence (empty
-    * when sym is a table scan).
+    * reuse — the corpus-scale operand stays unpinned. `freeSym` is
+    * set by callers that checkpointed `sym` themselves and want it
+    * released on convergence (false when sym is a table scan).
     */
-  private def componentsOverSym(sym: DataFrame, symIds: Set[Int]): DataFrame = {
+  private def componentsOverSym(sym: DataFrame, freeSym: Boolean): DataFrame = {
     // localCheckpoint persists RDDs the catalog cache never sees; free
-    // each round's checkpoint as soon as the next one supersedes it
-    // (tracked by persistent-RDD id, never touching the caller's own
-    // persisted data) so an iterative call leaves behind only its
-    // result — not O(rounds) of dead block-manager state
-    val sc = sym.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val preexisting = persistedIds // includes symIds when checkpointed
+    // each round's checkpoint as soon as the next one supersedes it —
+    // DIRECTLY from the superseded DataFrame's own plan
+    // ([[freeCheckpoint]]), never by diffing the context-global
+    // registry, whose diff window would capture and free a CONCURRENT
+    // caller's pins (the incrDelta lesson) — so an iterative call
+    // leaves behind only its result, not O(rounds) of dead
+    // block-manager state
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    var prevIds = persistedIds -- preexisting
     var changed = 1L
     var round = 0
     while (changed > 0 && round < 50) {
@@ -1033,14 +1028,13 @@ object Pipeline {
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       // next is materialized (eager checkpoint + the count above), so
-      // the previous round's checkpoint has no remaining reader
-      val nextIds = persistedIds -- preexisting -- prevIds
-      free(prevIds)
-      prevIds = nextIds
+      // the previous round's checkpoint — the one LogicalRDD in the
+      // current `labels` plan — has no remaining reader
+      freeCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       round += 1
     }
-    free(symIds) // the final labels checkpoint alone survives for the caller
+    if (freeSym) freeCheckpoint(sym) // the final labels checkpoint alone survives
     require(changed == 0,
       s"connectedComponents did not converge in $round rounds — " +
         "graph structure inconsistent with a near-dup corpus")
@@ -1193,7 +1187,7 @@ object Pipeline {
     import s.implicits._
     // both fams straight off the bucketed layout — a cross-fam
     // duplicate pair only feeds the loop's min, so no distinct needed
-    componentsOverSym(symEdgesOf(s, dir).select($"src", $"dst"), Set.empty)
+    componentsOverSym(symEdgesOf(s, dir).select($"src", $"dst"), freeSym = false)
       .select($"id".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
   }
@@ -1265,7 +1259,8 @@ object Pipeline {
     // 'lex' rows of the bucketed layout are already distinct + both
     // directions — straight into the propagation loop
     val lex = componentsOverSym(
-      symEdgesOf(s, dir).filter($"fam" === "lex").select($"src", $"dst"), Set.empty)
+      symEdgesOf(s, dir).filter($"fam" === "lex").select($"src", $"dst"),
+      freeSym = false)
     val sem = embedNearDup(s, dir).select($"a_id", $"b_id", $"cos")
     sem
       .join(lex.select($"id".as("a_id"), $"label".as("a_cl")), Seq("a_id"), "left")
@@ -1485,37 +1480,63 @@ object Pipeline {
     * (`x_ngram_jaccard`, `x_minhash_*`) intentionally do NOT read
     * this: they are the measured index-build cost.
     */
-  def ensureShingleIndex(s: SparkSession, dir: String): java.nio.file.Path =
-    ensureArtifact("graft-shingleidx", dir, "documents",
-        s"|v$IDX_FMT_VERSION|b$IDX_BUCKETS") { staging =>
-      import org.apache.spark.sql.expressions.Window
-      val rows = keptShingles(s, dir)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      val tmp = s"graft_shingleidx_build_${ProcessHandle.current.pid}"
+  /** The bucketed-index build machinery, shared by every persisted
+    * inverted index (shingle postings here, frame postings in
+    * [[graft.multimodal.Multimodal]]): stage the rows `bucketBy` the
+    * posting key through a pid-suffixed temp table (Spark only writes
+    * bucket metadata via `saveAsTable`), then drop the catalog entry —
+    * the artifact dir is the contract. One copy of the staging
+    * subtlety, so a fix here reaches every index.
+    */
+  private[graft] def ensureBucketedIndex(
+      s: SparkSession, kind: String, dir: String, srcTable: String,
+      extraKey: String, buckets: Int, keyCol: String)(
+      rows: => DataFrame): java.nio.file.Path =
+    ensureArtifact(kind, dir, srcTable, extraKey) { staging =>
+      val tmp = s"${kind.replace('-', '_')}_build_${ProcessHandle.current.pid}"
       s.sql(s"DROP TABLE IF EXISTS $tmp")
-      rows.select(col("doc_id"), col("n"), col("s"))
-        .repartition(IDX_BUCKETS, col("s"))
-        .write.bucketBy(IDX_BUCKETS, "s").sortBy("s")
+      rows.repartition(buckets, col(keyCol))
+        .write.bucketBy(buckets, keyCol).sortBy(keyCol)
         .option("path", staging.toString)
         .saveAsTable(tmp)
       s.sql(s"DROP TABLE $tmp")
+    }
+
+  /** Register a built bucketed index as a bucket-aware external table
+    * (idempotent per artifact) and return its DataFrame — the other
+    * half of [[ensureBucketedIndex]], one copy of the DDL/registration
+    * subtlety.
+    */
+  private[graft] def bucketedIndexOf(
+      s: SparkSession, p: java.nio.file.Path, tblPrefix: String,
+      schemaDdl: String, keyCol: String, buckets: Int): DataFrame =
+    Pipeline.synchronized {
+      val tbl = s"${tblPrefix}_${p.getFileName}"
+      if (!s.catalog.tableExists(tbl))
+        s.sql(
+          s"""CREATE TABLE $tbl ($schemaDdl)
+             |USING parquet
+             |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
+             |LOCATION '$p'""".stripMargin)
+      s.table(tbl)
+    }
+
+  def ensureShingleIndex(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureBucketedIndex(s, "graft-shingleidx", dir, "documents",
+        s"|v$IDX_FMT_VERSION|b$IDX_BUCKETS", IDX_BUCKETS, "s") {
+      import org.apache.spark.sql.expressions.Window
+      keptShingles(s, dir)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .select(col("doc_id"), col("n"), col("s"))
     }
 
   /** The shingle index as a bucket-aware DataFrame (the [[symEdgesOf]]
     * registration pattern).
     */
   private[graft] def shingleIndexOf(s: SparkSession, dir: String): DataFrame =
-    Pipeline.synchronized {
-      val p = ensureShingleIndex(s, dir)
-      val tbl = s"graft_shingleidx_${p.getFileName}"
-      if (!s.catalog.tableExists(tbl))
-        s.sql(
-          s"""CREATE TABLE $tbl (doc_id BIGINT, n BIGINT, s STRING)
-             |USING parquet
-             |CLUSTERED BY (s) SORTED BY (s) INTO $IDX_BUCKETS BUCKETS
-             |LOCATION '$p'""".stripMargin)
-      s.table(tbl).select(col("doc_id"), col("n"), col("s"))
-    }
+    bucketedIndexOf(s, ensureShingleIndex(s, dir), "graft_shingleidx",
+      "doc_id BIGINT, n BIGINT, s STRING", "s", IDX_BUCKETS)
+      .select(col("doc_id"), col("n"), col("s"))
 
   /** One-time build of the exact-dedup-representative fingerprint
     * table — `(doc_id, simhash)` over [[repDocsOf]], the other half of
@@ -1913,13 +1934,35 @@ object Pipeline {
     * aggregate; nothing pairwise, so the monitor stays cheap enough
     * to run on every batch at 100 TB.
     */
+  /** Per-key (`n_full`, `n_batch`) counts for a cap family — the ONE
+    * definition of "the batch's contribution to a structural key",
+    * shared by the monitor ([[compactionSignal]]) and the repair's
+    * blast radius ([[affectedDocs]]) so the two can never drift. The
+    * crossing PREDICATE stays with each consumer: the monitor flags
+    * keys the batch pushed across the cap; the repair additionally
+    * widens the band predicate (see [[affectedDocs]]).
+    */
+  private def capKeyCounts(
+      df: DataFrame, idCol: String, keyCols: String*): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_full"),
+        count(when(isBatchId(col(idCol)), lit(1))).as("n_batch"))
+
+  /** The persisted rep fingerprints exploded to 16-bit band rows —
+    * shared by the simhash crossing derivations.
+    */
+  private def fingerprintBands(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureFingerprints(s, dir).toString)
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band")))
+
   def compactionSignal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val sh = shinglesOf(docs)
-    val jacCrossed = sh.groupBy($"s")
-      .agg(count(lit(1)).as("n_full"),
-        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+    val jacCrossed = capKeyCounts(sh, "doc_id", "s")
       .filter($"n_full" > SHINGLE_DF_CAP &&
         $"n_full" - $"n_batch" <= SHINGLE_DF_CAP)
       .select($"s")
@@ -1927,14 +1970,8 @@ object Pipeline {
       .crossJoin(sh.join(broadcast(jacCrossed), Seq("s"), "left_semi")
         .agg(countDistinct($"doc_id").as("n_affected")))
       .select(lit("jaccard").as("family"), $"n_crossed", $"n_affected")
-    val bands = s.read.parquet(ensureFingerprints(s, dir).toString)
-      .select($"doc_id",
-        posexplode(array((0 until 4).map(b =>
-          shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("band_idx", "band")))
-    val simCrossed = bands.groupBy($"band_idx", $"band")
-      .agg(count(lit(1)).as("n_full"),
-        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+    val bands = fingerprintBands(s, dir)
+    val simCrossed = capKeyCounts(bands, "doc_id", "band_idx", "band")
       .filter($"n_full" > BAND_CAP && $"n_full" - $"n_batch" <= BAND_CAP)
       .select($"band_idx", $"band")
     val simRow = simCrossed.agg(count(lit(1)).as("n_crossed"))
@@ -1949,9 +1986,7 @@ object Pipeline {
     val rows =
       if (!hasEmb) lexRows
       else lexRows.union(
-        Tables(s, dir, "embeddings").groupBy($"label")
-          .agg(count(lit(1)).as("n_full"),
-            count(when(isBatchId($"vec_id"), lit(1))).as("n_batch"))
+        capKeyCounts(Tables(s, dir, "embeddings"), "vec_id", "label")
           .filter($"n_full" > EMBED_CELL_CAP &&
             $"n_full" - $"n_batch" <= EMBED_CELL_CAP)
           .agg(count(lit(1)).as("n_crossed"),
@@ -2085,23 +2120,28 @@ object Pipeline {
   private def affectedDocs(s: SparkSession, adir: String): DataFrame = {
     import s.implicits._
     val sh = shinglesOf(Tables(s, adir, "documents"))
-    val jacCrossed = sh.groupBy($"s")
-      .agg(count(lit(1)).as("n_full"),
-        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
+    // shingle drops and cell sub-bucketing are ORDER-INDEPENDENT (a
+    // shingle over the cap is dropped for everyone; a vec's sub bucket
+    // is a pure function of its own embedding), so the monitor's
+    // strict crossing predicate is exact for those families
+    val jacCrossed = capKeyCounts(sh, "doc_id", "s")
       .filter($"n_full" > SHINGLE_DF_CAP &&
         $"n_full" - $"n_batch" <= SHINGLE_DF_CAP)
       .select($"s")
     val jacAff = sh.join(broadcast(jacCrossed), Seq("s"), "left_semi")
       .select($"doc_id")
-    val bands = s.read.parquet(ensureFingerprints(s, adir).toString)
-      .select($"doc_id",
-        posexplode(array((0 until 4).map(b =>
-          shiftright($"simhash", 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("band_idx", "band")))
-    val simCrossed = bands.groupBy($"band_idx", $"band")
-      .agg(count(lit(1)).as("n_full"),
-        count(when(isBatchId($"doc_id"), lit(1))).as("n_batch"))
-      .filter($"n_full" > BAND_CAP && $"n_full" - $"n_batch" <= BAND_CAP)
+    val bands = fingerprintBands(s, adir)
+    // the band cap is POSITIONAL (first BAND_CAP members by doc_id), so
+    // a batch arrival into a group that was ALREADY over the cap can
+    // still reorder the survivor set (a small-id batch doc — organic or
+    // a rep-stealer — evicts the old boundary member) without the
+    // strict predicate firing: the repair's blast radius must therefore
+    // include EVERY over-cap group the batch touches. Over-inclusion is
+    // safe (retract + full-semantics regen is the identity on an
+    // unchanged group) and cheap (over-cap groups are few by design);
+    // under-inclusion breaks the repair ≡ rebuild contract.
+    val simCrossed = capKeyCounts(bands, "doc_id", "band_idx", "band")
+      .filter($"n_full" > BAND_CAP && $"n_batch" > 0)
       .select($"band_idx", $"band")
     val simAff = bands
       .join(broadcast(simCrossed), Seq("band_idx", "band"), "left_semi")
@@ -2112,14 +2152,11 @@ object Pipeline {
     val all =
       if (!hasEmb) lexAff
       else {
-        val emb = Tables(s, adir, "embeddings")
-        val cellCrossed = emb.groupBy($"label")
-          .agg(count(lit(1)).as("n_full"),
-            count(when(isBatchId($"vec_id"), lit(1))).as("n_batch"))
+        val cellCrossed = capKeyCounts(Tables(s, adir, "embeddings"), "vec_id", "label")
           .filter($"n_full" > EMBED_CELL_CAP &&
             $"n_full" - $"n_batch" <= EMBED_CELL_CAP)
           .select($"label")
-        lexAff.union(emb
+        lexAff.union(Tables(s, adir, "embeddings")
           .join(broadcast(cellCrossed), Seq("label"), "left_semi")
           .select($"vec_id".as("doc_id")))
       }
@@ -2230,11 +2267,13 @@ object Pipeline {
        |  SELECT doc_id, band_idx, (simhash >> (16 * band_idx)) & 65535 AS band
        |  FROM fpx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
        |bc AS (
+       |  -- the repair's WIDENED band predicate (positional cap: any
+       |  -- over-cap group the batch touches — see affectedDocs)
        |  SELECT band_idx, band FROM (
        |    SELECT band_idx, band, COUNT(*) AS n_full,
        |      COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
        |    FROM bx GROUP BY 1, 2)
-       |  WHERE n_full > $BAND_CAP AND n_full - n_batch <= $BAND_CAP),
+       |  WHERE n_full > $BAND_CAP AND n_batch > 0),
        |saff AS (SELECT DISTINCT b.doc_id FROM bx b JOIN bc USING (band_idx, band)),
        |cc AS (
        |  SELECT label FROM (

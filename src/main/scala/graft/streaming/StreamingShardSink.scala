@@ -125,10 +125,19 @@ final class StreamingShardSink(
       val completeBytes = complete.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       // truncate the fragment ON DISK too: appendCommit O_APPENDs, so a
       // surviving fragment would merge with the next record into one
-      // line and poison the restart after this one
-      if (completeBytes.length != bytes.length)
-        Files.write(commitLog, completeBytes,
-          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      // line and poison the restart after this one. SHRINK IN PLACE
+      // (FileChannel.truncate) — a truncate-to-zero-then-rewrite
+      // (Files.write TRUNCATE_EXISTING) has a crash window in which
+      // every committed record is gone while the file still exists, so
+      // the next resume would restore a zero shard counter and the
+      // orphan cleanup would delete all committed shards; an in-place
+      // shrink never touches committed bytes, keeping the worst crash
+      // outcome at "torn tail again"
+      if (completeBytes.length != bytes.length) {
+        val ch = java.nio.channels.FileChannel.open(commitLog,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.truncate(completeBytes.length.toLong) finally ch.close()
+      }
       complete.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val Array(b, start, n) = line.split('\t')
         committed += b.toLong -> (start.toInt, n.toInt)
