@@ -46,6 +46,10 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10 (2): the two new queries (x_compaction_run 6.99 → 13.98,
+    * x_incr_media 0.32 → 0.64) recorded from two fresh identical-code
+    * full-suite runs, same max-of-min-of-2 doubled statistic.
+    *
     * Round 10: the five queries the one-sided pair-core rewrite and
     * the estimator codegen fix touched are re-recorded from two fresh
     * identical-code runs (max of min-of-2, doubled); every move is
@@ -122,6 +126,8 @@ object Bench {
     "x_frame_sample" -> 0.32,
     "x_hash_sample" -> 0.32,
     "x_compaction_signal" -> 2.28,
+    "x_compaction_run" -> 13.98,
+    "x_incr_media" -> 0.64,
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
     "x_incremental_dedup" -> 0.64,
     "x_incremental_neardup" -> 1.67,
