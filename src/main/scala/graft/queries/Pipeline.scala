@@ -340,7 +340,8 @@ object Pipeline {
     * twice (cached or not), which is where the old formulation lost
     * 2-5× wall-clock nondeterministically.
     */
-  private def ngramPairCounts(s: SparkSession, dir: String): DataFrame = {
+  // private[graft]: PairOrientationSpec pins na/nb to the id orientation
+  private[graft] def ngramPairCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val kept = keptShingles(s, dir)
