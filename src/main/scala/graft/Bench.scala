@@ -298,12 +298,10 @@ object Bench {
       // have their own variable cost and must not leak into the
       // measured seconds the regression gate compares
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse or memory pressure
-      // clearCache misses localCheckpoint blocks (they're persisted
-      // RDDs, not cached plans, and otherwise linger until GC) —
-      // x_dedup_clusters would bleed block-manager memory into every
-      // query after it
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // isolate queries: no cross-query cache reuse or block-manager
+      // pressure (x_dedup_clusters would otherwise bleed checkpoint
+      // memory into every query after it)
+      Sessions.isolateQueries(spark)
       if (ok) sec else -1.0
     }
     // min of two back-to-back runs per query: this machine's measured

@@ -53,6 +53,12 @@ object ScaleProbe {
 
   private def runOne(
       spark: SparkSession, srcDir: String, dir: String, factor: Int): Unit = {
+    // isolate each timed step (the Bench attempt() discipline, one
+    // shared copy — Sessions.isolateQueries): a prior step's pinned
+    // posting tables or surviving checkpoints must not sit in
+    // block-manager memory under a later measurement — at 30× that
+    // pressure bends exactly the curves the probe exists to record
+    def isolate(): Unit = Sessions.isolateQueries(spark)
     val t0 = System.nanoTime()
     val nDocs = buildFixture(spark, srcDir, dir, factor)
     val tFixture = secsSince(t0)
@@ -96,11 +102,13 @@ object ScaleProbe {
     queries.Pipeline.ensureBaseLabels(spark, dir)
     val tBaseState = secsSince(t7)
 
+    isolate()
     val t8 = System.nanoTime()
     val nIncr = queries.Pipeline.queries("x_incr_clusters")(spark, dir).count()
     val tIncr = secsSince(t8)
     val incrRounds = queries.Pipeline.lastComponentsRounds
 
+    isolate()
     val t9 = System.nanoTime()
     queries.Pipeline.queries("x_compaction_signal")(spark, dir).count()
     val tSignal = secsSince(t9)
@@ -113,16 +121,6 @@ object ScaleProbe {
     // the PQ search (codebook = driver-side cells×8 index metadata),
     // BM25 batch scoring (posting materialization + candidate-bounded
     // scoring), and the declared brute-force baseline for contrast.
-    // isolate each timed step (the Bench attempt() discipline): BM25's
-    // pinned posting table or the incremental section's leftover
-    // checkpoints must not sit in block-manager memory under a later
-    // measurement — at 30× that pressure bends exactly the curves the
-    // probe exists to record
-    def isolate(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
     isolate()
     val t10 = System.nanoTime()
     queries.Pipeline.ensureIvfLayout(spark, dir)

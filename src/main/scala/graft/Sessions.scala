@@ -25,4 +25,17 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+
+  /** Free every cross-query residue a harness can leave behind: the
+    * catalog cache AND the persisted RDDs that back eager
+    * localCheckpoints (invisible to clearCache — they are persisted
+    * RDDs, not cached plans, and otherwise linger until GC). One copy
+    * of the discipline for Bench, Verify, and ScaleProbe, so a fix to
+    * the isolation (ordering, blocking) reaches all three harnesses.
+    */
+  def isolateQueries(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 }

@@ -19,10 +19,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // queries cache intermediates; don't let them accumulate
-      // also free localCheckpoint blocks (persisted RDDs, invisible to
-      // clearCache) so 50+ queries can't accumulate block-manager state
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // queries cache intermediates and pin checkpoints; don't let
+      // 100+ queries accumulate block-manager state
+      Sessions.isolateQueries(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1939,9 +1939,11 @@ object Pipeline {
     * definition of "the batch's contribution to a structural key",
     * shared by the monitor ([[compactionSignal]]) and the repair's
     * blast radius ([[affectedDocs]]) so the two can never drift. The
-    * crossing PREDICATE stays with each consumer: the monitor flags
-    * keys the batch pushed across the cap; the repair additionally
-    * widens the band predicate (see [[affectedDocs]]).
+    * crossing PREDICATE also agrees between them: strict crossing for
+    * the order-independent families (shingle dfs, cells), and the
+    * widened any-over-cap-group-the-batch-touches form for the
+    * positionally-capped bands — so the monitor can always fire for
+    * every case the repair exists to fix.
     */
   private def capKeyCounts(
       df: DataFrame, idCol: String, keyCols: String*): DataFrame =
@@ -1972,8 +1974,16 @@ object Pipeline {
         .agg(countDistinct($"doc_id").as("n_affected")))
       .select(lit("jaccard").as("family"), $"n_crossed", $"n_affected")
     val bands = fingerprintBands(s, dir)
+    // the band cap is POSITIONAL (first BAND_CAP members by doc_id),
+    // so a batch arrival can invalidate a group that was ALREADY over
+    // the cap (a small-id member reorders the survivor set) — the
+    // monitor must flag every over-cap group the batch touches, or the
+    // repair it schedules ([[compactionRun]], whose blast radius uses
+    // the same predicate) can never fire for exactly that case.
+    // Shingle dfs and cells keep the strict crossing form below: drops
+    // and sub-bucketing are order-independent.
     val simCrossed = capKeyCounts(bands, "doc_id", "band_idx", "band")
-      .filter($"n_full" > BAND_CAP && $"n_full" - $"n_batch" <= BAND_CAP)
+      .filter($"n_full" > BAND_CAP && $"n_batch" > 0)
       .select($"band_idx", $"band")
     val simRow = simCrossed.agg(count(lit(1)).as("n_crossed"))
       .crossJoin(bands.join(broadcast(simCrossed), Seq("band_idx", "band"), "left_semi")
@@ -2018,8 +2028,10 @@ object Pipeline {
        |    COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
        |  FROM bands GROUP BY 1, 2),
        |simc AS (
+       |  -- positional cap: every over-cap group the batch touches
+       |  -- (see the Spark twin's comment)
        |  SELECT band_idx, band FROM sim
-       |  WHERE n_full > $BAND_CAP AND n_full - n_batch <= $BAND_CAP),
+       |  WHERE n_full > $BAND_CAP AND n_batch > 0),
        |srow AS (SELECT 'simhash' AS family,
        |  (SELECT COUNT(*) FROM simc) AS n_crossed,
        |  (SELECT COUNT(DISTINCT b.doc_id) FROM bands b
@@ -2135,8 +2147,9 @@ object Pipeline {
     // the band cap is POSITIONAL (first BAND_CAP members by doc_id), so
     // a batch arrival into a group that was ALREADY over the cap can
     // still reorder the survivor set (a small-id batch doc — organic or
-    // a rep-stealer — evicts the old boundary member) without the
-    // strict predicate firing: the repair's blast radius must therefore
+    // a rep-stealer — evicts the old boundary member) without a strict
+    // crossing predicate firing: the blast radius (and the monitor,
+    // which shares this predicate — compactionSignal) must therefore
     // include EVERY over-cap group the batch touches. Over-inclusion is
     // safe (retract + full-semantics regen is the identity on an
     // unchanged group) and cheap (over-cap groups are few by design);

@@ -31,37 +31,42 @@ class PairOrientationSpec extends AnyFunSuite {
     (1 to 3).foreach { seed =>
       val rnd = new Random(seed)
       val vocab = (0 until 12).map(i => s"w$i")
-      val docs = (1 to 30).map { i =>
+      // every doc opens with one shared boilerplate trigram: 120 docs
+      // put its df at 120 > SHINGLE_DF_CAP, so the CAPPED regime is
+      // genuinely exercised (the brute force must drop it too) while
+      // the random tails keep the sub-cap regime and asymmetric sizes
+      val docs = (1 to 120).map { i =>
         val n = 5 + rnd.nextInt(8)
-        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+        val tail = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        (i.toLong, s"cap0 cap1 cap2 $tail")
       }
       val dir = Files.createTempDirectory(s"pair-orient-$seed").toString
-      docs.toDF("doc_id", "text").write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
+      try {
+        docs.toDF("doc_id", "text").write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
 
-      // brute force: df-capped kept sets (cap can't bind at 30 docs
-      // over a 12-token vocab? it CAN — assert both regimes appear)
-      val df = docs.flatMap { case (_, t) => shingles(t) }
-        .groupBy(identity).view.mapValues(_.size).toMap
-      val kept = docs.map { case (id, t) =>
-        id -> shingles(t).filter(s => df(s) <= 100)
-      }.toMap
-      val expected = (for {
-        (a, sa) <- kept; (b, sb) <- kept
-        if a < b
-        c = (sa intersect sb).size if c > 0
-      } yield (a, b, c.toLong, sa.size.toLong, sb.size.toLong)).toSet
+        val df = docs.flatMap { case (_, t) => shingles(t).toSeq }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(df.exists(_._2 > 100), s"seed $seed: cap regime must bind")
+        val kept = docs.map { case (id, t) =>
+          id -> shingles(t).filter(s => df(s) <= 100)
+        }.toMap
+        val expected = (for {
+          (a, sa) <- kept; (b, sb) <- kept
+          if a < b
+          c = (sa intersect sb).size if c > 0
+        } yield (a, b, c.toLong, sa.size.toLong, sb.size.toLong)).toSet
 
-      val got = Pipeline.ngramPairCounts(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-        .toSet
-      assert(got == expected,
-        s"seed $seed: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
-      // the asymmetric pairs are the ones that detect a swap — make
-      // sure the corpus actually contains some
-      assert(expected.exists { case (_, _, _, na, nb) => na != nb },
-        s"seed $seed: corpus must contain size-asymmetric pairs")
-      graft.queries.Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+        val got = Pipeline.ngramPairCounts(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSet
+        assert(got == expected,
+          s"seed $seed: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+        // the asymmetric pairs are the ones that detect a swap — make
+        // sure the corpus actually contains some
+        assert(expected.exists { case (_, _, _, na, nb) => na != nb },
+          s"seed $seed: corpus must contain size-asymmetric pairs")
+      } finally graft.queries.Pipeline.deleteTree(java.nio.file.Paths.get(dir))
     }
   }
 }
