@@ -2204,9 +2204,15 @@ object Pipeline {
     * "repair ≡ full rebuild" proof on a corpus where the unrepaired
     * maintained graph demonstrably diverges.
     */
-  def compactionRun(s: SparkSession, dir: String): DataFrame = {
+  def compactionRun(s: SparkSession, dir: String): DataFrame =
+    compactionRepair(s, ensureCrossedCorpus(s, dir).toString)
+
+  /** The repair itself, over an arbitrary corpus dir — split from
+    * [[compactionRun]] so the engineered-corpus specs can drive it
+    * directly (the declared query plants its own crossing).
+    */
+  private[graft] def compactionRepair(s: SparkSession, adir: String): DataFrame = {
     import s.implicits._
-    val adir = ensureCrossedCorpus(s, dir).toString
     // small by construction (crossed-key members only); pinned because
     // five consumers would otherwise re-run the crossing aggregations.
     // The pin's lifecycle belongs to the caller's harness (incrDelta's

@@ -56,4 +56,46 @@ class CompactionRunSpec extends AnyFunSuite {
     assert(keptRows.forall { case (a, b) => a < OFF && b < OFF },
       "kept rows must never touch an affected doc")
   }
+
+  /** The positional-cap reorder case — the one a strict "crossed the
+    * cap" predicate is provably blind to: every doc is `T` repeated k
+    * times (distinct text, IDENTICAL distinct-shingle set ⇒ identical
+    * fingerprint), so all 105 land in the same four band groups, each
+    * already over BAND_CAP with the batch-less 104. The batch doc's
+    * tiny id (7) re-sorts the first-100 survivor set, evicting the old
+    * rank-100 member — no cap is crossed, but the maintained graph
+    * keeps the evicted doc's 99 edges while the rebuild drops them.
+    * The widened any-over-cap-group-the-batch-touches predicate is
+    * what catches it; under the strict predicate this test fails with
+    * the evicted doc's stale edges surviving the repair.
+    */
+  test("positional reorder of an already-over-cap band group is repaired") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("cap-reorder-").toString
+    try {
+      val baseIds = (10 to 113).map(i => 10L * i + 1) // 101..1131, none ≡ 7 (mod 10)
+      val docs = (baseIds :+ 7L).zipWithIndex.map { case (id, i) =>
+        (id, ("za zb zc " * (i + 2)).trim) // k ≥ 2 ⇒ same shingle set, distinct text
+      }
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir2/documents.parquet")
+
+      val full = pairSet(
+        Pipeline.ngramJaccard(spark, dir2).select("a_id", "b_id")
+          .union(Pipeline.simhashPairs(spark, dir2).select("a_id", "b_id"))
+          .distinct())
+      assert(full.size == 100 * 99 / 2,
+        s"full rebuild: all survivor pairs at hamming 0, got ${full.size}")
+      val maintained = pairSet(Pipeline.incrEdges(spark, dir2))
+      val evicted = baseIds.sorted.apply(99) // rank-100 base id, displaced by id 7
+      assert((maintained -- full).nonEmpty &&
+        (maintained -- full).forall { case (a, b) => a == evicted || b == evicted },
+        "divergence must be exactly the evicted member's stale edges")
+
+      val repaired = pairSet(Pipeline.compactionRepair(spark, dir2))
+      assert(repaired == full,
+        s"repair must drop the evicted doc's stale edges: " +
+          s"extra=${(repaired -- full).take(5)} missing=${(full -- repaired).take(5)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir2))
+  }
 }
