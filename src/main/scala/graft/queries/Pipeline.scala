@@ -4090,6 +4090,87 @@ object Pipeline {
       |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Drift floor (micro-units of mean per-dimension shift) above
+    * which [[ivfDrift]] flags a cell for reclustering.
+    */
+  private val DRIFT_FLOOR_MICRO = 200000L
+
+  /** IVF cell-drift monitor — the vector-side twin of
+    * [[compactionSignal]], completing the incremental story for the
+    * retrieval family: as batch vectors land in the stored IVF cells,
+    * a partition layout's assignment quality decays (centroids were
+    * fit to yesterday's distribution), and the standard maintenance
+    * contract is "monitor per-cell drift cheaply on every batch,
+    * recluster the flagged cells at compaction cadence". Per cell:
+    * base/batch member counts and the exact centroid shift the batch
+    * causes, `drift_micro` = Σ_pos |mean_full − mean_base| in integer
+    * micro-units, computed with the [[centroids]] discipline (floored
+    * micro-unit sums; the |·| is taken on the cross-multiplied
+    * integer numerator, so no division happens before the final
+    * bigint div — bit-identical in both engines). `recluster_due`
+    * fires on a brand-new cell, ≥10% batch growth, or drift past
+    * [[DRIFT_FLOOR_MICRO]]. Linear aggregates only (two passes over
+    * the embeddings, nothing pairwise) — cheap enough for every
+    * batch at 100 TB, like the lexical monitor it mirrors.
+    */
+  def ivfDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val cnt = capKeyCounts(emb, "vec_id", "label")
+    val perPos = emb
+      .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
+      .select($"label", $"vec_id", ($"pos0" + 1).cast("long").as("pos"),
+        floor($"v".cast("double") * 1000000.0).cast("long").as("vm"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"vm").as("ms_full"),
+        sum(when(isBatchId($"vec_id"), $"vm").otherwise(0L)).as("ms_batch"))
+    val numer = perPos.join(broadcast(cnt), "label")
+      .select($"label",
+        abs($"ms_full" * ($"n_full" - $"n_batch") -
+          ($"ms_full" - $"ms_batch") * $"n_full").as("term"))
+      .groupBy($"label").agg(sum($"term").as("numer"))
+    cnt.join(numer, "label")
+      .select($"label", ($"n_full" - $"n_batch").as("n_base"), $"n_batch",
+        when($"n_full" - $"n_batch" > 0,
+          expr("numer div (n_full * (n_full - n_batch))")).as("drift_micro"))
+      .withColumn("recluster_due",
+        $"n_base" === 0L || $"n_batch" * 10L >= $"n_base" ||
+          coalesce($"drift_micro", lit(0L)) >= DRIFT_FLOOR_MICRO)
+      .orderBy($"label")
+  }
+
+  val ivfDriftSql: String =
+    s"""WITH cnt AS (
+       |  SELECT label, COUNT(*) AS n_full,
+       |    COUNT(*) FILTER (WHERE vec_id % 10 = 7) AS n_batch
+       |  FROM embeddings GROUP BY 1),
+       |pp AS (
+       |  SELECT label, pos, SUM(vm) AS ms_full,
+       |    SUM(CASE WHEN vec_id % 10 = 7 THEN vm ELSE 0 END) AS ms_batch
+       |  FROM (
+       |    SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+       |      CAST(floor(CAST(unnest(embedding) AS DOUBLE) *
+       |        CAST(1000000 AS DOUBLE)) AS BIGINT) AS vm
+       |    FROM embeddings)
+       |  GROUP BY 1, 2),
+       |num AS (
+       |  SELECT pp.label,
+       |    SUM(ABS(ms_full * (n_full - n_batch) -
+       |            (ms_full - ms_batch) * n_full)) AS numer
+       |  FROM pp JOIN cnt USING (label) GROUP BY 1)
+       |SELECT cnt.label AS label, n_full - n_batch AS n_base, n_batch,
+       |  -- CAST: DuckDB sums BIGINT into HUGEINT, and a HUGEINT
+       |  -- division would reach the compare as a float
+       |  CAST(CASE WHEN n_full - n_batch > 0
+       |    THEN numer // (n_full * (n_full - n_batch)) ELSE NULL END
+       |    AS BIGINT) AS drift_micro,
+       |  (n_full - n_batch = 0 OR n_batch * 10 >= n_full - n_batch OR
+       |   COALESCE(CAST(CASE WHEN n_full - n_batch > 0
+       |     THEN numer // (n_full * (n_full - n_batch)) ELSE NULL END AS BIGINT), 0)
+       |     >= $DRIFT_FLOOR_MICRO) AS recluster_due
+       |FROM cnt JOIN num ON cnt.label = num.label
+       |ORDER BY cnt.label""".stripMargin
+
   /** Cells larger than this are hierarchically sub-blocked by the
     * 8-sign-bit bucket (the [[annLsh]] quantizer) before the
     * within-block pair compare. Part of the operator's semantics —
@@ -5107,6 +5188,7 @@ object Pipeline {
     "x_incr_clusters" -> incrClusters _,
     "x_compaction_signal" -> compactionSignal _,
     "x_compaction_run" -> compactionRun _,
+    "x_ivf_drift"      -> ivfDrift _,
     "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
@@ -5177,6 +5259,7 @@ object Pipeline {
     "x_incr_clusters" -> incrClustersSql,
     "x_compaction_signal" -> compactionSignalSql,
     "x_compaction_run" -> compactionRunSql,
+    "x_ivf_drift"      -> ivfDriftSql,
     "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,

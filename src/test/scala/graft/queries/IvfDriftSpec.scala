@@ -1,0 +1,59 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Boundary semantics of the IVF drift monitor on an engineered
+  * corpus: a brand-new cell (every member batch-id) must flag with a
+  * NULL drift, a batch-free cell must read zero drift and stay quiet,
+  * and a heavy asymmetric batch arrival must flag on growth.
+  */
+class IvfDriftSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("new cell flags with NULL drift; batch-free cell reads zero and stays quiet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivf-drift-").toString
+    try {
+      val rows = Seq(
+        // cell 0: batch-free (ids ≢ 7 mod 10) — zero drift, quiet
+        (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.0f, 1.0f)),
+        (3L, 0, Seq(1.0f, 1.0f)), (4L, 0, Seq(0.5f, 0.5f)),
+        (5L, 0, Seq(0.25f, 0.75f)), (6L, 0, Seq(0.75f, 0.25f)),
+        (8L, 0, Seq(0.1f, 0.9f)), (9L, 0, Seq(0.9f, 0.1f)),
+        (10L, 0, Seq(0.3f, 0.3f)), (11L, 0, Seq(0.6f, 0.6f)),
+        (12L, 0, Seq(0.2f, 0.8f)),
+        // cell 1: entirely batch — a brand-new cell
+        (7L, 1, Seq(1.0f, 2.0f)), (17L, 1, Seq(2.0f, 1.0f)),
+        // cell 2: 11 base + 2 batch (>10% growth) — flags on growth
+        (20L, 2, Seq(0.0f, 0.0f)), (21L, 2, Seq(0.0f, 0.0f)),
+        (22L, 2, Seq(0.0f, 0.0f)), (23L, 2, Seq(0.0f, 0.0f)),
+        (24L, 2, Seq(0.0f, 0.0f)), (25L, 2, Seq(0.0f, 0.0f)),
+        (26L, 2, Seq(0.0f, 0.0f)), (28L, 2, Seq(0.0f, 0.0f)),
+        (29L, 2, Seq(0.0f, 0.0f)), (30L, 2, Seq(0.0f, 0.0f)),
+        (31L, 2, Seq(0.0f, 0.0f)),
+        (27L, 2, Seq(1.0f, 1.0f)), (37L, 2, Seq(1.0f, 1.0f)))
+      rows.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val got = Pipeline.ivfDrift(spark, dir).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))))
+        .toMap
+      assert(got(0) == ((11L, 0L, Some(0L), false)),
+        s"batch-free cell must read zero drift, quiet: ${got(0)}")
+      assert(got(1) == ((0L, 2L, None, true)),
+        s"brand-new cell must flag with NULL drift: ${got(1)}")
+      val (nb, nbatch, drift, due) = got(2)
+      assert(nb == 11L && nbatch == 2L && due,
+        s"heavy batch arrival must flag on growth: ${got(2)}")
+      // drift: base mean (0,0) → full mean (2/13, 2/13): 2 dims ×
+      // 153846 micro each = 307692
+      assert(drift == Some(307692L), s"exact drift expected: $drift")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+}
