@@ -4116,23 +4116,39 @@ object Pipeline {
   def ivfDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val cnt = capKeyCounts(emb, "vec_id", "label")
+    // pinned: both the numerator join and the final output read these
+    // per-cell counts; without the pin each consumer re-scans and
+    // re-aggregates the embeddings (the affectedDocs discipline). The
+    // pin's lifecycle belongs to the caller's harness.
+    val cnt = capKeyCounts(emb, "vec_id", "label").localCheckpoint()
+    // cross-products in DECIMAL(38,0): a cell of ~4M unit-scale
+    // vectors puts ms_full·n_base near 1.6e19 > Long.MaxValue — int64
+    // would overflow (ANSI throw or silent wrap) at exactly the cell
+    // sizes the monitor exists for, while DuckDB's HUGEINT sum is
+    // exact. Decimal keeps both engines exact to ~1e38 (a 10⁷-vector
+    // cell × 10³ dims sums to ~1e23).
+    val dec = DecimalType(38, 0)
     val perPos = emb
       .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
       .select($"label", $"vec_id", ($"pos0" + 1).cast("long").as("pos"),
         floor($"v".cast("double") * 1000000.0).cast("long").as("vm"))
       .groupBy($"label", $"pos")
-      .agg(sum($"vm").as("ms_full"),
-        sum(when(isBatchId($"vec_id"), $"vm").otherwise(0L)).as("ms_batch"))
+      .agg(sum($"vm").cast(dec).as("ms_full"),
+        sum(when(isBatchId($"vec_id"), $"vm").otherwise(0L)).cast(dec).as("ms_batch"))
     val numer = perPos.join(broadcast(cnt), "label")
       .select($"label",
-        abs($"ms_full" * ($"n_full" - $"n_batch") -
-          ($"ms_full" - $"ms_batch") * $"n_full").as("term"))
+        abs($"ms_full" * ($"n_full" - $"n_batch").cast(dec) -
+          ($"ms_full" - $"ms_batch") * $"n_full".cast(dec)).as("term"))
       .groupBy($"label").agg(sum($"term").as("numer"))
-    cnt.join(numer, "label")
+    // LEFT join: a cell whose embeddings are all empty arrays has no
+    // per-pos rows, and an inner join would silently drop it from the
+    // monitor — including a brand-new all-batch cell, the row whose
+    // recluster_due mattered most. Its drift is NULL, its flags stand.
+    cnt.join(numer, Seq("label"), "left")
       .select($"label", ($"n_full" - $"n_batch").as("n_base"), $"n_batch",
         when($"n_full" - $"n_batch" > 0,
-          expr("numer div (n_full * (n_full - n_batch))")).as("drift_micro"))
+          floor($"numer" / (($"n_full" * ($"n_full" - $"n_batch")).cast(dec)))
+            .cast("long")).as("drift_micro"))
       .withColumn("recluster_due",
         $"n_base" === 0L || $"n_batch" * 10L >= $"n_base" ||
           coalesce($"drift_micro", lit(0L)) >= DRIFT_FLOOR_MICRO)
@@ -4168,7 +4184,9 @@ object Pipeline {
        |   COALESCE(CAST(CASE WHEN n_full - n_batch > 0
        |     THEN numer // (n_full * (n_full - n_batch)) ELSE NULL END AS BIGINT), 0)
        |     >= $DRIFT_FLOOR_MICRO) AS recluster_due
-       |FROM cnt JOIN num ON cnt.label = num.label
+       |-- LEFT: an all-empty-embeddings cell has no pp rows; it must
+       |-- stay in the monitor with NULL drift (Spark twin agrees)
+       |FROM cnt LEFT JOIN num ON cnt.label = num.label
        |ORDER BY cnt.label""".stripMargin
 
   /** Cells larger than this are hierarchically sub-blocked by the

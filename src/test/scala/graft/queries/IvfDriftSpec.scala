@@ -36,7 +36,17 @@ class IvfDriftSpec extends AnyFunSuite {
         (26L, 2, Seq(0.0f, 0.0f)), (28L, 2, Seq(0.0f, 0.0f)),
         (29L, 2, Seq(0.0f, 0.0f)), (30L, 2, Seq(0.0f, 0.0f)),
         (31L, 2, Seq(0.0f, 0.0f)),
-        (27L, 2, Seq(1.0f, 1.0f)), (37L, 2, Seq(1.0f, 1.0f)))
+        (27L, 2, Seq(1.0f, 1.0f)), (37L, 2, Seq(1.0f, 1.0f))) ++
+        // cell 3: 11 base at the origin + ONE far batch vector — 1×10
+        // < 11 keeps the growth clause quiet, so recluster_due can
+        // only fire through the drift floor (isolates that branch:
+        // drift = 2 dims × |3e6·11 − 0|/(12·11) = 2 × 250000 = 500000)
+        (40 to 50).map(i => ((if (i % 10 == 7) i + 5 else i).toLong, 3, Seq(0.0f, 0.0f))) ++
+        Seq((57L, 3, Seq(3.0f, 3.0f))) ++
+        // cell 4: a brand-new all-batch cell of EMPTY embeddings — no
+        // per-pos rows exist, and an inner cnt↔numer join would drop
+        // exactly the row whose recluster_due mattered most
+        Seq((67L, 4, Seq.empty[Float]))
       rows.toDF("vec_id", "label", "embedding")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
@@ -54,6 +64,14 @@ class IvfDriftSpec extends AnyFunSuite {
       // drift: base mean (0,0) → full mean (2/13, 2/13): 2 dims ×
       // 153846 micro each = 307692
       assert(drift == Some(307692L), s"exact drift expected: $drift")
+      // cell 3: growth quiet (10 < 11) — the flag can ONLY come from
+      // the drift floor
+      assert(got(3) == ((11L, 1L, Some(500000L), true)),
+        s"drift floor must fire alone: ${got(3)}")
+      // cell 4: empty-embedding all-batch cell must SURVIVE the
+      // numerator join with NULL drift and still flag as new
+      assert(got(4) == ((0L, 1L, None, true)),
+        s"empty-embedding new cell must stay in the monitor: ${got(4)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 }
