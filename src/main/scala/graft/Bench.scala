@@ -128,7 +128,7 @@ object Bench {
     "x_compaction_signal" -> 2.28,
     "x_compaction_run" -> 13.98,
     "x_incr_media" -> 0.64,
-    "x_ivf_drift" -> 1.58,
+    "x_ivf_drift" -> 0.52, // re-recorded from full-suite runs (0.247/0.262 min-of-2); the first recording used cold single-query sessions and was 6x loose
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
     "x_incremental_dedup" -> 0.64,
     "x_incremental_neardup" -> 1.67,
