@@ -260,10 +260,12 @@ object Bench {
       // rebuild; yesterday's graph and the persisted indexes are the
       // amortized state the compaction starts from)
       val adir = graft.queries.Pipeline.ensureCrossedCorpus(spark, sfDir).toString
-      graft.queries.Pipeline.ensureEdgeGraph(spark,
-        graft.queries.Pipeline.ensureBaseCorpus(spark, adir).toString)
+      val bdir = graft.queries.Pipeline.ensureBaseCorpus(spark, adir).toString
+      graft.queries.Pipeline.ensureEdgeGraph(spark, bdir)
       graft.queries.Pipeline.ensureShingleIndex(spark, adir)
       graft.queries.Pipeline.ensureFingerprints(spark, adir)
+      // the departure blast radius reads yesterday's rep fingerprints
+      graft.queries.Pipeline.ensureFingerprints(spark, bdir)
     }
     // one-time media planted corpus (setup for x_media_recall)
     if (needed("media", "frame"))

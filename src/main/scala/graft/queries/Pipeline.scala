@@ -1961,30 +1961,54 @@ object Pipeline {
           shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band_idx", "band")))
 
+  // The three crossed-key derivations, ONE definition each consumed by
+  // both the monitor (compactionSignal) and the repair's blast radius
+  // (affectedDocs) — the predicates were previously written out twice,
+  // which is exactly the drift class that once let the monitor go
+  // blind to a case the repair handled.
+
+  /** Shingles the batch pushed across the df cap. Order-independent
+    * family (an over-cap shingle is dropped for everyone), so the
+    * strict crossing form is exact.
+    */
+  private def crossedShingleKeys(sh: DataFrame): DataFrame =
+    capKeyCounts(sh, "doc_id", "s")
+      .filter(col("n_full") > SHINGLE_DF_CAP &&
+        col("n_full") - col("n_batch") <= SHINGLE_DF_CAP)
+      .select(col("s"))
+
+  /** Band groups whose pair set the batch can have changed. The band
+    * cap is POSITIONAL (first [[BAND_CAP]] members by doc_id), so a
+    * batch ARRIVAL into a group that was already over the cap still
+    * reorders the survivor set — hence every over-cap group the batch
+    * touches, not only strict crossings.
+    */
+  private def crossedBandKeys(bands: DataFrame): DataFrame =
+    capKeyCounts(bands, "doc_id", "band_idx", "band")
+      .filter(col("n_full") > BAND_CAP && col("n_batch") > 0)
+      .select(col("band_idx"), col("band"))
+
+  /** Cells the batch pushed across the sub-blocking cap.
+    * Order-independent (a vec's sub bucket is a pure function of its
+    * own embedding), so the strict crossing form is exact.
+    */
+  private def crossedCellKeys(emb: DataFrame): DataFrame =
+    capKeyCounts(emb, "vec_id", "label")
+      .filter(col("n_full") > EMBED_CELL_CAP &&
+        col("n_full") - col("n_batch") <= EMBED_CELL_CAP)
+      .select(col("label"), col("n_full")) // n_full: the monitor's affected sum
+
   def compactionSignal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val sh = shinglesOf(docs)
-    val jacCrossed = capKeyCounts(sh, "doc_id", "s")
-      .filter($"n_full" > SHINGLE_DF_CAP &&
-        $"n_full" - $"n_batch" <= SHINGLE_DF_CAP)
-      .select($"s")
+    val jacCrossed = crossedShingleKeys(sh)
     val jacRow = jacCrossed.agg(count(lit(1)).as("n_crossed"))
       .crossJoin(sh.join(broadcast(jacCrossed), Seq("s"), "left_semi")
         .agg(countDistinct($"doc_id").as("n_affected")))
       .select(lit("jaccard").as("family"), $"n_crossed", $"n_affected")
     val bands = fingerprintBands(s, dir)
-    // the band cap is POSITIONAL (first BAND_CAP members by doc_id),
-    // so a batch arrival can invalidate a group that was ALREADY over
-    // the cap (a small-id member reorders the survivor set) — the
-    // monitor must flag every over-cap group the batch touches, or the
-    // repair it schedules ([[compactionRun]], whose blast radius uses
-    // the same predicate) can never fire for exactly that case.
-    // Shingle dfs and cells keep the strict crossing form below: drops
-    // and sub-bucketing are order-independent.
-    val simCrossed = capKeyCounts(bands, "doc_id", "band_idx", "band")
-      .filter($"n_full" > BAND_CAP && $"n_batch" > 0)
-      .select($"band_idx", $"band")
+    val simCrossed = crossedBandKeys(bands)
     val simRow = simCrossed.agg(count(lit(1)).as("n_crossed"))
       .crossJoin(bands.join(broadcast(simCrossed), Seq("band_idx", "band"), "left_semi")
         .agg(countDistinct($"doc_id").as("n_affected")))
@@ -1997,9 +2021,7 @@ object Pipeline {
     val rows =
       if (!hasEmb) lexRows
       else lexRows.union(
-        capKeyCounts(Tables(s, dir, "embeddings"), "vec_id", "label")
-          .filter($"n_full" > EMBED_CELL_CAP &&
-            $"n_full" - $"n_batch" <= EMBED_CELL_CAP)
+        crossedCellKeys(Tables(s, dir, "embeddings"))
           .agg(count(lit(1)).as("n_crossed"),
             coalesce(sum($"n_full"), lit(0L)).as("n_affected"))
           .select(lit("semantic").as("family"), $"n_crossed", $"n_affected"))
@@ -2132,33 +2154,49 @@ object Pipeline {
     */
   private def affectedDocs(s: SparkSession, adir: String): DataFrame = {
     import s.implicits._
-    val sh = shinglesOf(Tables(s, adir, "documents"))
-    // shingle drops and cell sub-bucketing are ORDER-INDEPENDENT (a
-    // shingle over the cap is dropped for everyone; a vec's sub bucket
-    // is a pure function of its own embedding), so the monitor's
-    // strict crossing predicate is exact for those families
-    val jacCrossed = capKeyCounts(sh, "doc_id", "s")
-      .filter($"n_full" > SHINGLE_DF_CAP &&
-        $"n_full" - $"n_batch" <= SHINGLE_DF_CAP)
-      .select($"s")
-    val jacAff = sh.join(broadcast(jacCrossed), Seq("s"), "left_semi")
+    val docs = Tables(s, adir, "documents")
+    val sh = shinglesOf(docs)
+    val jacAff = sh
+      .join(broadcast(crossedShingleKeys(sh)), Seq("s"), "left_semi")
       .select($"doc_id")
     val bands = fingerprintBands(s, adir)
-    // the band cap is POSITIONAL (first BAND_CAP members by doc_id), so
-    // a batch arrival into a group that was ALREADY over the cap can
-    // still reorder the survivor set (a small-id batch doc — organic or
-    // a rep-stealer — evicts the old boundary member) without a strict
-    // crossing predicate firing: the blast radius (and the monitor,
-    // which shares this predicate — compactionSignal) must therefore
-    // include EVERY over-cap group the batch touches. Over-inclusion is
-    // safe (retract + full-semantics regen is the identity on an
-    // unchanged group) and cheap (over-cap groups are few by design);
-    // under-inclusion breaks the repair ≡ rebuild contract.
-    val simCrossed = capKeyCounts(bands, "doc_id", "band_idx", "band")
-      .filter($"n_full" > BAND_CAP && $"n_batch" > 0)
+    // ARRIVALS: every over-cap band group the batch touches (the
+    // positional cap reorders survivors — crossedBandKeys' comment).
+    // Over-inclusion is safe (retract + full-semantics regen is the
+    // identity on an unchanged group); under-inclusion breaks the
+    // repair ≡ rebuild contract. NOTE the cost bound is the flagged
+    // groups' FULL membership: a permanently-over-cap boilerplate
+    // band (the BAND_CAP degeneracy its own doc describes) would make
+    // every batch's repair group-sized — such bands are the analog of
+    // over-df shingles and belong to the same boilerplate screening;
+    // narrowing the radius to entrants + displaced boundary members
+    // is the recorded future optimization.
+    val arrGroups = crossedBandKeys(bands)
+    // DEPARTURES: rep demotion removes the demoted doc's fingerprint
+    // from its BASE band groups (the stealer's raw text shingles
+    // differently, so its own fingerprint lands elsewhere); if such a
+    // group sat over the cap, the full rebuild's survivor set
+    // reorders — the old boundary member re-enters and gains pairs —
+    // with NO batch member in the group for the arrival predicate to
+    // see. Flag the base-side over-cap groups the demoted reps leave;
+    // their FULL-corpus members join the blast radius.
+    val demoted = docs
+      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("full_min"),
+        min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
+      .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
+      .select($"base_min".as("doc_id"))
+    val baseBands = fingerprintBands(s, ensureBaseCorpus(s, adir).toString)
+    val depGroups = capKeyCounts(baseBands, "doc_id", "band_idx", "band")
+      .filter($"n_full" > BAND_CAP)
       .select($"band_idx", $"band")
+      .join(baseBands.join(broadcast(demoted), Seq("doc_id"), "left_semi")
+        .select($"band_idx", $"band").distinct(),
+        Seq("band_idx", "band"), "left_semi")
     val simAff = bands
-      .join(broadcast(simCrossed), Seq("band_idx", "band"), "left_semi")
+      .join(broadcast(arrGroups.union(depGroups)),
+        Seq("band_idx", "band"), "left_semi")
       .select($"doc_id")
     val hasEmb = java.nio.file.Files.exists(
       java.nio.file.Paths.get(adir, "embeddings.parquet"))
@@ -2166,12 +2204,10 @@ object Pipeline {
     val all =
       if (!hasEmb) lexAff
       else {
-        val cellCrossed = capKeyCounts(Tables(s, adir, "embeddings"), "vec_id", "label")
-          .filter($"n_full" > EMBED_CELL_CAP &&
-            $"n_full" - $"n_batch" <= EMBED_CELL_CAP)
-          .select($"label")
-        lexAff.union(Tables(s, adir, "embeddings")
-          .join(broadcast(cellCrossed), Seq("label"), "left_semi")
+        val emb = Tables(s, adir, "embeddings")
+        lexAff.union(emb
+          .join(broadcast(crossedCellKeys(emb).select($"label")),
+            Seq("label"), "left_semi")
           .select($"vec_id".as("doc_id")))
       }
     all.distinct()
@@ -2294,7 +2330,31 @@ object Pipeline {
        |      COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS n_batch
        |    FROM bx GROUP BY 1, 2)
        |  WHERE n_full > $BAND_CAP AND n_batch > 0),
-       |saff AS (SELECT DISTINCT b.doc_id FROM bx b JOIN bc USING (band_idx, band)),
+       |-- DEPARTURES: base-side over-cap band groups a demoted rep's
+       |-- fingerprint leaves (see affectedDocs' Spark twin)
+       |bdocs AS (SELECT * FROM adocs WHERE doc_id % 10 <> 7),
+       |mins AS (
+       |  SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS full_min,
+       |    MIN(CASE WHEN doc_id % 10 <> 7 THEN doc_id END) AS base_min
+       |  FROM adocs GROUP BY 1),
+       |dem AS (
+       |  SELECT base_min AS doc_id FROM mins
+       |  WHERE base_min IS NOT NULL AND full_min <> base_min),
+       |bfpx AS (${simhashSqlFrom(repsSqlFrom("bdocs"))}),
+       |bbx AS (
+       |  SELECT doc_id, band_idx, (simhash >> (16 * band_idx)) & 65535 AS band
+       |  FROM bfpx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+       |depg AS (
+       |  SELECT g.band_idx, g.band FROM
+       |    (SELECT band_idx, band, COUNT(*) AS n FROM bbx GROUP BY 1, 2) g
+       |    JOIN (SELECT DISTINCT band_idx, band FROM bbx
+       |          JOIN dem USING (doc_id)) d
+       |      ON g.band_idx = d.band_idx AND g.band = d.band
+       |  WHERE g.n > $BAND_CAP),
+       |saff AS (
+       |  SELECT DISTINCT b.doc_id FROM bx b JOIN bc USING (band_idx, band)
+       |  UNION
+       |  SELECT DISTINCT b.doc_id FROM bx b JOIN depg USING (band_idx, band)),
        |cc AS (
        |  SELECT label FROM (
        |    SELECT label, COUNT(*) AS n_full,
@@ -4128,13 +4188,20 @@ object Pipeline {
     // exact. Decimal keeps both engines exact to ~1e38 (a 10⁷-vector
     // cell × 10³ dims sums to ~1e23).
     val dec = DecimalType(38, 0)
+    // every sum/product runs on ALREADY-decimal operands: summing in
+    // Long and casting after would wrap before the cast (a 10⁷-vector
+    // hot cell of ~1e6-magnitude components overflows the per-pos Long
+    // sum), and multiplying n_full·n_base in Long wraps near 3e9
+    // members — DuckDB's HUGEINT is exact in both spots, so either
+    // Long shortcut is a silent cross-engine divergence at exactly the
+    // cell sizes the monitor exists for
     val perPos = emb
       .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
       .select($"label", $"vec_id", ($"pos0" + 1).cast("long").as("pos"),
         floor($"v".cast("double") * 1000000.0).cast("long").as("vm"))
       .groupBy($"label", $"pos")
-      .agg(sum($"vm").cast(dec).as("ms_full"),
-        sum(when(isBatchId($"vec_id"), $"vm").otherwise(0L)).cast(dec).as("ms_batch"))
+      .agg(sum($"vm".cast(dec)).as("ms_full"),
+        sum(when(isBatchId($"vec_id"), $"vm").otherwise(0L).cast(dec)).as("ms_batch"))
     val numer = perPos.join(broadcast(cnt), "label")
       .select($"label",
         abs($"ms_full" * ($"n_full" - $"n_batch").cast(dec) -
@@ -4144,11 +4211,16 @@ object Pipeline {
     // per-pos rows, and an inner join would silently drop it from the
     // monitor — including a brand-new all-batch cell, the row whose
     // recluster_due mattered most. Its drift is NULL, its flags stand.
+    // The quotient is an INTEGRAL divide (`div`, truncating — all
+    // operands non-negative, so ≡ floor ≡ DuckDB's `//`): a decimal
+    // `/` resolves to scale 6 and rounds HALF_UP before any floor,
+    // which disagrees with integer division by 1 at quotient
+    // fractions ≥ .9999995.
     cnt.join(numer, Seq("label"), "left")
+      .withColumn("den",
+        $"n_full".cast(dec) * ($"n_full" - $"n_batch").cast(dec))
       .select($"label", ($"n_full" - $"n_batch").as("n_base"), $"n_batch",
-        when($"n_full" - $"n_batch" > 0,
-          floor($"numer" / (($"n_full" * ($"n_full" - $"n_batch")).cast(dec)))
-            .cast("long")).as("drift_micro"))
+        when($"n_full" - $"n_batch" > 0, expr("numer div den")).as("drift_micro"))
       .withColumn("recluster_due",
         $"n_base" === 0L || $"n_batch" * 10L >= $"n_base" ||
           coalesce($"drift_micro", lit(0L)) >= DRIFT_FLOOR_MICRO)

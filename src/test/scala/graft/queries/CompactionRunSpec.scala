@@ -98,4 +98,50 @@ class CompactionRunSpec extends AnyFunSuite {
           s"extra=${(repaired -- full).take(5)} missing=${(full -- repaired).take(5)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir2))
   }
+
+  /** The DEPARTURE case: rep demotion removes a doc's fingerprint
+    * from an already-over-cap band group with no batch member ever
+    * entering it — the arrival predicate is blind by construction.
+    * 104 identical-fingerprint base docs (T×k trick) cap to the first
+    * 100; a batch doc whose text is the CASE-FOLDED twin of the
+    * rank-1 member steals its rep-ship (same lower(trim) hash,
+    * different raw shingles ⇒ its own fingerprint lands elsewhere),
+    * so the group shrinks to 103 and the old rank-101 member
+    * re-enters the rebuild's survivor set, gaining 99 pairs the
+    * maintained graph lacks. Under a predicate without departure
+    * coverage this test fails with those pairs missing from the
+    * repair.
+    */
+  test("rep-demotion departure from an over-cap band group is repaired") {
+    import spark.implicits._
+    val dir3 = java.nio.file.Files.createTempDirectory("cap-depart-").toString
+    try {
+      val baseIds = (10 to 113).map(i => 10L * i + 1) // 101..1131
+      val baseDocs = baseIds.zipWithIndex.map { case (id, i) =>
+        (id, ("za zb zc " * (i + 2)).trim)
+      }
+      val victimText = baseDocs.head._2 // id 101, rank 1 of the group
+      val docs = baseDocs :+ ((7L, victimText.toUpperCase)) // the stealer
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir3/documents.parquet")
+
+      val full = pairSet(
+        Pipeline.ngramJaccard(spark, dir3).select("a_id", "b_id")
+          .union(Pipeline.simhashPairs(spark, dir3).select("a_id", "b_id"))
+          .distinct())
+      val maintained = pairSet(Pipeline.incrEdges(spark, dir3))
+      val reentrant = baseIds.sorted.apply(100) // old rank-101, re-enters
+      val missing = full -- maintained
+      assert(missing.size == 99 &&
+        missing.forall { case (a, b) => a == reentrant || b == reentrant },
+        s"divergence must be the re-entrant's gained pairs: ${missing.take(5)}")
+      assert((maintained -- full).isEmpty,
+        s"demotion retraction already handles the victim: ${(maintained -- full).take(5)}")
+
+      val repaired = pairSet(Pipeline.compactionRepair(spark, dir3))
+      assert(repaired == full,
+        s"repair must regenerate the re-entrant's pairs: " +
+          s"extra=${(repaired -- full).take(5)} missing=${(full -- repaired).take(5)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir3))
+  }
 }
