@@ -143,6 +143,27 @@ object ScaleProbe {
     val tBrute = secsSince(t14)
     require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0,
       s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute)")
+
+    // the round-10 maintenance/curation additions at scale: the
+    // substring-level span audit (the one new shuffle consumer — its
+    // posting join must stay linear in corpus size), the index-health
+    // screen (three bounded aggregation pipelines), and the IVF
+    // recluster repair (drift monitor + one broadcast-gated map pass)
+    isolate()
+    val t15 = System.nanoTime()
+    val nSpans = queries.Pipeline.queries("x_dup_spans")(spark, dir).count()
+    val tSpans = secsSince(t15)
+    isolate()
+    val t16 = System.nanoTime()
+    val nHealth = queries.Pipeline.queries("x_index_health")(spark, dir).count()
+    val tHealth = secsSince(t16)
+    isolate()
+    val t17 = System.nanoTime()
+    val nRecluster = queries.Pipeline.queries("x_ivf_recluster")(spark, dir).count()
+    val tRecluster = secsSince(t17)
+    require(nSpans == nDocs && nHealth == 3,
+      s"span audit must cover the corpus ($nSpans/$nDocs), health is 3 families ($nHealth)")
+    require(nRecluster > 0, "recluster repair returned no rows")
     isolate()
 
     // stdout contract mirrors Bench: one greppable JSON line per factor
@@ -154,7 +175,8 @@ object ScaleProbe {
       s""""index_sec":$tIndex,"base_state_sec":$tBaseState,""" +
       s""""incr_sec":$tIncr,"incr_rounds":$incrRounds,"signal_sec":$tSignal,""" +
       s""""ivf_layout_sec":$tIvfLayout,"nprobe_sec":$tNprobe,"pq_sec":$tPq,""" +
-      s""""bm25_sec":$tBm25,"brute_sec":$tBrute}""")
+      s""""bm25_sec":$tBm25,"brute_sec":$tBrute,""" +
+      s""""spans_sec":$tSpans,"health_sec":$tHealth,"recluster_sec":$tRecluster}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),

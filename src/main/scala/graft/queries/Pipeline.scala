@@ -451,6 +451,80 @@ object Pipeline {
        |FROM spine LEFT JOIN h ON spine.bucket = h.bucket
        |ORDER BY spine.bucket""".stripMargin
 
+  /** Distinct word 5-gram spans of a materialized token array — the
+    * substring-granularity feature for [[dupSpans]]. Longer than the
+    * 3-gram shingle on purpose: a 5-word span repeating across
+    * documents is copied text, not phrase-level coincidence (the span
+    * length production substring-dedup pipelines use is 40-60 BPE
+    * tokens; 5 words is the same idea at this fixture's scale). Same
+    * materialized-tokens and size-guard discipline as [[shingleCol]].
+    */
+  private def spanCol(w: Column): Column =
+    when(size(w) >= 5,
+      array_distinct(transform(sequence(lit(0), size(w) - 5),
+        i => concat_ws(" ", slice(w, i + 1, lit(5))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Substring-level duplicate-span audit — dedup at a granularity the
+    * document-level family cannot see: a document that is 60% stitched
+    * from text repeated elsewhere can still sit below every
+    * document-level Jaccard/SimHash threshold. Per document, the
+    * number of distinct 5-word spans, how many of those spans occur in
+    * at least one OTHER document, and the duplicated fraction in
+    * integer ppm — the signal substring-dedup pipelines threshold on
+    * before cutting repeated spans out of training text.
+    *
+    * Scale shape: spans are distinct per document, so the per-span
+    * group count IS the document frequency — one explode pass, one
+    * groupBy, and one join back on the span key (the inverted-index
+    * pattern [[ngramPairCounts]] uses, but with NO pairwise expansion:
+    * the df rides back as a single flag per posting, so there is no
+    * group² blow-up and no df cap is needed for correctness — a
+    * boilerplate span with a million postings is a skewed-but-linear
+    * join key, the shape AQE's skew split handles, not a quadratic
+    * candidate generator). The final per-document aggregate has
+    * map-side partials; zero-span docs (< 5 tokens) re-enter via a
+    * LEFT join so the audit covers the whole corpus.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val sp = docs.select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(spanCol($"w")).as("sp"))
+    val dfreq = sp.groupBy($"sp").agg(count(lit(1)).as("df"))
+    val agg = sp.join(dfreq, Seq("sp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        when($"n_spans" > 0,
+          expr("(n_dup_spans * 1000000) div n_spans")).as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val dupSpansSql: String =
+    """WITH spx AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |      list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' ')))) AS sp
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |dfx AS (SELECT sp, COUNT(*) AS df FROM spx GROUP BY 1),
+      |aggx AS (
+      |  SELECT doc_id, COUNT(*) AS n_spans,
+      |    COUNT(*) FILTER (WHERE df >= 2) AS n_dup_spans
+      |  FROM spx JOIN dfx USING (sp) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(CASE WHEN n_spans > 0
+      |    THEN (n_dup_spans * 1000000) // n_spans END AS BIGINT) AS dup_ppm
+      |FROM documents d LEFT JOIN aggx ON d.doc_id = aggx.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy twin,
     * the check a daily ingest runs after exact dedup passes: for each
     * incoming-batch document (`doc_id % 10 == 7`, the established
@@ -2073,6 +2147,85 @@ object Pipeline {
        |      UNION ALL SELECT * FROM erow)
        |ORDER BY family""".stripMargin
 
+  /** Index-health / boilerplate-screening report — the operational
+    * audit behind every cap in the near-dup family: per blocking-key
+    * family (`shingle` df / `band` group / `cell` membership), the
+    * total key count, the largest key's membership, how many keys sit
+    * OVER the family's cap (boilerplate: capped-out of the index), and
+    * how many documents carry at least one over-cap key (the docs
+    * whose recall rests on the other families — [[ngramJaccard]]'s
+    * documented df-cap trade). A 100 TB deployment reads this next to
+    * [[compactionSignal]]: the signal says "this batch crossed a cap",
+    * this report says "here is the standing boilerplate mass the caps
+    * are screening, and how concentrated the worst key is".
+    *
+    * Scale shape: one explode/scan pass per family into a groupBy on
+    * the family's blocking key (map-side partials absorb hot keys),
+    * single-row aggregates over the per-key counts, and a broadcast
+    * semi-join for the carrier counts (over-cap keys are few by
+    * construction — that is what the caps are FOR). No pairwise
+    * anything; the report costs three bounded aggregation pipelines.
+    */
+  def indexHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def famRow(keyed: DataFrame, docCol: String, keyCols: Seq[String],
+        cap: Long, fam: String): DataFrame = {
+      val cnt = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("m"))
+      val stats = cnt.agg(
+        count(lit(1)).as("n_keys"),
+        max($"m").as("max_members"),
+        sum(when($"m" > cap, 1L).otherwise(0L)).as("n_over_cap"))
+      val over = cnt.filter($"m" > cap).select(keyCols.map(col): _*)
+      val carriers = keyed
+        .join(broadcast(over), keyCols, "left_semi")
+        .agg(countDistinct(col(docCol)).as("n_carrier_docs"))
+      stats.crossJoin(carriers)
+        .select(lit(fam).as("family"), $"n_keys", $"max_members",
+          $"n_over_cap", $"n_carrier_docs")
+    }
+    val docs = Tables(s, dir, "documents")
+    famRow(fingerprintBands(s, dir), "doc_id", Seq("band_idx", "band"),
+        BAND_CAP, "band")
+      .unionByName(famRow(Tables(s, dir, "embeddings"), "vec_id",
+        Seq("label"), EMBED_CELL_CAP, "cell"))
+      .unionByName(famRow(shinglesOf(docs), "doc_id", Seq("s"),
+        SHINGLE_DF_CAP, "shingle"))
+      .orderBy($"family")
+  }
+
+  lazy val indexHealthSql: String =
+    s"""WITH shx AS (${shinglesSqlFrom("documents")}),
+       |scnt AS (SELECT s, COUNT(*) AS m FROM shx GROUP BY 1),
+       |shrow AS (SELECT 'shingle' AS family,
+       |  (SELECT COUNT(*) FROM scnt) AS n_keys,
+       |  (SELECT MAX(m) FROM scnt) AS max_members,
+       |  (SELECT COUNT(*) FROM scnt WHERE m > $SHINGLE_DF_CAP) AS n_over_cap,
+       |  (SELECT COUNT(DISTINCT doc_id) FROM shx
+       |   WHERE s IN (SELECT s FROM scnt WHERE m > $SHINGLE_DF_CAP)) AS n_carrier_docs),
+       |fp AS (${simhashSqlFrom(repsSqlFrom("documents"))}),
+       |bands AS (
+       |  SELECT doc_id, band_idx, (simhash >> (16 * band_idx)) & 65535 AS band
+       |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+       |bcnt AS (SELECT band_idx, band, COUNT(*) AS m FROM bands GROUP BY 1, 2),
+       |brow AS (SELECT 'band' AS family,
+       |  (SELECT COUNT(*) FROM bcnt) AS n_keys,
+       |  (SELECT MAX(m) FROM bcnt) AS max_members,
+       |  (SELECT COUNT(*) FROM bcnt WHERE m > $BAND_CAP) AS n_over_cap,
+       |  (SELECT COUNT(DISTINCT b.doc_id) FROM bands b
+       |   JOIN (SELECT band_idx, band FROM bcnt WHERE m > $BAND_CAP) o
+       |     ON b.band_idx = o.band_idx AND b.band = o.band) AS n_carrier_docs),
+       |ccnt AS (SELECT label, COUNT(*) AS m FROM embeddings GROUP BY 1),
+       |crow AS (SELECT 'cell' AS family,
+       |  (SELECT COUNT(*) FROM ccnt) AS n_keys,
+       |  (SELECT MAX(m) FROM ccnt) AS max_members,
+       |  (SELECT COUNT(*) FROM ccnt WHERE m > $EMBED_CELL_CAP) AS n_over_cap,
+       |  (SELECT COUNT(DISTINCT vec_id) FROM embeddings
+       |   WHERE label IN (SELECT label FROM ccnt WHERE m > $EMBED_CELL_CAP)) AS n_carrier_docs)
+       |SELECT family, n_keys, max_members, n_over_cap, n_carrier_docs
+       |FROM (SELECT * FROM shrow UNION ALL SELECT * FROM brow
+       |      UNION ALL SELECT * FROM crow)
+       |ORDER BY family""".stripMargin
+
   // ------------------------------------------------------ compaction run
 
   /** Crossed-corpus plant ids live here, above [[PLANT_OFF]]'s recall
@@ -2729,6 +2882,61 @@ object Pipeline {
        |  ${qualitySql("text")} AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Threshold-sensitivity sweep over the quality score —
+    * [[jaccardSweep]]'s twin for the quality gate, the curve read
+    * before freezing [[QUALITY_MIN]]: per score ventile (bucket b =
+    * scores in [b/20, (b+1)/20)), the document count plus the
+    * documents and characters a quality floor at b/20 would KEEP
+    * (cumulative from the top). Chars ride along because the decision
+    * a curation run actually makes is "how much training data does
+    * this threshold cost", not "how many documents".
+    *
+    * Determinism: the score is [[qualityCol]]'s fixed-order double
+    * (bit-identical across engines), and the bucket is
+    * `least(floor(q·20), 19)` — one IEEE multiply and a floor, no
+    * engine-divergent rounding. Scale: the bucketing fuses into the
+    * document scan, one groupBy over a fixed 20-key domain, and the
+    * cumulative window runs over those ≤ 20 aggregated rows — a
+    * constant-size tail at any corpus size.
+    */
+  def qualitySweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // fixed ventile spine, the jaccardSweep discipline: an empty
+    // bucket is a readable point on the curve, not a hole
+    val spine = (0L to 19L).toDF("bucket")
+    val hist = Tables(s, dir, "documents")
+      .select($"text", words($"text").as("w"), $"n_chars")
+      .select(least(floor(qualityCol($"text", $"w") * 20.0), lit(19.0))
+          .cast("long").as("bucket"),
+        $"n_chars")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+    spine.join(hist, Seq("bucket"), "left")
+      .withColumn("n_docs", coalesce($"n", lit(0L)))
+      .withColumn("chars0", coalesce($"chars", lit(0L)))
+      .select($"bucket", $"n_docs",
+        sum($"n_docs").over(w).as("docs_kept"),
+        sum($"chars0").over(w).as("chars_kept"))
+      .orderBy($"bucket")
+  }
+
+  val qualitySweepSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(least(floor((${qualitySql("text")}) * 20.0), 19.0) AS BIGINT) AS bucket,
+       |    COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY 1),
+       |spine AS (SELECT unnest(range(0, 20)) AS bucket)
+       |SELECT spine.bucket, CAST(COALESCE(n, 0) AS BIGINT) AS n_docs,
+       |  CAST(SUM(COALESCE(n, 0)) OVER (ORDER BY spine.bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_kept,
+       |  CAST(SUM(COALESCE(chars, 0)) OVER (ORDER BY spine.bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chars_kept
+       |FROM spine LEFT JOIN h ON spine.bucket = h.bucket
+       |ORDER BY spine.bucket""".stripMargin
 
   /** Token counting: whitespace tokens + a deterministic BPE-ish
     * estimate (¼ of characters, the standard LLM heuristic).
@@ -4216,7 +4424,10 @@ object Pipeline {
     // `/` resolves to scale 6 and rounds HALF_UP before any floor,
     // which disagrees with integer division by 1 at quotient
     // fractions ≥ .9999995.
-    cnt.join(numer, Seq("label"), "left")
+    // numer is cells-sized index metadata — broadcast it so the
+    // monitor's tail never sort-merges two tiny aggregates (and the
+    // recluster repair built on top stays shuffle-join-free)
+    cnt.join(broadcast(numer), Seq("label"), "left")
       .withColumn("den",
         $"n_full".cast(dec) * ($"n_full" - $"n_batch").cast(dec))
       .select($"label", ($"n_full" - $"n_batch").as("n_base"), $"n_batch",
@@ -4260,6 +4471,49 @@ object Pipeline {
        |-- stay in the monitor with NULL drift (Spark twin agrees)
        |FROM cnt LEFT JOIN num ON cnt.label = num.label
        |ORDER BY cnt.label""".stripMargin
+
+  /** IVF recluster repair — the operator [[ivfDrift]] schedules,
+    * completing the vector family's monitor + repair pair the way
+    * [[compactionSignal]] / [[compactionRun]] complete the lexical
+    * one: cells the monitor flags (`recluster_due`) are re-partitioned
+    * by splitting on the [[signBucket]] hyperplane quantizer (the
+    * [[annLsh]] planes — data-independent, so both engines derive the
+    * identical split with zero training state), while unflagged cells
+    * keep their layout untouched. Output is the repaired assignment:
+    * per vector its cell, its post-repair sub-cell (0 when the cell
+    * was not flagged), and whether the repair moved it — the FAISS
+    * "split the hot/drifted list" maintenance shape, expressed as a
+    * deterministic operator instead of a retrain.
+    *
+    * Scale shape: the drift monitor's output is cells-sized (index
+    * metadata), so the flagged set broadcasts; the repair itself is
+    * then ONE map pass over the embeddings — a per-row bucket
+    * expression behind a broadcast join, no shuffle at any corpus
+    * size (the output sort is presentation only). Short vectors
+    * (< 8 dims) stay in sub-cell 0 — the quantizer needs its 8 planes
+    * — mirrored exactly in the oracle.
+    */
+  def ivfRecluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flagged = ivfDrift(s, dir).filter($"recluster_due")
+      .select($"label", lit(true).as("flag"))
+    Tables(s, dir, "embeddings")
+      .join(broadcast(flagged), Seq("label"), "left")
+      .select($"vec_id", $"label",
+        when($"flag".isNotNull && size($"embedding") >= 8,
+          signBucket($"embedding")).otherwise(lit(0L)).as("sub"),
+        $"flag".isNotNull.as("reassigned"))
+      .orderBy($"vec_id")
+  }
+
+  lazy val ivfReclusterSql: String =
+    s"""WITH fl AS (SELECT label FROM ($ivfDriftSql) WHERE recluster_due)
+       |SELECT e.vec_id, e.label,
+       |  CAST(CASE WHEN fl.label IS NOT NULL AND len(e.embedding) >= 8
+       |    THEN ${signBucketSql("e.embedding")} ELSE 0 END AS BIGINT) AS sub,
+       |  fl.label IS NOT NULL AS reassigned
+       |FROM embeddings e LEFT JOIN fl ON e.label = fl.label
+       |ORDER BY e.vec_id""".stripMargin
 
   /** Cells larger than this are hierarchically sub-blocked by the
     * 8-sign-bit bucket (the [[annLsh]] quantizer) before the
@@ -5279,6 +5533,10 @@ object Pipeline {
     "x_compaction_signal" -> compactionSignal _,
     "x_compaction_run" -> compactionRun _,
     "x_ivf_drift"      -> ivfDrift _,
+    "x_ivf_recluster"  -> ivfRecluster _,
+    "x_index_health"   -> indexHealth _,
+    "x_dup_spans"      -> dupSpans _,
+    "x_quality_sweep"  -> qualitySweep _,
     "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
@@ -5350,6 +5608,10 @@ object Pipeline {
     "x_compaction_signal" -> compactionSignalSql,
     "x_compaction_run" -> compactionRunSql,
     "x_ivf_drift"      -> ivfDriftSql,
+    "x_ivf_recluster"  -> ivfReclusterSql,
+    "x_index_health"   -> indexHealthSql,
+    "x_dup_spans"      -> dupSpansSql,
+    "x_quality_sweep"  -> qualitySweepSql,
     "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,

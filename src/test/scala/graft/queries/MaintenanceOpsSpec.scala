@@ -1,0 +1,140 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Engineered-corpus semantics for the round-10 additions: the
+  * substring-level duplicate-span audit, the quality threshold sweep,
+  * the index-health/boilerplate screen, and the IVF recluster repair.
+  * Each test plants the exact boundary the operator exists for and
+  * asserts hand-computed values.
+  */
+class MaintenanceOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("dupSpans: shared span flags both carriers, exact copies read 100%, short docs stay NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dup-spans-").toString
+    try {
+      val docs = Seq(
+        // doc 1 and 2 share exactly the span "a b c d e"
+        (1L, "a b c d e f"),            // spans: "a b c d e", "b c d e f"
+        (2L, "q w a b c d e r t y"),    // 6 spans, one shared
+        (3L, "only four words here"),   // < 5 tokens: zero spans
+        (4L, "u v w x y z"),            // exact copy pair: every span
+        (5L, "u v w x y z"))            //   duplicated
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.dupSpans(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(got(1) == ((2L, 1L, Some(500000L))),
+        s"doc 1: one of two spans shared: ${got(1)}")
+      assert(got(2) == ((6L, 1L, Some(166666L))),
+        s"doc 2: one of six spans shared: ${got(2)}")
+      assert(got(3) == ((0L, 0L, None)),
+        s"sub-span doc must report zero spans, NULL ppm: ${got(3)}")
+      assert(got(4) == ((2L, 2L, Some(1000000L))) && got(4) == got(5),
+        s"exact copies must read fully duplicated: ${got(4)} ${got(5)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("qualitySweep: fixed 20-row spine whose cumulative foots to the corpus totals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("quality-sweep-").toString
+    try {
+      // scores spread across buckets: stopword-free low scorers,
+      // stopword-heavy high scorers, and a long high-token doc
+      val docs = Seq(
+        (1L, "zz yy xx"), (2L, "the a the a the a"),
+        (3L, ("the word " * 40).trim), (4L, "one two"),
+        (5L, "the quick brown fox jumps over a lazy dog"))
+        .map { case (id, t) => (id, t, t.length.toLong) }
+      docs.toDF("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val rows = Pipeline.qualitySweep(spark, dir).collect()
+      assert(rows.length == 20, s"fixed ventile spine: ${rows.length}")
+      assert(rows.map(_.getLong(0)).toSeq == (0L to 19L),
+        "spine buckets 0..19 in order")
+      val totalDocs = docs.size.toLong
+      val totalChars = docs.map(_._3).sum
+      assert(rows.head.getLong(2) == totalDocs &&
+        rows.head.getLong(3) == totalChars,
+        s"a floor at 0 keeps everything: ${rows.head}")
+      assert(rows.map(_.getLong(1)).sum == totalDocs,
+        "per-bucket counts partition the corpus")
+      val kept = rows.map(r => (r.getLong(2), r.getLong(3)))
+      assert(kept.sliding(2).forall(p => p(0)._1 >= p(1)._1 && p(0)._2 >= p(1)._2),
+        "raising the floor never keeps more")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("indexHealth: a df-101 boilerplate shingle is counted with all its carriers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("index-health-").toString
+    try {
+      // 101 docs sharing one trigram (one over the df cap of 100),
+      // each contributing four unique trigrams besides — the unique
+      // majority keeps the 101 fingerprints spread, so no band group
+      // can approach the band cap
+      val docs = (0 until 101).map(i =>
+        (i.toLong, s"boil er plate u${i}a u${i}b u${i}c u${i}d"))
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq((1L, 0, Seq(1.0f, 0.5f)), (2L, 0, Seq(0.5f, 1.0f)),
+        (3L, 1, Seq(0.25f, 0.5f)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val got = Pipeline.indexHealth(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      // shingle keys: "boil er plate" (df 101) + 4 unique trigrams
+      // per doc = 1 + 404 = 405 keys
+      assert(got("shingle") == ((405L, 101L, 1L, 101L)),
+        s"one over-cap shingle, all 101 carriers: ${got("shingle")}")
+      assert(got("cell")._1 == 2L && got("cell")._3 == 0L,
+        s"two quiet cells: ${got("cell")}")
+      assert(got("band")._3 == 0L && got("band")._4 == 0L,
+        s"no over-cap band groups on distinct texts: ${got("band")}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("ivfRecluster: flagged cells split on the sign planes, quiet cells keep their layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivf-recluster-").toString
+    try {
+      val rows = Seq(
+        // cell 0: batch-free, zero drift — stays quiet, keeps layout
+        (1L, 0, Seq(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, 0, Seq(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+        // cell 1: all-batch (brand-new) — flagged; members straddle
+        // the sign planes, so the split separates them
+        (7L, 1, Seq(1.0f, -1.0f, 1.0f, 1.0f, -1.0f, -1.0f, 1.0f, -1.0f)),
+        (17L, 1, Seq(-1.0f, 1.0f, -1.0f, -1.0f, 1.0f, 1.0f, -1.0f, 1.0f)),
+        // cell 2: all-batch with a SHORT vector — the quantizer needs
+        // 8 planes, so it stays in sub 0 of the split cell
+        (27L, 2, Seq(1.0f, 2.0f)))
+      rows.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val got = Pipeline.ivfRecluster(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(got(1) == ((0, 0L, false)) && got(2) == ((0, 0L, false)),
+        s"quiet cell keeps its layout: ${got(1)} ${got(2)}")
+      // bits at positions where component >= 0 (1-indexed i → 2^(i-1)):
+      // [+,-,+,+,-,-,+,-] → 1+4+8+64 = 77; complement → 2+16+32+128 = 178
+      assert(got(7) == ((1, 77L, true)) && got(17) == ((1, 178L, true)),
+        s"flagged cell splits by sign bucket: ${got(7)} ${got(17)}")
+      assert(got(27) == ((2, 0L, true)),
+        s"short vector lands in sub 0 of its split cell: ${got(27)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+}

@@ -359,4 +359,32 @@ class PlanSpec extends AnyFunSuite {
       "slot agreement must be a codegen'd 8-term sum, not an interpreted HOF:\n" +
         est.take(2000))
   }
+
+  test("x_dup_spans: pruned scan, linear posting join — no pairwise expansion anywhere") {
+    val p = plan("x_dup_spans")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("source"),
+      "span audit must read only doc_id/text: " + readSchemas)
+    // the df flag rides back on the span key as a LINEAR join — a
+    // nested-loop or cartesian here means someone reintroduced a
+    // pairwise candidate generator into the substring audit
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span-df join must stay linear:\n" + p.take(2000))
+  }
+
+  test("x_ivf_recluster: flagged set broadcasts; repair adds no shuffle join") {
+    val p = plan("x_ivf_recluster")
+    assert(p.contains("BroadcastHashJoin"),
+      "flagged-cell set must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the repair is a map pass behind a broadcast — no shuffle join:\n" +
+        p.take(2000))
+  }
+
+  test("x_index_health: carrier counts via broadcast semi, never a shuffle join") {
+    val p = plan("x_index_health")
+    assert(!p.contains("SortMergeJoin"),
+      "over-cap keys are few by construction — carrier joins must broadcast:\n" +
+        p.take(2000))
+  }
 }
