@@ -2315,15 +2315,6 @@ object Pipeline {
     val bands = fingerprintBands(s, adir)
     // ARRIVALS: every over-cap band group the batch touches (the
     // positional cap reorders survivors — crossedBandKeys' comment).
-    // Over-inclusion is safe (retract + full-semantics regen is the
-    // identity on an unchanged group); under-inclusion breaks the
-    // repair ≡ rebuild contract. NOTE the cost bound is the flagged
-    // groups' FULL membership: a permanently-over-cap boilerplate
-    // band (the BAND_CAP degeneracy its own doc describes) would make
-    // every batch's repair group-sized — such bands are the analog of
-    // over-df shingles and belong to the same boilerplate screening;
-    // narrowing the radius to entrants + displaced boundary members
-    // is the recorded future optimization.
     val arrGroups = crossedBandKeys(bands)
     // DEPARTURES: rep demotion removes the demoted doc's fingerprint
     // from its BASE band groups (the stealer's raw text shingles
@@ -2347,9 +2338,32 @@ object Pipeline {
       .join(baseBands.join(broadcast(demoted), Seq("doc_id"), "left_semi")
         .select($"band_idx", $"band").distinct(),
         Seq("band_idx", "band"), "left_semi")
-    val simAff = bands
-      .join(broadcast(arrGroups.union(depGroups)),
-        Seq("band_idx", "band"), "left_semi")
+    // The band radius is the SURVIVOR-SET SYMMETRIC DIFFERENCE of each
+    // flagged group, not its full membership (the formerly-recorded
+    // future optimization, now the shipped form). Why it is exact:
+    // band pairs exist only among a group's cap survivors; the
+    // incremental delta generates batch-side pairs through
+    // simPairsTouching, which applies the IDENTICAL positional cap
+    // over full-corpus bands — so pairs among members in BOTH
+    // survivor sets (base ∩ full) agree between the maintained graph
+    // and the rebuild, and every divergence (a displaced/demoted
+    // member's stale pairs, an entrant/re-admitted member's missing
+    // pairs) has an endpoint in base Δ full. Retract + regen on that
+    // difference is therefore the minimal correct radius: a
+    // permanently-over-cap boilerplate band now costs each batch its
+    // ENTRANT/DISPLACED count, not its cap-sized membership
+    // (CompactionRunSpec pins both the equality and the minimality).
+    val flaggedGroups = arrGroups.union(depGroups)
+    val fullSurv = capBandGroups(
+      bands.join(broadcast(flaggedGroups), Seq("band_idx", "band"), "left_semi"))
+      .select($"band_idx", $"band", $"doc_id")
+    val baseSurv = capBandGroups(
+      baseBands.join(broadcast(flaggedGroups), Seq("band_idx", "band"), "left_semi"))
+      .select($"band_idx", $"band", $"doc_id")
+    val simAff = fullSurv.unionByName(baseSurv)
+      .groupBy($"band_idx", $"band", $"doc_id")
+      .agg(count(lit(1)).as("k"))
+      .filter($"k" === 1)
       .select($"doc_id")
     val hasEmb = java.nio.file.Files.exists(
       java.nio.file.Paths.get(adir, "embeddings.parquet"))
@@ -2504,10 +2518,30 @@ object Pipeline {
        |          JOIN dem USING (doc_id)) d
        |      ON g.band_idx = d.band_idx AND g.band = d.band
        |  WHERE g.n > $BAND_CAP),
+       |-- band radius = survivor-set symmetric difference per flagged
+       |-- group (see affectedDocs' Spark twin for the exactness proof)
+       |flg AS (SELECT band_idx, band FROM bc
+       |        UNION SELECT band_idx, band FROM depg),
+       |fsurv AS (
+       |  SELECT band_idx, band, doc_id FROM (
+       |    SELECT b.band_idx, b.band, b.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band
+       |        ORDER BY b.doc_id) AS rn
+       |    FROM bx b JOIN flg USING (band_idx, band))
+       |  WHERE rn <= $BAND_CAP),
+       |bsurv AS (
+       |  SELECT band_idx, band, doc_id FROM (
+       |    SELECT b.band_idx, b.band, b.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band
+       |        ORDER BY b.doc_id) AS rn
+       |    FROM bbx b JOIN flg USING (band_idx, band))
+       |  WHERE rn <= $BAND_CAP),
        |saff AS (
-       |  SELECT DISTINCT b.doc_id FROM bx b JOIN bc USING (band_idx, band)
-       |  UNION
-       |  SELECT DISTINCT b.doc_id FROM bx b JOIN depg USING (band_idx, band)),
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT band_idx, band, doc_id, COUNT(*) AS k
+       |    FROM (SELECT * FROM fsurv UNION ALL SELECT * FROM bsurv)
+       |    GROUP BY 1, 2, 3)
+       |  WHERE k = 1),
        |cc AS (
        |  SELECT label FROM (
        |    SELECT label, COUNT(*) AS n_full,

@@ -92,10 +92,25 @@ class CompactionRunSpec extends AnyFunSuite {
         (maintained -- full).forall { case (a, b) => a == evicted || b == evicted },
         "divergence must be exactly the evicted member's stale edges")
 
-      val repaired = pairSet(Pipeline.compactionRepair(spark, dir2))
+      val out = Pipeline.compactionRepair(spark, dir2)
+      val repaired = pairSet(out)
       assert(repaired == full,
         s"repair must drop the evicted doc's stale edges: " +
           s"extra=${(repaired -- full).take(5)} missing=${(full -- repaired).take(5)}")
+      // radius MINIMALITY: the blast radius is the survivor-set
+      // symmetric difference {entrant 7, evicted rank-100}, so only
+      // pairs touching those two go through the rebuild stage — the
+      // 99 unaffected survivors' C(99,2) mutual pairs stay kept. A
+      // whole-group radius flags every group pair repaired and fails
+      // here; an under-inclusive radius already failed the equality.
+      val repairedRows = out.filter(out("repaired")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(repairedRows.nonEmpty &&
+        repairedRows.forall { case (a, b) =>
+          a == 7L || b == 7L || a == evicted || b == evicted },
+        s"rebuild stage must stay confined to the survivor diff: " +
+          s"${repairedRows.filterNot { case (a, b) =>
+            a == 7L || b == 7L || a == evicted || b == evicted }.take(5)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir2))
   }
 
