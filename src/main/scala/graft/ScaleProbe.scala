@@ -59,6 +59,21 @@ object ScaleProbe {
     // block-manager memory under a later measurement — at 30× that
     // pressure bends exactly the curves the probe exists to record
     def isolate(): Unit = Sessions.isolateQueries(spark)
+    // Every QUERY measurement drives the plan with a noop-format
+    // write, the Bench discipline, for the same reason Bench documents
+    // and one more: .count() does not just prune columns — Catalyst
+    // ELIMINATES whole unique-keyed join/derivation subtrees under a
+    // count(1) (measured: the span audit collapsed to a raw parquet
+    // count; the manifest collapsed to a two-column key join, dropping
+    // every decision expression). Counts used for row-contract checks
+    // run AFTER their measurement.
+    def drive(name: String): Double = {
+      isolate()
+      val t = System.nanoTime()
+      queries.Pipeline.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      secsSince(t)
+    }
     val t0 = System.nanoTime()
     val nDocs = buildFixture(spark, srcDir, dir, factor)
     val tFixture = secsSince(t0)
@@ -72,19 +87,17 @@ object ScaleProbe {
     queries.Pipeline.ensureSymEdges(spark, dir)
     val tSym = secsSince(t2)
 
-    val t3 = System.nanoTime()
-    val nDecision = queries.Pipeline.queries("x_dedup_full")(spark, dir).count()
-    val tDecision = secsSince(t3)
+    val tDecision = drive("x_dedup_full")
     val rounds = queries.Pipeline.lastComponentsRounds
 
     val t4 = System.nanoTime()
     queries.Pipeline.ensureKeepMap(spark, dir)
     val tKeepMap = secsSince(t4)
 
-    val t5 = System.nanoTime()
-    val nManifest = queries.Pipeline.queries("x_corpus_manifest")(spark, dir).count()
-    val tManifest = secsSince(t5)
+    val tManifest = drive("x_corpus_manifest")
 
+    val nDecision = queries.Pipeline.queries("x_dedup_full")(spark, dir).count()
+    val nManifest = queries.Pipeline.queries("x_corpus_manifest")(spark, dir).count()
     require(nDecision == nDocs && nManifest == nDocs,
       s"decision/manifest row counts ($nDecision/$nManifest) != corpus size $nDocs")
 
@@ -102,16 +115,11 @@ object ScaleProbe {
     queries.Pipeline.ensureBaseLabels(spark, dir)
     val tBaseState = secsSince(t7)
 
-    isolate()
-    val t8 = System.nanoTime()
-    val nIncr = queries.Pipeline.queries("x_incr_clusters")(spark, dir).count()
-    val tIncr = secsSince(t8)
+    val tIncr = drive("x_incr_clusters")
     val incrRounds = queries.Pipeline.lastComponentsRounds
 
-    isolate()
-    val t9 = System.nanoTime()
-    queries.Pipeline.queries("x_compaction_signal")(spark, dir).count()
-    val tSignal = secsSince(t9)
+    val tSignal = drive("x_compaction_signal")
+    val nIncr = queries.Pipeline.queries("x_incr_clusters")(spark, dir).count()
     require(nIncr > 0, "incremental clusters returned no rows")
 
     // the retrieval family at scale — the same measured treatment the
@@ -125,22 +133,14 @@ object ScaleProbe {
     val t10 = System.nanoTime()
     queries.Pipeline.ensureIvfLayout(spark, dir)
     val tIvfLayout = secsSince(t10)
-    isolate()
-    val t11 = System.nanoTime()
+    val tNprobe = drive("x_ann_ivf_nprobe")
+    val tPq = drive("x_ann_pq")
+    val tBm25 = drive("x_bm25_batch")
+    val tBrute = drive("x_sim_search")
     val nProbe = queries.Pipeline.queries("x_ann_ivf_nprobe")(spark, dir).count()
-    val tNprobe = secsSince(t11)
-    isolate()
-    val t12 = System.nanoTime()
     val nPq = queries.Pipeline.queries("x_ann_pq")(spark, dir).count()
-    val tPq = secsSince(t12)
-    isolate()
-    val t13 = System.nanoTime()
     val nBm = queries.Pipeline.queries("x_bm25_batch")(spark, dir).count()
-    val tBm25 = secsSince(t13)
-    isolate()
-    val t14 = System.nanoTime()
     val nBrute = queries.Pipeline.queries("x_sim_search")(spark, dir).count()
-    val tBrute = secsSince(t14)
     require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0,
       s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute)")
 
@@ -149,18 +149,12 @@ object ScaleProbe {
     // posting join must stay linear in corpus size), the index-health
     // screen (three bounded aggregation pipelines), and the IVF
     // recluster repair (drift monitor + one broadcast-gated map pass)
-    isolate()
-    val t15 = System.nanoTime()
+    val tSpans = drive("x_dup_spans")
+    val tHealth = drive("x_index_health")
+    val tRecluster = drive("x_ivf_recluster")
     val nSpans = queries.Pipeline.queries("x_dup_spans")(spark, dir).count()
-    val tSpans = secsSince(t15)
-    isolate()
-    val t16 = System.nanoTime()
     val nHealth = queries.Pipeline.queries("x_index_health")(spark, dir).count()
-    val tHealth = secsSince(t16)
-    isolate()
-    val t17 = System.nanoTime()
     val nRecluster = queries.Pipeline.queries("x_ivf_recluster")(spark, dir).count()
-    val tRecluster = secsSince(t17)
     require(nSpans == nDocs && nHealth == 3,
       s"span audit must cover the corpus ($nSpans/$nDocs), health is 3 families ($nHealth)")
     require(nRecluster > 0, "recluster repair returned no rows")

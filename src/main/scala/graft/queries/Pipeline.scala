@@ -4549,6 +4549,43 @@ object Pipeline {
        |FROM embeddings e LEFT JOIN fl ON e.label = fl.label
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Recluster effectiveness report — the eval that ships with
+    * [[ivfRecluster]] (the discipline every index/classifier here
+    * follows): per SPLIT cell, the member count, how many non-empty
+    * sub-cells the hyperplane split produced, the largest sub-cell,
+    * and `balance_ppm` = largest sub-cell's share in integer ppm — the
+    * number a maintenance run reads to decide whether the split
+    * actually dispersed the cell (a cell whose vectors all share sign
+    * structure splits into one dominant sub-cell and needs a
+    * different repair, e.g. deeper planes). Costs one bounded
+    * aggregation over the repair's assignment — key count is
+    * cells × ≤256 sub-buckets, independent of corpus size.
+    */
+  def reclusterStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfRecluster(s, dir)
+      .filter($"reassigned")
+      .groupBy($"label", $"sub").agg(count(lit(1)).as("m"))
+      .groupBy($"label")
+      .agg(sum($"m").as("n_members"),
+        count(lit(1)).as("n_subcells"),
+        max($"m").as("max_subcell"))
+      .withColumn("balance_ppm", expr("(max_subcell * 1000000) div n_members"))
+      .orderBy($"label")
+  }
+
+  lazy val reclusterStatsSql: String =
+    s"""WITH r AS ($ivfReclusterSql),
+       |sc AS (
+       |  SELECT label, sub, COUNT(*) AS m FROM r WHERE reassigned
+       |  GROUP BY 1, 2)
+       |SELECT label, CAST(SUM(m) AS BIGINT) AS n_members,
+       |  COUNT(*) AS n_subcells,
+       |  CAST(MAX(m) AS BIGINT) AS max_subcell,
+       |  CAST((MAX(m) * 1000000) // SUM(m) AS BIGINT) AS balance_ppm
+       |FROM sc GROUP BY label
+       |ORDER BY label""".stripMargin
+
   /** Cells larger than this are hierarchically sub-blocked by the
     * 8-sign-bit bucket (the [[annLsh]] quantizer) before the
     * within-block pair compare. Part of the operator's semantics —
@@ -5568,6 +5605,7 @@ object Pipeline {
     "x_compaction_run" -> compactionRun _,
     "x_ivf_drift"      -> ivfDrift _,
     "x_ivf_recluster"  -> ivfRecluster _,
+    "x_recluster_stats" -> reclusterStats _,
     "x_index_health"   -> indexHealth _,
     "x_dup_spans"      -> dupSpans _,
     "x_quality_sweep"  -> qualitySweep _,
@@ -5643,6 +5681,7 @@ object Pipeline {
     "x_compaction_run" -> compactionRunSql,
     "x_ivf_drift"      -> ivfDriftSql,
     "x_ivf_recluster"  -> ivfReclusterSql,
+    "x_recluster_stats" -> reclusterStatsSql,
     "x_index_health"   -> indexHealthSql,
     "x_dup_spans"      -> dupSpansSql,
     "x_quality_sweep"  -> qualitySweepSql,

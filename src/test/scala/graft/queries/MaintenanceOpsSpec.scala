@@ -135,6 +135,18 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         s"flagged cell splits by sign bucket: ${got(7)} ${got(17)}")
       assert(got(27) == ((2, 0L, true)),
         s"short vector lands in sub 0 of its split cell: ${got(27)}")
+
+      // the effectiveness report over the same corpus: only SPLIT
+      // cells appear; cell 1 dispersed into two singleton sub-cells
+      // (balance 50%), cell 2 is a single-member degenerate split
+      val stats = Pipeline.reclusterStats(spark, dir).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(!stats.contains(0), s"quiet cell must not be reported: $stats")
+      assert(stats(1) == ((2L, 2L, 1L, 500000L)),
+        s"dispersed split: 2 members over 2 sub-cells: ${stats(1)}")
+      assert(stats(2) == ((1L, 1L, 1L, 1000000L)),
+        s"degenerate split: one member, one sub-cell: ${stats(2)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 }
