@@ -525,6 +525,91 @@ object Pipeline {
       |FROM documents d LEFT JOIN aggx ON d.doc_id = aggx.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Substring-level duplicate-span REMOVAL — the transform
+    * [[dupSpans]]'s audit exists to drive: rewrite each document with
+    * every token covered by a cross-document duplicated 5-word span
+    * cut out (the "remove the repeated window, keep the novel
+    * remainder" surgery substring-dedup pipelines apply to training
+    * text), plus the removed-token count. Cross-document means the
+    * span occurs in ≥ 2 DISTINCT documents — within-doc repetition is
+    * [[repetition]]'s domain and is left alone here.
+    *
+    * Determinism: token positions are explicit (positional explode,
+    * 0-based), coverage is a pure membership test against the doc's
+    * flagged-position set, and reconstruction re-joins the surviving
+    * tokens on the same single-space splitter — both engines rebuild
+    * byte-identical strings. Docs with no flagged span pass their
+    * ORIGINAL text through untouched (no split/rejoin round trip).
+    *
+    * Scale shape: positional explode is O(tokens); span df rides the
+    * same linear inverted-index join as [[dupSpans]]; the flagged
+    * positions collect per doc (bounded by doc length) and the
+    * coverage test is ROW-LOCAL — no shuffle after the one posting
+    * join. The exists() probe costs tokens × flagged-spans per doc —
+    * quadratic only for a fully-duplicated mega-document, which
+    * exact-dedup removes upstream of any span surgery.
+    */
+  def spanStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val tok = docs.select($"doc_id", words($"text").as("w"))
+    val sp = tok.filter(size($"w") >= 5)
+      .select($"doc_id", $"w",
+        posexplode(transform(sequence(lit(0), size($"w") - 5),
+          i => concat_ws(" ", slice($"w", i + 1, lit(5))))).as(Seq("i", "sp")))
+      .select($"doc_id", $"i".cast("long").as("i"), $"sp")
+    val dfreq = sp.select($"sp", $"doc_id").distinct()
+      .groupBy($"sp").agg(count(lit(1)).as("df"))
+    val flagged = sp.join(dfreq, Seq("sp"))
+      .filter($"df" >= 2)
+      .groupBy($"doc_id").agg(collect_set($"i").as("fl"))
+    docs.select($"doc_id", $"text")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"fl".isNull, $"text").otherwise(
+          concat_ws(" ", filter(words($"text"),
+            (t, j) => !exists($"fl", x => j.cast("long") >= x &&
+              j.cast("long") <= x + 4L)))).as("clean_text"),
+        when($"fl".isNull, lit(0L)).otherwise(
+          size(words($"text")).cast("long") -
+            size(filter(words($"text"),
+              (t, j) => !exists($"fl", x => j.cast("long") >= x &&
+                j.cast("long") <= x + 4L))).cast("long")).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val spanStripSql: String =
+    """WITH spx AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    array_to_string(w[i+1:i+5], ' ') AS sp
+      |  FROM (
+      |    SELECT doc_id, w, unnest(range(len(w)-4)) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 5)),
+      |dfx AS (
+      |  SELECT sp, COUNT(*) AS df FROM (SELECT DISTINCT sp, doc_id FROM spx)
+      |  GROUP BY 1),
+      |flg AS (
+      |  SELECT doc_id, list(DISTINCT i) AS fl
+      |  FROM spx JOIN dfx USING (sp) WHERE df >= 2
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+      |  -- (v1.0.0), Spark's concat_ws is '' — a fully-stripped doc
+      |  -- must read as the empty string in both engines
+      |  CASE WHEN fl IS NULL THEN d.text
+      |    ELSE COALESCE(array_to_string(list_filter(string_split(d.text, ' '),
+      |      (t, j) -> len(list_filter(fl,
+      |        x -> j - 1 >= x AND j - 1 <= x + 4)) = 0), ' '), '') END AS clean_text,
+      |  CAST(CASE WHEN fl IS NULL THEN 0
+      |    ELSE len(string_split(d.text, ' ')) -
+      |      len(list_filter(string_split(d.text, ' '),
+      |        (t, j) -> len(list_filter(fl,
+      |          x -> j - 1 >= x AND j - 1 <= x + 4)) = 0)) END AS BIGINT)
+      |    AS n_removed
+      |FROM documents d LEFT JOIN flg ON d.doc_id = flg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Incremental NEAR-dup probe — [[incrementalDedup]]'s fuzzy twin,
     * the check a daily ingest runs after exact dedup passes: for each
     * incoming-batch document (`doc_id % 10 == 7`, the established
@@ -5608,6 +5693,7 @@ object Pipeline {
     "x_recluster_stats" -> reclusterStats _,
     "x_index_health"   -> indexHealth _,
     "x_dup_spans"      -> dupSpans _,
+    "x_span_strip"     -> spanStrip _,
     "x_quality_sweep"  -> qualitySweep _,
     "x_shingle_novelty" -> shingleNovelty _,
     "x_dedup_docs"     -> dedupDocs _,
@@ -5684,6 +5770,7 @@ object Pipeline {
     "x_recluster_stats" -> reclusterStatsSql,
     "x_index_health"   -> indexHealthSql,
     "x_dup_spans"      -> dupSpansSql,
+    "x_span_strip"     -> spanStripSql,
     "x_quality_sweep"  -> qualitySweepSql,
     "x_shingle_novelty" -> shingleNoveltySql,
     "x_dedup_docs"     -> dedupDocsSql,

@@ -41,6 +41,19 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         s"sub-span doc must report zero spans, NULL ppm: ${got(3)}")
       assert(got(4) == ((2L, 2L, Some(1000000L))) && got(4) == got(5),
         s"exact copies must read fully duplicated: ${got(4)} ${got(5)}")
+
+      // the transform over the same corpus: covered tokens cut out,
+      // novel remainder preserved in order, untouched docs unchanged
+      val strip = Pipeline.spanStrip(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(strip(1) == (("f", 5L)),
+        s"doc 1: shared span 0..4 cut, tail kept: ${strip(1)}")
+      assert(strip(2) == (("q w r t y", 5L)),
+        s"doc 2: interior span 2..6 cut, flanks kept: ${strip(2)}")
+      assert(strip(3) == (("only four words here", 0L)),
+        s"sub-span doc passes through byte-identical: ${strip(3)}")
+      assert(strip(4) == (("", 6L)) && strip(5) == strip(4),
+        s"fully-duplicated docs strip to empty: ${strip(4)} ${strip(5)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
