@@ -141,6 +141,8 @@ object Bench {
     "x_compaction_signal" -> 2.28,
     "x_compaction_run" -> 14.66, // re-recorded on the narrowed-radius code (+4.9%)
     "x_dup_spans" -> 4.06,
+    "x_span_strip" -> 5.05,
+    "x_recluster_stats" -> 1.60,
     "x_quality_sweep" -> 0.68,
     "x_index_health" -> 2.47,
     "x_ivf_recluster" -> 2.70,

@@ -4015,6 +4015,112 @@ object Pipeline {
        |ORDER BY query_id, score_micro DESC, doc_id""".stripMargin
   }
 
+  /** Incremental BM25 — the retrieval-text twin of the dedup family's
+    * incremental contract, and the freshness semantics search systems
+    * actually ship: a daily ingest batch must be RETRIEVABLE
+    * immediately, but the global index statistics (N, avgdl, per-term
+    * df) stay at yesterday's compaction until the next stats refresh
+    * — recomputing corpus-wide df on every batch is exactly the
+    * full-rebuild cost the incremental path exists to avoid. So:
+    * postings cover the FULL corpus (batch docs score and rank), all
+    * stats come from the BASE corpus only, and `is_batch` marks the
+    * fresh hits. A query term seen only in the batch has base-df 0 —
+    * the LEFT join + coalesce keeps those postings scoreable (the
+    * new-term idf is the odds ratio at df = 0, the defined maximum)
+    * instead of silently dropping the only documents that contain
+    * them. Same one-scan posting build, integer-micro arithmetic, and
+    * map-side top-k as [[bm25Batch]]; the oracle derives the same
+    * stale stats from the base slice, so the hash match pins the
+    * staleness semantics exactly.
+    */
+  def bm25Incr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("dl"), $"w")
+    // yesterday's index metadata: base-corpus N and avgdl (two driver
+    // scalars, the bm25Search pattern — corpus-size independent)
+    val st = docs.filter(!isBatchId($"doc_id"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
+    val n = st.getLong(0)
+    val aMicro = math.floor(1000000.0d * st.getLong(1) / n).toLong
+    val qt = BM25_QUERIES.toDF("query_id", "term")
+    val post = docs
+      .select($"doc_id", $"dl", explode($"w").as("tok"))
+      .join(broadcast(qt), $"tok" === $"term")
+      .groupBy($"query_id", $"term", $"doc_id", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // stale per-term df: BASE postings only
+    val dfb = post.filter(!isBatchId($"doc_id"))
+      .select($"term", $"doc_id").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = floor(lit(1000000.0d) *
+      ((lit(n.toDouble) - $"df" + lit(0.5d)) / ($"df" + lit(0.5d)))).cast("long")
+    val r = ($"dl" * lit(1000000.0d)) / lit(aMicro.toDouble)
+    val termScore = floor(($"idf".cast("double") * (lit(22.0d) * $"tf")) /
+      (lit(10.0d) * $"tf" + lit(3.0d) + lit(9.0d) * r)).cast("long")
+    post
+      .join(broadcast(dfb.select($"term", idf.as("idf"))), Seq("term"), "left")
+      .withColumn("idf", coalesce($"idf",
+        lit(math.floor(1000000.0d * ((n + 0.5d) / 0.5d)).toLong)))
+      .select($"query_id", $"doc_id", termScore.as("ts"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum($"ts").as("score_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id")))
+      .filter($"rn" <= 10)
+      .select($"query_id", $"doc_id", $"n_terms", $"score_micro",
+        isBatchId($"doc_id").as("is_batch"))
+      .orderBy($"query_id", $"score_micro".desc, $"doc_id")
+  }
+
+  val bm25IncrSql: String = {
+    val qvals = BM25_QUERIES.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $qvals),
+       |d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS w
+       |  FROM documents),
+       |st AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(floor((CAST(1000000 AS DOUBLE) * CAST(SUM(dl) AS BIGINT)) / COUNT(*)) AS BIGINT) AS a
+       |  FROM d WHERE doc_id % 10 <> 7),
+       |post AS (
+       |  SELECT q.query_id, q.term, t.doc_id, t.dl, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d) t
+       |  JOIN qt q ON t.tok = q.term
+       |  GROUP BY 1, 2, 3, 4),
+       |dfb AS (
+       |  SELECT term,
+       |    CAST(floor(CAST(1000000 AS DOUBLE) *
+       |      ((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS idf
+       |  FROM (SELECT term, COUNT(*) AS df FROM (
+       |          SELECT DISTINCT term, doc_id FROM post
+       |          WHERE doc_id % 10 <> 7) GROUP BY term), st),
+       |scored AS (
+       |  SELECT p.query_id, p.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(CAST(floor((COALESCE(f.idf,
+       |        CAST(floor(CAST(1000000 AS DOUBLE) *
+       |          ((st.n + CAST(0.5 AS DOUBLE)) / CAST(0.5 AS DOUBLE))) AS BIGINT))
+       |      * (CAST(22 AS DOUBLE) * p.tf)) /
+       |      (CAST(10 AS DOUBLE) * p.tf + CAST(3 AS DOUBLE) +
+       |       CAST(9 AS DOUBLE) * ((p.dl * CAST(1000000 AS DOUBLE)) / st.a))) AS BIGINT)) AS BIGINT)
+       |      AS score_micro
+       |  FROM post p LEFT JOIN dfb f ON p.term = f.term, st
+       |  GROUP BY 1, 2, st.n, st.a)
+       |SELECT query_id, doc_id, n_terms, score_micro,
+       |  doc_id % 10 = 7 AS is_batch
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10
+       |ORDER BY query_id, score_micro DESC, doc_id""".stripMargin
+  }
+
   private[graft] val STRATUM_N = 20
 
   /** Stratified sample: the first [[STRATUM_N]] documents per language,
@@ -5747,6 +5853,7 @@ object Pipeline {
     "x_kmeans_converge" -> kmeansConverge _,
     "x_bm25_search"    -> bm25Search _,
     "x_bm25_batch"     -> bm25Batch _,
+    "x_bm25_incr"      -> bm25Incr _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -5824,6 +5931,7 @@ object Pipeline {
     "x_kmeans_converge" -> kmeansConvergeSql,
     "x_bm25_search"    -> bm25SearchSql,
     "x_bm25_batch"     -> bm25BatchSql,
+    "x_bm25_incr"      -> bm25IncrSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

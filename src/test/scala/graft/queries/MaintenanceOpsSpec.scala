@@ -119,6 +119,31 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("bm25Incr: batch docs retrievable under stale base stats; base-unseen term scores at df-0 idf") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25-incr-").toString
+    try {
+      // base: ids 1,2 (N=2, avgdl=2 — the stale stats); batch: id 7
+      // carrying 'dup', a term NO base doc has (base df 0)
+      Seq((1L, "spark join"), (2L, "scan scan"), (7L, "dup dup"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.bm25Incr(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+      // hand arithmetic at n=2, avgdl=2 (r=1 for dl-2 docs):
+      //  'dup' df0 → idf floor(1e6·2.5/0.5)=5e6; tf2 → floor(5e6·44/32)
+      //  'join'/'scan' df1 → idf 1e6; tf1 → 1e6; tf2 → floor(1e6·44/32)
+      assert(got.toSeq == Seq(
+        (1, 1L, 1L, 1000000L, false),
+        (2, 7L, 1L, 6875000L, true),
+        (2, 2L, 1L, 1375000L, false),
+        (2, 1L, 1L, 1000000L, false)),
+        s"stale-stats scoring must match hand arithmetic: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("ivfRecluster: flagged cells split on the sign planes, quiet cells keep their layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ivf-recluster-").toString
