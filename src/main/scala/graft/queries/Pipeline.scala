@@ -3165,6 +3165,98 @@ object Pipeline {
       |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[heuristicFilters]] rule constants — the published-recipe
+    * thresholds (Gopher's rule table, C4's line rules) re-footed on
+    * this corpus's measured distribution so every rule actually
+    * discriminates on the fixture (a rule nothing fails is untested
+    * plumbing): minimum document tokens, mean-word-length band in
+    * exact centi-chars, stopword floor, and the top-token share cap
+    * (the [[repetition]] signal as a hard gate).
+    */
+  private[graft] val HF_MIN_TOK = 24L
+  private[graft] val HF_WL_MIN = 380L
+  private[graft] val HF_WL_MAX = 480L
+  private[graft] val HF_STOP_MIN = 2L
+  private[graft] val HF_REP_MAX_PPM = 200000L
+
+  /** Heuristic quality-rule battery — the Gopher/C4-style per-rule
+    * screen curation pipelines run BEFORE model-based scoring: each
+    * document gets the measured statistic and an independent pass
+    * flag per rule (token-count floor, mean-word-length band,
+    * stopword floor, top-token repetition cap), plus the conjunction
+    * `keep`. Per-rule flags (not just the verdict) are the point —
+    * the downstream report is "which rule is eating the corpus", the
+    * same discipline as [[manifestStats]]'s reason attribution. All
+    * statistics are exact integers (centi-chars / ppm, integer `div`)
+    * so both engines derive bit-identical rows. Cost: one per-row
+    * pass fused into the scan for three rules plus the [[repetition]]
+    * core's doc-keyed token aggregate for the fourth — the join key
+    * and the aggregate key are both doc_id, so the exchange is
+    * reused, never corpus-pairwise. At 100 TB this is the same
+    * linear shape as `x_quality_score`/`x_repetition` it composes.
+    */
+  def heuristicFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // top-token share in exact ppm — the repetition core re-keyed as
+    // a gate input (two groupBys + join, all keyed on doc_id)
+    val topShare = Tables(s, dir, "documents")
+      .select($"doc_id", explode(words($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("mx"), sum($"c").as("nt"))
+      .select($"doc_id", expr("mx * 1000000 div nt").as("top_ppm"))
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tok"),
+        length($"text").cast("long").as("nc"),
+        size(filter($"w", x => x === "the" || x === "a")).cast("long")
+          .as("n_stop"))
+      // mean word length in exact centi-chars: chars minus the
+      // n_tok-1 separators, scaled before the single integer division
+      .withColumn("mean_wl_centi", expr("(nc - n_tok + 1) * 100 div n_tok"))
+      .join(topShare, "doc_id")
+      .select($"doc_id", $"n_tok", $"mean_wl_centi", $"n_stop", $"top_ppm",
+        ($"n_tok" >= HF_MIN_TOK).as("r_len"),
+        ($"mean_wl_centi" >= HF_WL_MIN && $"mean_wl_centi" <= HF_WL_MAX)
+          .as("r_wordlen"),
+        ($"n_stop" >= HF_STOP_MIN).as("r_stop"),
+        ($"top_ppm" <= HF_REP_MAX_PPM).as("r_rep"))
+      .withColumn("keep", $"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep")
+      .orderBy($"doc_id")
+  }
+
+  val heuristicFiltersSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+       |  FROM d),
+       |tc AS (
+       |  SELECT doc_id, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT doc_id, CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_ppm
+       |  FROM tc GROUP BY doc_id)
+       |SELECT st.doc_id, st.n_tok,
+       |  CAST((st.nc - st.n_tok + 1) * 100 // st.n_tok AS BIGINT) AS mean_wl_centi,
+       |  st.n_stop, tp.top_ppm,
+       |  st.n_tok >= $HF_MIN_TOK AS r_len,
+       |  CAST((st.nc - st.n_tok + 1) * 100 // st.n_tok AS BIGINT)
+       |    BETWEEN $HF_WL_MIN AND $HF_WL_MAX AS r_wordlen,
+       |  st.n_stop >= $HF_STOP_MIN AS r_stop,
+       |  tp.top_ppm <= $HF_REP_MAX_PPM AS r_rep,
+       |  st.n_tok >= $HF_MIN_TOK
+       |    AND CAST((st.nc - st.n_tok + 1) * 100 // st.n_tok AS BIGINT)
+       |      BETWEEN $HF_WL_MIN AND $HF_WL_MAX
+       |    AND st.n_stop >= $HF_STOP_MIN
+       |    AND tp.top_ppm <= $HF_REP_MAX_PPM AS keep
+       |FROM st JOIN tp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact char-length percentiles per language (linear
     * interpolation, identical formula in both engines). Exact
     * percentile sorts within each group — fine for profiling jobs; at
@@ -5215,6 +5307,115 @@ object Pipeline {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Incremental ANN — the vector-side freshness contract, the twin
+    * of [[bm25Incr]]'s stale-stats retrieval and the operator that
+    * closes the loop [[ivfDrift]]/[[ivfRecluster]] maintain: a daily
+    * vector batch must be SEARCHABLE immediately, but the coarse
+    * quantizer (the per-cell centroids) stays at yesterday's
+    * compaction — re-deriving centroids per batch is exactly the
+    * rebuild cost the incremental path avoids, and is what the drift
+    * monitor schedules when it matters. So: centroids come from the
+    * BASE slice only, each batch vector is assigned to its
+    * argmin-L2² STALE centroid on arrival (FAISS `add` semantics —
+    * the stored assignment, not a recluster), the query probes its
+    * stale-argmin cell, and candidates are base members by stored
+    * label ∪ batch members by fresh assignment, with `is_batch`
+    * marking fresh hits. Centroid ranking for the probe happens on
+    * the driver over collected cells×1 index metadata (the
+    * [[annIvfNprobe]] pattern); the batch assignment is one map pass
+    * behind a broadcast (cells never shuffle the corpus); exact
+    * micro² integer distances with ties to the smaller cell, so both
+    * engines derive the identical assignment. The oracle re-derives
+    * the same stale centroids from the base slice — the hash match
+    * pins the staleness semantics exactly.
+    */
+  def annIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val mv = e.select($"vec_id", $"label", microVec(s, $"embedding").as("mvec"))
+    // yesterday's quantizer: centroids over the BASE slice only
+    val cents = mv.filter(!isBatchId($"vec_id"))
+      .select($"label", posexplode($"mvec").as(Seq("pos0", "v")))
+      .groupBy($"label", $"pos0")
+      .agg(sum($"v").as("sm"), count(lit(1)).as("n"))
+      .select($"label", $"pos0",
+        floor($"sm".cast("double") / $"n").cast("long").as("c"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"pos0", $"c")).as("pc"))
+      .select($"label".as("cell"),
+        transform(sort_array($"pc"), x => x.getField("c")).as("cvec"))
+      .localCheckpoint()
+    // probe cell: the query's argmin over collected cells×1 metadata
+    val centRows = cents.collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val qmicro = e.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(v => math.floor(v.toDouble * 1000000.0d).toLong)
+    val probe = centRows.map { case (cell, cvec) =>
+        val d2 = qmicro.indices.map { j =>
+          val d = qmicro(j) - cvec(j); d * d
+        }.sum
+        (d2, cell)
+      }.min._2
+    // fresh arrivals: argmin-L2² against the broadcast stale centroids
+    // (ties to the smaller cell via the min-struct pattern)
+    val assigned = mv.filter(isBatchId($"vec_id"))
+      .crossJoin(broadcast(cents))
+      .select($"vec_id",
+        struct(pqDist2(s, $"mvec", $"cvec").as("d2"), $"cell").as("dc"))
+      .groupBy($"vec_id").agg(min($"dc").as("m"))
+      .select($"vec_id", $"m.cell".as("cell"))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val baseCand = e
+      .filter(!isBatchId($"vec_id") && $"label" === probe && $"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+    val batchCand = assigned.filter($"cell" === probe)
+      .join(e.select($"vec_id", $"embedding"), "vec_id")
+      .select($"vec_id", $"embedding")
+    baseCand.union(batchCand)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", cosine(s, $"embedding", $"qv").as("cos"),
+        isBatchId($"vec_id").as("is_batch"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annIncrSql: String =
+    s"""WITH mv AS (
+       |  SELECT vec_id, label, $microVecSql AS mvec
+       |  FROM embeddings),
+       |bdims AS (
+       |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+       |    SELECT label, unnest(mvec) AS v, generate_subscripts(mvec, 1) AS pos
+       |    FROM mv WHERE vec_id % 10 <> 7)
+       |  GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label AS cell,
+       |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
+       |  FROM bdims GROUP BY label),
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT cent.cell, row_number() OVER (
+       |      ORDER BY ${l2MicroSql("qm", "cvec")}, cent.cell) AS rn
+       |    FROM cent, (SELECT mvec AS qm FROM mv WHERE vec_id = 0))
+       |  WHERE rn = 1),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT mv.vec_id, cent.cell, row_number() OVER (
+       |      PARTITION BY mv.vec_id
+       |      ORDER BY ${l2MicroSql("mvec", "cvec")}, cent.cell) AS rn
+       |    FROM mv, cent WHERE mv.vec_id % 10 = 7)
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT mv.vec_id FROM mv JOIN probe ON mv.label = probe.cell
+       |  WHERE mv.vec_id % 10 <> 7 AND mv.vec_id <> 0
+       |  UNION ALL
+       |  SELECT a.vec_id FROM assign a JOIN probe ON a.cell = probe.cell)
+       |SELECT e.vec_id, ${cosineSql("embedding", "qv")} AS cos,
+       |  e.vec_id % 10 = 7 AS is_batch
+       |FROM embeddings e JOIN cand USING (vec_id),
+       |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   /** One k-means Lloyd iteration over the embedding corpus, seeded by
     * the label-cell centroids ([[cellCentroids]] is iteration 0's
     * M-step): every vector reassigns to its argmin-L2² centroid
@@ -5854,6 +6055,8 @@ object Pipeline {
     "x_bm25_search"    -> bm25Search _,
     "x_bm25_batch"     -> bm25Batch _,
     "x_bm25_incr"      -> bm25Incr _,
+    "x_ann_incr"       -> annIncr _,
+    "x_heuristic_filters" -> heuristicFilters _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -5932,6 +6135,8 @@ object Pipeline {
     "x_bm25_search"    -> bm25SearchSql,
     "x_bm25_batch"     -> bm25BatchSql,
     "x_bm25_incr"      -> bm25IncrSql,
+    "x_ann_incr"       -> annIncrSql,
+    "x_heuristic_filters" -> heuristicFiltersSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

@@ -187,4 +187,76 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         s"degenerate split: one member, one sub-cell: ${stats(2)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("annIncr: batch vectors searchable via stale-centroid assignment; off-cell members stay out") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ann-incr-").toString
+    try {
+      val rows = Seq(
+        // base cell 0: the query (vec 0) + one neighbor; stale centroid
+        // = floor-mean of the two = [1000000, 250000]
+        (0L, 0, Seq(1.0f, 0.0f)),
+        (1L, 0, Seq(1.0f, 0.5f)),
+        // base cell 1: far from the query on dim 1
+        (2L, 1, Seq(0.0f, 1.0f)),
+        // batch arrivals: vec 7 sits near cell 0's stale centroid
+        // (d2 1e10+2.25e10 vs ~1.45e12 — assigned 0), vec 17 near cell 1
+        (7L, 0, Seq(0.9f, 0.1f)),
+        (17L, 1, Seq(0.1f, 1.0f)))
+      rows.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val got = Pipeline.annIncr(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      // probe = cell 0 (query d2: 6.25e10 vs 2e12); candidates = base
+      // member 1 + fresh arrival 7, ranked by cosine:
+      //   vec 7 (0.9,0.1)·(1,0) → 0.9/√0.82 ≈ .9939 beats
+      //   vec 1 (1,0.5)·(1,0)   → 1/√1.25  ≈ .8944
+      assert(got.map(t => (t._1, t._3)).toSeq == Seq((7L, true), (1L, false)),
+        s"fresh batch hit must rank and carry is_batch: ${got.toSeq}")
+      // 1e-6 tolerance: 0.9f/0.1f are not exact float32 values
+      assert(math.abs(got(0)._2 - 0.9 / math.sqrt(0.82)) < 1e-6 &&
+        math.abs(got(1)._2 - 1.0 / math.sqrt(1.25)) < 1e-6,
+        s"cosines near hand values: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("heuristicFilters: each rule fails independently on its planted boundary doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("heuristic-filters-").toString
+    try {
+      def toks(n: Int, len: Int, tag: String): Seq[String] =
+        (0 until n).map(i => (tag + i.toString + "x" * len).take(len))
+      val pass = ("the a " + toks(22, 4, "p").mkString(" "))
+      val short = ("the a " + toks(21, 4, "s").mkString(" "))
+      val longw = ("the a " + toks(22, 6, "l").mkString(" "))
+      val nostop = toks(24, 4, "n").mkString(" ")
+      val repet = ("the a " + Seq.fill(6)("zzzz").mkString(" ") + " " +
+        toks(16, 4, "r").mkString(" "))
+      Seq((1L, pass), (2L, short), (3L, longw), (4L, nostop), (5L, repet))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.heuristicFilters(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9)))).toMap
+      // doc 1: 24 tokens, 92 letters + 23 separators = 115 chars,
+      // mean_wl (115-24+1)*100 div 24 = 383, 2 stops, top 1/24 = 41666
+      assert(got(1) == ((24L, 383L, 2L, 41666L, true, true, true, true, true)),
+        s"all-pass doc: ${got(1)}")
+      // doc 2: 23 tokens — r_len alone fails
+      assert(got(2) == ((23L, 382L, 2L, 43478L, false, true, true, true, false)),
+        s"short doc fails r_len only: ${got(2)}")
+      // doc 3: 6-char tokens push mean_wl to 566 — r_wordlen alone
+      assert(got(3) == ((24L, 566L, 2L, 41666L, true, false, true, true, false)),
+        s"long-word doc fails r_wordlen only: ${got(3)}")
+      // doc 4: zero stopwords — r_stop alone
+      assert(got(4) == ((24L, 400L, 0L, 41666L, true, true, false, true, false)),
+        s"stopword-free doc fails r_stop only: ${got(4)}")
+      // doc 5: 'zzzz' at 6/24 = 250000 ppm — r_rep alone
+      assert(got(5) == ((24L, 383L, 2L, 250000L, true, true, true, false, false)),
+        s"repetitive doc fails r_rep only: ${got(5)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
