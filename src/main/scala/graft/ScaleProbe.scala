@@ -137,12 +137,18 @@ object ScaleProbe {
     val tPq = drive("x_ann_pq")
     val tBm25 = drive("x_bm25_batch")
     val tBrute = drive("x_sim_search")
+    // the freshness pair: batch items retrievable under yesterday's
+    // index statistics — their cost must track the stale-stats
+    // aggregate + the batch, not re-pay the index build
+    val tBm25Incr = drive("x_bm25_incr")
+    val tAnnIncr = drive("x_ann_incr")
     val nProbe = queries.Pipeline.queries("x_ann_ivf_nprobe")(spark, dir).count()
     val nPq = queries.Pipeline.queries("x_ann_pq")(spark, dir).count()
     val nBm = queries.Pipeline.queries("x_bm25_batch")(spark, dir).count()
     val nBrute = queries.Pipeline.queries("x_sim_search")(spark, dir).count()
-    require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0,
-      s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute)")
+    val nAnnIncr = queries.Pipeline.queries("x_ann_incr")(spark, dir).count()
+    require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0 && nAnnIncr > 0,
+      s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute/$nAnnIncr)")
 
     // the round-10 maintenance/curation additions at scale: the
     // substring-level span audit (the one new shuffle consumer — its
@@ -152,12 +158,18 @@ object ScaleProbe {
     val tSpans = drive("x_dup_spans")
     val tHealth = drive("x_index_health")
     val tRecluster = drive("x_ivf_recluster")
+    // the per-rule screen must stay linear: per-row rules fused into
+    // the scan + one doc-keyed token aggregate
+    val tHeuristic = drive("x_heuristic_filters")
     val nSpans = queries.Pipeline.queries("x_dup_spans")(spark, dir).count()
     val nHealth = queries.Pipeline.queries("x_index_health")(spark, dir).count()
     val nRecluster = queries.Pipeline.queries("x_ivf_recluster")(spark, dir).count()
+    val nHeuristic = queries.Pipeline.queries("x_heuristic_filters")(spark, dir).count()
     require(nSpans == nDocs && nHealth == 3,
       s"span audit must cover the corpus ($nSpans/$nDocs), health is 3 families ($nHealth)")
     require(nRecluster > 0, "recluster repair returned no rows")
+    require(nHeuristic == nDocs,
+      s"rule screen must cover the corpus ($nHeuristic/$nDocs)")
     isolate()
 
     // stdout contract mirrors Bench: one greppable JSON line per factor
@@ -170,7 +182,9 @@ object ScaleProbe {
       s""""incr_sec":$tIncr,"incr_rounds":$incrRounds,"signal_sec":$tSignal,""" +
       s""""ivf_layout_sec":$tIvfLayout,"nprobe_sec":$tNprobe,"pq_sec":$tPq,""" +
       s""""bm25_sec":$tBm25,"brute_sec":$tBrute,""" +
-      s""""spans_sec":$tSpans,"health_sec":$tHealth,"recluster_sec":$tRecluster}""")
+      s""""bm25_incr_sec":$tBm25Incr,"ann_incr_sec":$tAnnIncr,""" +
+      s""""spans_sec":$tSpans,"health_sec":$tHealth,"recluster_sec":$tRecluster,""" +
+      s""""heuristic_sec":$tHeuristic}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),

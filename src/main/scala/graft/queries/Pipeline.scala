@@ -3376,6 +3376,61 @@ object Pipeline {
        |  FROM documents)
        |WHERE bucket < rate ORDER BY doc_id""".stripMargin
 
+  /** Temperature-sampled training mix — the published multilingual
+    * recipe ([[weightedMix]]'s fixed per-language rates derived from
+    * data instead of hand-set): per language the token mass, its
+    * corpus share, and the α = 0.5 temperature-flattened sampling
+    * weight w ∝ share^α renormalized to ppm, plus `boost_milli` —
+    * the up/down-sampling factor the flattening applies (low-resource
+    * languages boosted above 1000, the dominant language cut below).
+    * Determinism: share is an integral `div` over DECIMAL(38,0)
+    * operands (corpus token mass × 1e6 overflows int64 at scale, the
+    * [[ivfDrift]] lesson); the ^0.5 is floor(sqrt(share_ppm·1e6)) —
+    * IEEE requires sqrt correctly rounded, and the argument is an
+    * exact-in-double integer ≤ 1e12, so both engines floor the
+    * identical value (the only non-rational op in the surface, and
+    * the reason α is 0.5 and not a free parameter: a general pow() is
+    * not correctly rounded cross-engine). Cost: one lang-keyed
+    * aggregate; the normalizing windows run over ≤ langs rows.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang", size(words($"text")).cast("long").as("nt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tok"))
+      .withColumn("share_ppm", expr(
+        "(CAST(n_tok AS DECIMAL(38,0)) * 1000000) div (sum(CAST(n_tok AS DECIMAL(38,0))) OVER ())"))
+      .withColumn("w",
+        floor(sqrt(($"share_ppm" * lit(1000000L)).cast("double"))).cast("long"))
+      .withColumn("weight_ppm", expr("(w * 1000000) div (sum(w) OVER ())"))
+      .withColumn("boost_milli",
+        expr("(weight_ppm * 1000) div nullif(share_ppm, 0)"))
+      .select($"lang", $"n_docs", $"n_tok", $"share_ppm", $"weight_ppm",
+        $"boost_milli")
+      .orderBy($"lang")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH l AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY lang),
+      |sh AS (
+      |  SELECT lang, n_docs, n_tok,
+      |    CAST(CAST(n_tok AS HUGEINT) * 1000000
+      |      // SUM(CAST(n_tok AS HUGEINT)) OVER () AS BIGINT) AS share_ppm
+      |  FROM l),
+      |w AS (
+      |  SELECT lang, n_docs, n_tok, share_ppm,
+      |    CAST(floor(sqrt(CAST(share_ppm * 1000000 AS DOUBLE))) AS BIGINT) AS w
+      |  FROM sh)
+      |SELECT lang, n_docs, n_tok, share_ppm,
+      |  CAST(w * 1000000 // SUM(w) OVER () AS BIGINT) AS weight_ppm,
+      |  CAST(CAST(w * 1000000 // SUM(w) OVER () AS BIGINT) * 1000
+      |    // NULLIF(share_ppm, 0) AS BIGINT) AS boost_milli
+      |FROM w ORDER BY lang""".stripMargin
+
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24
 
@@ -6057,6 +6112,7 @@ object Pipeline {
     "x_bm25_incr"      -> bm25Incr _,
     "x_ann_incr"       -> annIncr _,
     "x_heuristic_filters" -> heuristicFilters _,
+    "x_mix_temperature" -> mixTemperature _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -6137,6 +6193,7 @@ object Pipeline {
     "x_bm25_incr"      -> bm25IncrSql,
     "x_ann_incr"       -> annIncrSql,
     "x_heuristic_filters" -> heuristicFiltersSql,
+    "x_mix_temperature" -> mixTemperatureSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

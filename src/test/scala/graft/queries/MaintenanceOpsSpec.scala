@@ -259,4 +259,29 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         s"repetitive doc fails r_rep only: ${got(5)}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("mixTemperature: alpha=0.5 flattening boosts the low-resource language, exact integers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mix-temperature-").toString
+    try {
+      // lang a: 4 tokens (1 doc); lang b: 12 tokens (3 docs) — shares
+      // 250000 / 750000 ppm of the 16-token corpus
+      val docs = Seq((1L, "w x y z", "a"), (2L, "k l m n", "b"),
+        (3L, "o p q r", "b"), (4L, "s t u v", "b"))
+      docs.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.mixTemperature(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      // w_a = sqrt(250000·1e6) = 500000 exactly; w_b = ⌊sqrt(7.5e11)⌋
+      // = 866025; weights 5e11/1366025 = 366025, 866025e6/1366025 =
+      // 633974; boosts 366025·1000/250000 = 1464 (a upsampled),
+      // 633974·1000/750000 = 845 (b cut)
+      assert(got("a") == ((1L, 4L, 250000L, 366025L, 1464L)),
+        s"low-resource lang boosted: ${got("a")}")
+      assert(got("b") == ((3L, 12L, 750000L, 633974L, 845L)),
+        s"dominant lang cut: ${got("b")}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
