@@ -3195,7 +3195,14 @@ object Pipeline {
     * reused, never corpus-pairwise. At 100 TB this is the same
     * linear shape as `x_quality_score`/`x_repetition` it composes.
     */
-  def heuristicFilters(s: SparkSession, dir: String): DataFrame = {
+  /** The shared per-document rule statistics — one definition feeding
+    * [[heuristicFilters]] (the per-doc report) and [[filterAgreement]]
+    * (its eval), so the screen and the eval can never diverge. Also
+    * carries `lang` and the shared [[qualityCol]] score for the
+    * agreement consumer (a dropped projection for the filters query —
+    * column pruning removes it from that plan).
+    */
+  private def heuristicStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // top-token share in exact ppm — the repetition core re-keyed as
     // a gate input (two groupBys + join, all keyed on doc_id)
@@ -3206,56 +3213,110 @@ object Pipeline {
       .agg(max($"c").as("mx"), sum($"c").as("nt"))
       .select($"doc_id", expr("mx * 1000000 div nt").as("top_ppm"))
     Tables(s, dir, "documents")
-      .select($"doc_id", $"text", words($"text").as("w"))
-      .select($"doc_id",
+      .select($"doc_id", $"lang", $"text", words($"text").as("w"))
+      .select($"doc_id", $"lang",
         size($"w").cast("long").as("n_tok"),
         length($"text").cast("long").as("nc"),
         size(filter($"w", x => x === "the" || x === "a")).cast("long")
-          .as("n_stop"))
+          .as("n_stop"),
+        qualityCol($"text", $"w").as("quality"))
       // mean word length in exact centi-chars: chars minus the
       // n_tok-1 separators, scaled before the single integer division
       .withColumn("mean_wl_centi", expr("(nc - n_tok + 1) * 100 div n_tok"))
       .join(topShare, "doc_id")
-      .select($"doc_id", $"n_tok", $"mean_wl_centi", $"n_stop", $"top_ppm",
+      .select($"doc_id", $"lang", $"n_tok", $"mean_wl_centi", $"n_stop",
+        $"top_ppm", $"quality",
         ($"n_tok" >= HF_MIN_TOK).as("r_len"),
         ($"mean_wl_centi" >= HF_WL_MIN && $"mean_wl_centi" <= HF_WL_MAX)
           .as("r_wordlen"),
         ($"n_stop" >= HF_STOP_MIN).as("r_stop"),
         ($"top_ppm" <= HF_REP_MAX_PPM).as("r_rep"))
+  }
+
+  def heuristicFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    heuristicStats(s, dir)
+      .select($"doc_id", $"n_tok", $"mean_wl_centi", $"n_stop", $"top_ppm",
+        $"r_len", $"r_wordlen", $"r_stop", $"r_rep")
       .withColumn("keep", $"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep")
       .orderBy($"doc_id")
   }
 
-  val heuristicFiltersSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-       |st AS (
-       |  SELECT doc_id,
+  /** DuckDB twin of [[heuristicStats]] — the shared CTE chain ending
+    * in `hs(doc_id, lang, n_tok, mean_wl_centi, n_stop, top_ppm,
+    * quality, r_len, r_wordlen, r_stop, r_rep)`.
+    */
+  private val heuristicStatsCtesSql: String =
+    s"""d AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+       |hst AS (
+       |  SELECT doc_id, lang,
        |    CAST(len(w) AS BIGINT) AS n_tok,
        |    CAST(length(text) AS BIGINT) AS nc,
-       |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+       |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop,
+       |    ${qualitySql("text")} AS quality
        |  FROM d),
-       |tc AS (
+       |htc AS (
        |  SELECT doc_id, t, COUNT(*) AS c
        |  FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
-       |tp AS (
+       |htp AS (
        |  SELECT doc_id, CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_ppm
-       |  FROM tc GROUP BY doc_id)
-       |SELECT st.doc_id, st.n_tok,
-       |  CAST((st.nc - st.n_tok + 1) * 100 // st.n_tok AS BIGINT) AS mean_wl_centi,
-       |  st.n_stop, tp.top_ppm,
-       |  st.n_tok >= $HF_MIN_TOK AS r_len,
-       |  CAST((st.nc - st.n_tok + 1) * 100 // st.n_tok AS BIGINT)
-       |    BETWEEN $HF_WL_MIN AND $HF_WL_MAX AS r_wordlen,
-       |  st.n_stop >= $HF_STOP_MIN AS r_stop,
-       |  tp.top_ppm <= $HF_REP_MAX_PPM AS r_rep,
-       |  st.n_tok >= $HF_MIN_TOK
-       |    AND CAST((st.nc - st.n_tok + 1) * 100 // st.n_tok AS BIGINT)
-       |      BETWEEN $HF_WL_MIN AND $HF_WL_MAX
-       |    AND st.n_stop >= $HF_STOP_MIN
-       |    AND tp.top_ppm <= $HF_REP_MAX_PPM AS keep
-       |FROM st JOIN tp USING (doc_id)
+       |  FROM htc GROUP BY doc_id),
+       |hs AS (
+       |  SELECT hst.doc_id, hst.lang, hst.n_tok,
+       |    CAST((hst.nc - hst.n_tok + 1) * 100 // hst.n_tok AS BIGINT) AS mean_wl_centi,
+       |    hst.n_stop, htp.top_ppm, hst.quality,
+       |    hst.n_tok >= $HF_MIN_TOK AS r_len,
+       |    CAST((hst.nc - hst.n_tok + 1) * 100 // hst.n_tok AS BIGINT)
+       |      BETWEEN $HF_WL_MIN AND $HF_WL_MAX AS r_wordlen,
+       |    hst.n_stop >= $HF_STOP_MIN AS r_stop,
+       |    htp.top_ppm <= $HF_REP_MAX_PPM AS r_rep
+       |  FROM hst JOIN htp USING (doc_id))""".stripMargin
+
+  val heuristicFiltersSql: String =
+    s"""WITH $heuristicStatsCtesSql
+       |SELECT doc_id, n_tok, mean_wl_centi, n_stop, top_ppm,
+       |  r_len, r_wordlen, r_stop, r_rep,
+       |  r_len AND r_wordlen AND r_stop AND r_rep AS keep
+       |FROM hs
        |ORDER BY doc_id""".stripMargin
+
+  /** The eval that ships with [[heuristicFilters]] — the
+    * [[langConfusion]] discipline applied to the rule screen: per
+    * language, the agreement matrix between the rule battery's keep
+    * verdict and the model-style [[qualityCol]] gate (the
+    * [[QUALITY_MIN]] floor the manifest applies), with each cell's
+    * share of its language in exact ppm. The report a pipeline owner
+    * reads before swapping one screen for the other — or before
+    * trusting their conjunction: the disagreement cells ARE the docs
+    * where the choice of screen changes the corpus. One
+    * [[heuristicStats]] pass into a langs×4-key aggregate; the share
+    * window runs after the bounded aggregate.
+    */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    heuristicStats(s, dir)
+      .select($"lang",
+        ($"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep").as("keep_rules"),
+        ($"quality" >= QUALITY_MIN).as("keep_quality"))
+      .groupBy($"lang", $"keep_rules", $"keep_quality")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("(n * 1000000) div sum(n) over (partition by lang)"))
+      .orderBy($"lang", $"keep_rules", $"keep_quality")
+  }
+
+  val filterAgreementSql: String =
+    s"""WITH $heuristicStatsCtesSql
+       |SELECT lang, keep_rules, keep_quality, COUNT(*) AS n,
+       |  CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+       |FROM (
+       |  SELECT lang,
+       |    r_len AND r_wordlen AND r_stop AND r_rep AS keep_rules,
+       |    quality >= CAST($QUALITY_MIN AS DOUBLE) AS keep_quality
+       |  FROM hs)
+       |GROUP BY lang, keep_rules, keep_quality
+       |ORDER BY lang, keep_rules, keep_quality""".stripMargin
 
   /** Exact char-length percentiles per language (linear
     * interpolation, identical formula in both engines). Exact
@@ -6113,6 +6174,7 @@ object Pipeline {
     "x_ann_incr"       -> annIncr _,
     "x_heuristic_filters" -> heuristicFilters _,
     "x_mix_temperature" -> mixTemperature _,
+    "x_filter_agreement" -> filterAgreement _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -6194,6 +6256,7 @@ object Pipeline {
     "x_ann_incr"       -> annIncrSql,
     "x_heuristic_filters" -> heuristicFiltersSql,
     "x_mix_temperature" -> mixTemperatureSql,
+    "x_filter_agreement" -> filterAgreementSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

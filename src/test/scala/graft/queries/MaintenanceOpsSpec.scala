@@ -234,7 +234,8 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       val repet = ("the a " + Seq.fill(6)("zzzz").mkString(" ") + " " +
         toks(16, 4, "r").mkString(" "))
       Seq((1L, pass), (2L, short), (3L, longw), (4L, nostop), (5L, repet))
-        .toDF("doc_id", "text")
+        .map { case (id, t) => (id, t, "xx") }
+        .toDF("doc_id", "text", "lang")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
       val got = Pipeline.heuristicFilters(spark, dir).collect()
@@ -257,6 +258,19 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       // doc 5: 'zzzz' at 6/24 = 250000 ppm — r_rep alone
       assert(got(5) == ((24L, 383L, 2L, 250000L, true, true, true, false, false)),
         s"repetitive doc fails r_rep only: ${got(5)}")
+
+      // the shipped eval over the same corpus: quality keeps only
+      // doc 3 (long tokens push avgTokLen past the others' ~0.26
+      // scores to ~0.33), rules keep only doc 1 — full disagreement
+      // matrix minus the (T,T) cell
+      val agree = Pipeline.filterAgreement(spark, dir).collect()
+        .map(r => (r.getBoolean(1), r.getBoolean(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(agree == Map(
+        (false, false) -> ((3L, 600000L)),
+        (false, true) -> ((1L, 200000L)),
+        (true, false) -> ((1L, 200000L))),
+        s"agreement matrix must pin the disagreement cells: $agree")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
