@@ -387,4 +387,33 @@ class PlanSpec extends AnyFunSuite {
       "over-cap keys are few by construction — carrier joins must broadcast:\n" +
         p.take(2000))
   }
+
+  test("x_ann_incr: stale centroids broadcast into the batch scan, top-k without global sort") {
+    val p = plan("x_ann_incr")
+    // the assignment E-step is cells×1 metadata against the batch —
+    // a shuffle there would re-key the corpus per maintenance batch
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "batch assignment must be a broadcast E-step:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "probe top-k must be TakeOrderedAndProject, not Sort+Limit:\n" +
+        p.take(2000))
+  }
+
+  test("x_heuristic_filters: no exchange carries the document text") {
+    // all four rule statistics derive from `text` INSIDE the scans
+    // (per-row lengths/counts, exploded tokens); only doc-keyed
+    // integers may shuffle — text riding the doc_id join would ship
+    // the corpus through the exchange twice
+    val fmt = graft.SparkEntry.queries("x_heuristic_filters")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
+  }
 }
