@@ -46,6 +46,12 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10 (4): the four freshness/curation additions
+    * (x_ann_incr 1.06, x_heuristic_filters 1.80, x_filter_agreement
+    * 1.77, x_mix_temperature 0.37) recorded from two fresh
+    * identical-code full-suite runs on the day's machine (totals
+    * 85.0 / 94.2 s), same max-of-min-of-2 doubled statistic.
+    *
     * Round 10 (3): the four maintenance/curation additions
     * (x_dup_spans, x_quality_sweep, x_index_health, x_ivf_recluster)
     * recorded from two fresh identical-code full-suite runs on the
@@ -106,6 +112,7 @@ object Bench {
     "roundtrip_order" -> 0.71,
     "roundtrip_rowgroups" -> 2.26,
     "roundtrip_sharded" -> 1.20,
+    "x_ann_incr" -> 1.06,
     "x_ann_ivf" -> 0.36,
     "x_ann_ivf_nprobe" -> 1.15,
     "x_ann_ivf_pruned" -> 0.50,
@@ -135,9 +142,12 @@ object Bench {
     "x_embed_quantize" -> 0.75,
     "x_exact_dedup" -> 0.44,
     "x_filter_funnel" -> 2.41,
+    "x_filter_agreement" -> 1.77,
     "x_fingerprint" -> 1.61,
     "x_frame_sample" -> 0.32,
     "x_hash_sample" -> 0.32,
+    "x_heuristic_filters" -> 1.80,
+    "x_mix_temperature" -> 0.37,
     "x_compaction_signal" -> 2.28,
     "x_compaction_run" -> 14.66, // re-recorded on the narrowed-radius code (+4.9%)
     "x_dup_spans" -> 4.06,
