@@ -2689,6 +2689,57 @@ object Pipeline {
        |  GROUP BY keep_id)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Keep-policy quality audit — the report read before switching rep
+    * selection from min-id to best-quality: per duplicate cluster
+    * (size ≥ 2), the KEPT document's quality next to the cluster's
+    * best member quality (both floor-micro ints of the shared
+    * [[qualityCol]] formula), the regret between them, and a
+    * `suboptimal` flag. Min-id rep selection is what makes the dedup
+    * decision order-free and incremental-friendly ([[dedupFull]]);
+    * this audit measures what that policy costs in kept quality —
+    * clusters where `regret_micro > 0` are exactly the docs a
+    * quality-aware policy would keep differently. Cost: one quality
+    * pass joined to the bucketed keep-map (decision side ships no
+    * exchange), one cluster-keyed aggregate; the kept member is
+    * recovered map-side via `max(when(is_kept...))` — no second join
+    * back to the cluster rep.
+    */
+  def repQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id",
+        floor(qualityCol($"text", $"w") * 1000000.0).cast("long").as("qm"))
+    keepMapOf(s, dir)
+      .join(q, "doc_id")
+      .groupBy($"keep_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(when($"is_kept", $"qm")).as("kept_q_micro"),
+        max($"qm").as("best_q_micro"))
+      .filter($"cluster_size" >= 2L)
+      .select($"keep_id", $"cluster_size", $"kept_q_micro", $"best_q_micro",
+        ($"best_q_micro" - $"kept_q_micro").as("regret_micro"))
+      .withColumn("suboptimal", $"regret_micro" > 0L)
+      .orderBy($"keep_id")
+  }
+
+  lazy val repQualitySql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(floor((${qualitySql("text")}) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qm
+       |  FROM documents)
+       |SELECT keep_id, cluster_size, kept_q_micro, best_q_micro,
+       |  best_q_micro - kept_q_micro AS regret_micro,
+       |  best_q_micro - kept_q_micro > 0 AS suboptimal
+       |FROM (
+       |  SELECT f.keep_id, COUNT(*) AS cluster_size,
+       |    MAX(CASE WHEN f.is_kept THEN q.qm END) AS kept_q_micro,
+       |    MAX(q.qm) AS best_q_micro
+       |  FROM ($dedupFullSql) f JOIN q USING (doc_id)
+       |  GROUP BY f.keep_id)
+       |WHERE cluster_size >= 2
+       |ORDER BY keep_id""".stripMargin
+
   /** Below this quality score (the [[qualityScore]] formula, ~25th
     * percentile on the fixture corpus) a document is dropped from the
     * training manifest.
@@ -6175,6 +6226,7 @@ object Pipeline {
     "x_heuristic_filters" -> heuristicFilters _,
     "x_mix_temperature" -> mixTemperature _,
     "x_filter_agreement" -> filterAgreement _,
+    "x_rep_quality"    -> repQuality _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -6257,6 +6309,7 @@ object Pipeline {
     "x_heuristic_filters" -> heuristicFiltersSql,
     "x_mix_temperature" -> mixTemperatureSql,
     "x_filter_agreement" -> filterAgreementSql,
+    "x_rep_quality"    -> repQualitySql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

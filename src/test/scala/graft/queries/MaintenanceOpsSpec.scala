@@ -274,6 +274,37 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("repQuality: min-id keep policy's quality regret is visible per cluster") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rep-quality-").toString
+    try {
+      val docs = Seq(
+        // cluster {1,2}: same normalized text (exact dup), but doc 1's
+        // capitalized stopwords score lower — min-id keeps the WORSE doc
+        (1L, "The A alpha beta gamma delta"),
+        (2L, "the a alpha beta gamma delta"),
+        // cluster {3,4}: byte-identical — zero regret by construction
+        (3L, "zz yy ww vv uu tt"),
+        (4L, "zz yy ww vv uu tt"),
+        // singleton: no cluster row
+        (5L, "solo document completely unique here now"))
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.repQuality(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))).toMap
+      assert(got.keySet == Set(1L, 3L),
+        s"clusters >= 2 only, keyed by rep: ${got.keySet}")
+      val (sz1, kept1, best1, regret1, sub1) = got(1L)
+      assert(sz1 == 2L && sub1 && regret1 > 0L && best1 == kept1 + regret1,
+        s"min-id kept the worse doc — regret must show: ${got(1L)}")
+      val (sz3, kept3, best3, regret3, sub3) = got(3L)
+      assert(sz3 == 2L && !sub3 && regret3 == 0L && kept3 == best3,
+        s"identical dups carry zero regret: ${got(3L)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("mixTemperature: alpha=0.5 flattening boosts the low-resource language, exact integers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mix-temperature-").toString
