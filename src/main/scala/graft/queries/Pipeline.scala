@@ -3230,6 +3230,17 @@ object Pipeline {
   private[graft] val HF_STOP_MIN = 2L
   private[graft] val HF_REP_MAX_PPM = 200000L
 
+  /** The rule conjunction over the four measured statistics — ONE
+    * definition shared by [[heuristicFilters]] (batch) and
+    * [[graft.streaming.Streams.heuristicGate]] (ingest), the
+    * [[qualityCol]] discipline: a threshold tweak cannot
+    * desynchronize the stream gate from the batch screen.
+    */
+  private[graft] def hfKeep(
+      nTok: Column, meanWl: Column, nStop: Column, topPpm: Column): Column =
+    nTok >= HF_MIN_TOK && meanWl >= HF_WL_MIN && meanWl <= HF_WL_MAX &&
+      nStop >= HF_STOP_MIN && topPpm <= HF_REP_MAX_PPM
+
   /** Heuristic quality-rule battery — the Gopher/C4-style per-rule
     * screen curation pipelines run BEFORE model-based scoring: each
     * document gets the measured statistic and an independent pass
@@ -3289,7 +3300,8 @@ object Pipeline {
     heuristicStats(s, dir)
       .select($"doc_id", $"n_tok", $"mean_wl_centi", $"n_stop", $"top_ppm",
         $"r_len", $"r_wordlen", $"r_stop", $"r_rep")
-      .withColumn("keep", $"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep")
+      .withColumn("keep",
+        hfKeep($"n_tok", $"mean_wl_centi", $"n_stop", $"top_ppm"))
       .orderBy($"doc_id")
   }
 

@@ -109,6 +109,39 @@ object Streams {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Streaming heuristic-rule gate — the ingestion twin of the batch
+    * `x_heuristic_filters` screen: each arriving document is measured
+    * against the SAME four rules (token floor, mean-word-length band,
+    * stopword floor, repetition cap) through the shared
+    * [[graft.queries.Pipeline.hfKeep]] conjunction and the shared
+    * thresholds, so a doc can never pass the stream and fail the
+    * batch recompute (parity asserted in StreamingSpec). Stateless,
+    * no watermark, no shuffle — like [[qualityGate]] it belongs at
+    * the front of the ingest chain. The repetition statistic (top
+    * token's count) is computed ROW-LOCALLY here — O(distinct ×
+    * tokens) higher-order functions per document instead of the batch
+    * side's explode + groupBy — the right trade for a gate: zero
+    * state and zero shuffle against a bounded per-row constant
+    * (documents are length-capped upstream), while the batch screen
+    * keeps the aggregate shape that scales to arbitrary documents.
+    */
+  def heuristicGate(df: DataFrame): DataFrame = {
+    val w = graft.queries.Pipeline.words(col("text"))
+    df.withColumn("hf_w", w)
+      .withColumn("hf_n_tok", size(col("hf_w")).cast("long"))
+      .withColumn("hf_mean_wl",
+        expr("(CAST(length(text) AS BIGINT) - hf_n_tok + 1) * 100 div hf_n_tok"))
+      .withColumn("hf_n_stop",
+        size(filter(col("hf_w"), x => x === "the" || x === "a")).cast("long"))
+      .withColumn("hf_top_ppm", expr(
+        "array_max(transform(array_distinct(hf_w), " +
+          "t -> CAST(size(filter(hf_w, x -> x = t)) AS BIGINT))) " +
+          "* 1000000 div hf_n_tok"))
+      .filter(graft.queries.Pipeline.hfKeep(
+        col("hf_n_tok"), col("hf_mean_wl"), col("hf_n_stop"), col("hf_top_ppm")))
+      .drop("hf_w", "hf_n_tok", "hf_mean_wl", "hf_n_stop", "hf_top_ppm")
+  }
+
   /** Streaming NEAR-dup gate — the ingestion-side slice of the batch
     * SimHash family: fingerprint each arriving document with the
     * per-row [[graft.functions.SimHash64]] expression (proven equal

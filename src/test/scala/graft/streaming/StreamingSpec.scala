@@ -69,6 +69,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(streamKept === batchKept)
   }
 
+  test("heuristicGate: stream keeps exactly the docs the batch rule screen keeps") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // one doc per rule boundary (the MaintenanceOpsSpec corpus): only
+    // doc 1 passes all four rules batch-side
+    def toks(n: Int, len: Int, tag: String): Seq[String] =
+      (0 until n).map(i => (tag + i.toString + "x" * len).take(len))
+    val docs = Seq(
+      1L -> ("the a " + toks(22, 4, "p").mkString(" ")),
+      2L -> ("the a " + toks(21, 4, "s").mkString(" ")),
+      3L -> ("the a " + toks(22, 6, "l").mkString(" ")),
+      4L -> toks(24, 4, "n").mkString(" "),
+      5L -> ("the a " + Seq.fill(6)("zzzz").mkString(" ") + " " +
+        toks(16, 4, "r").mkString(" ")))
+    // ground truth from the batch screen over the same corpus
+    val batchDir = tmp.resolve("hf-batch").toString
+    docs.map { case (id, t) => (id, t, "xx") }.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+    val batchKept = graft.queries.Pipeline.heuristicFilters(spark, batchDir)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L),
+      s"planted corpus must fail one rule per doc: $batchKept")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("hf-kept").toString
+    val q = Streams.heuristicGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-hf").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamKept === batchKept,
+      "the gate and the batch screen share one rule definition")
+  }
+
   test("nearDupGate: fingerprint replays dropped, short docs and novel docs pass") {
     val spark0 = spark
     import spark0.implicits._
