@@ -46,6 +46,10 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10 (5): x_rep_quality 0.78 from two identical-code
+    * full-suite runs (92.4 / 95.4 s totals, min-of-2 0.31/0.39
+    * doubled); no existing entries move.
+    *
     * Round 10 (4): the four freshness/curation additions
     * (x_ann_incr 1.06, x_heuristic_filters 1.80, x_filter_agreement
     * 1.77, x_mix_temperature 0.37) recorded from two fresh
@@ -148,6 +152,7 @@ object Bench {
     "x_hash_sample" -> 0.32,
     "x_heuristic_filters" -> 1.80,
     "x_mix_temperature" -> 0.37,
+    "x_rep_quality" -> 0.78,
     "x_compaction_signal" -> 2.28,
     "x_compaction_run" -> 14.66, // re-recorded on the narrowed-radius code (+4.9%)
     "x_dup_spans" -> 4.06,
