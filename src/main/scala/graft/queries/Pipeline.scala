@@ -3381,6 +3381,80 @@ object Pipeline {
        |GROUP BY lang, keep_rules, keep_quality
        |ORDER BY lang, keep_rules, keep_quality""".stripMargin
 
+  /** Corpus-LM fluency score — the deterministic, log-free analog of
+    * the n-gram-LM perplexity filter curation pipelines run (CCNet's
+    * KenLM stage): per document the mean corpus-conditional bigram
+    * probability in exact ppm — P(b|a) = count(a,b) / count(a·) with
+    * the prefix mass derived from the same bigram table, so the
+    * distribution is self-consistent by construction. High scorers
+    * are built from common continuations (fluent, but also
+    * boilerplate-ish); low scorers are rare constructions (novel, or
+    * garbage) — used as a band filter alongside [[qualityCol]], never
+    * alone. A true log-space perplexity is NOT cross-engine
+    * reproducible (ln differs in the last ulp between libms); the
+    * mean probability is a monotone-enough proxy with every operation
+    * exact: counts are int64, each per-bigram score is one integral
+    * `div` over DECIMAL(38,0) operands (count × 1e6 overflows int64
+    * at corpus scale — the [[ivfDrift]] lesson), and the per-doc mean
+    * divides once at the end. Documents under 2 tokens carry no
+    * bigrams: n_bigrams 0, fluency NULL (no signal, no score).
+    * Cost: one token-sequence pass fans out to bigrams; counts are
+    * two bounded aggregates on (a,b) / (a); the score join is keyed
+    * on the bigram — linear end-to-end, no pairwise anything. The
+    * prefix-count join broadcasts at fixture scale and degrades to a
+    * keyed shuffle join on a 100 TB vocabulary — both linear.
+    */
+  def bigramFluency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+    // adjacent pairs; the CASE guard keeps sequence() from producing
+    // a DESCENDING [0,-1] range on sub-bigram docs
+    val bi = docs
+      .select($"doc_id", explode(expr(
+        "CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b)) " +
+          "ELSE array() END")).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val cab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+    val scored = bi
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .select($"doc_id", expr(
+        "(CAST(cab AS DECIMAL(38,0)) * 1000000) div CAST(ca AS DECIMAL(38,0))")
+        .as("sc"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nb"), sum($"sc").as("ssum"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"nb", lit(0L)).as("n_bigrams"),
+        expr("ssum div nb").as("fluency_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramFluencySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM d),
+      |bi AS (
+      |  SELECT x.doc_id, x.tok AS a, y.tok AS b
+      |  FROM t x JOIN t y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+      |cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+      |ca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+      |scored AS (
+      |  SELECT bi.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(CAST(CAST(cab.cab AS HUGEINT) * 1000000 // ca.ca AS BIGINT)) AS BIGINT) AS ssum
+      |  FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
+      |  GROUP BY bi.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(s.nb, 0) AS n_bigrams,
+      |  CAST(s.ssum // s.nb AS BIGINT) AS fluency_ppm
+      |FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Exact char-length percentiles per language (linear
     * interpolation, identical formula in both engines). Exact
     * percentile sorts within each group — fine for profiling jobs; at
@@ -6239,6 +6313,7 @@ object Pipeline {
     "x_mix_temperature" -> mixTemperature _,
     "x_filter_agreement" -> filterAgreement _,
     "x_rep_quality"    -> repQuality _,
+    "x_bigram_fluency" -> bigramFluency _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
     "x_manifest_stats" -> manifestStats _,
@@ -6322,6 +6397,7 @@ object Pipeline {
     "x_mix_temperature" -> mixTemperatureSql,
     "x_filter_agreement" -> filterAgreementSql,
     "x_rep_quality"    -> repQualitySql,
+    "x_bigram_fluency" -> bigramFluencySql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,
     "x_manifest_stats" -> manifestStatsSql,

@@ -305,6 +305,28 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("bigramFluency: corpus-conditional bigram means, exact ppm, sub-bigram docs NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bigram-fluency-").toString
+    try {
+      // corpus bigrams: (a,b)=3, (b,a)=1, (a,c)=1 → prefix mass a=4,
+      // b=1 → P(b|a)=750000, P(a|b)=1000000, P(c|a)=250000 ppm
+      val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "q"), (4L, "a c"))
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.bigramFluency(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(got(1) == ((3L, Some(833333L))),
+        s"(750000+1000000+750000) div 3: ${got(1)}")
+      assert(got(2) == ((1L, Some(750000L))), s"single common bigram: ${got(2)}")
+      assert(got(4) == ((1L, Some(250000L))), s"rare continuation: ${got(4)}")
+      assert(got(3) == ((0L, None)),
+        s"sub-bigram doc: zero bigrams, NULL fluency: ${got(3)}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("mixTemperature: alpha=0.5 flattening boosts the low-resource language, exact integers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mix-temperature-").toString
