@@ -46,6 +46,10 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10 (6): x_bigram_fluency 1.90 from two identical-code
+    * full-suite runs (82.7 / 94.6 s totals, min-of-2 0.94/0.95
+    * doubled); no existing entries move.
+    *
     * Round 10 (5): x_rep_quality 0.78 from two identical-code
     * full-suite runs (92.4 / 95.4 s totals, min-of-2 0.31/0.39
     * doubled); no existing entries move.
@@ -125,6 +129,7 @@ object Bench {
     "x_ann_pq" -> 1.37,
     "x_ann_recall" -> 4.30,
     "x_asof_join" -> 0.95,
+    "x_bigram_fluency" -> 1.90,
     "x_bm25_batch" -> 1.64,
     "x_bm25_search" -> 0.97,
     "x_centroids" -> 0.37,
