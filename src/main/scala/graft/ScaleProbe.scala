@@ -147,8 +147,10 @@ object ScaleProbe {
     val nBm = queries.Pipeline.queries("x_bm25_batch")(spark, dir).count()
     val nBrute = queries.Pipeline.queries("x_sim_search")(spark, dir).count()
     val nAnnIncr = queries.Pipeline.queries("x_ann_incr")(spark, dir).count()
-    require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0 && nAnnIncr > 0,
-      s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute/$nAnnIncr)")
+    val nBmIncr = queries.Pipeline.queries("x_bm25_incr")(spark, dir).count()
+    require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0 &&
+      nAnnIncr > 0 && nBmIncr > 0,
+      s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute/$nAnnIncr/$nBmIncr)")
 
     // the round-10 maintenance/curation additions at scale: the
     // substring-level span audit (the one new shuffle consumer — its

@@ -3241,6 +3241,34 @@ object Pipeline {
     nTok >= HF_MIN_TOK && meanWl >= HF_WL_MIN && meanWl <= HF_WL_MAX &&
       nStop >= HF_STOP_MIN && topPpm <= HF_REP_MAX_PPM
 
+  /** The three per-row rule statistics, added as `hf_w` / `hf_n_tok` /
+    * `hf_mean_wl` / `hf_n_stop` columns — like [[hfKeep]], ONE
+    * definition per statistic shared by the batch screen and the
+    * stream gate (an edit to the separator arithmetic or the stopword
+    * set in one consumer cannot silently desynchronize the other).
+    * The fourth statistic (top-token count) is intentionally NOT here:
+    * its two consumers compute it through different-shaped plans
+    * (explode + groupBy batch-side, row-local HOFs in the gate) and
+    * share only the [[hfTopPpm]] normalization.
+    */
+  private[graft] def withHfStats(df: DataFrame): DataFrame =
+    df.withColumn("hf_w", words(col("text")))
+      .withColumn("hf_n_tok", size(col("hf_w")).cast("long"))
+      // mean word length in exact centi-chars: chars minus the
+      // n_tok-1 separators, scaled before the single integer division
+      .withColumn("hf_mean_wl",
+        expr("(CAST(length(text) AS BIGINT) - hf_n_tok + 1) * 100 div hf_n_tok"))
+      .withColumn("hf_n_stop",
+        size(filter(col("hf_w"), x => x === "the" || x === "a")).cast("long"))
+
+  /** Top-token share in exact ppm over the canonical `hf_mx` /
+    * `hf_n_tok` columns — the shared normalization over the two
+    * mode-specific max-count plans (a `def`, not a `val`: `expr`
+    * resolves lazily against whichever plan carries the columns).
+    */
+  private[graft] def hfTopPpmCol: Column =
+    expr("(hf_mx * 1000000) div hf_n_tok")
+
   /** Heuristic quality-rule battery — the Gopher/C4-style per-rule
     * screen curation pipelines run BEFORE model-based scoring: each
     * document gets the measured statistic and an independent pass
@@ -3266,33 +3294,25 @@ object Pipeline {
     */
   private def heuristicStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // top-token share in exact ppm — the repetition core re-keyed as
-    // a gate input (two groupBys + join, all keyed on doc_id)
-    val topShare = Tables(s, dir, "documents")
+    // max token count per doc — the batch-shaped plan for the fourth
+    // statistic (explode + two groupBys, both keyed on doc_id; the
+    // stream gate computes the same count row-locally)
+    val topCnt = Tables(s, dir, "documents")
       .select($"doc_id", explode(words($"text")).as("t"))
       .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
-      .agg(max($"c").as("mx"), sum($"c").as("nt"))
-      .select($"doc_id", expr("mx * 1000000 div nt").as("top_ppm"))
-    Tables(s, dir, "documents")
-      .select($"doc_id", $"lang", $"text", words($"text").as("w"))
+      .agg(max($"c").as("hf_mx"))
+    withHfStats(Tables(s, dir, "documents").select($"doc_id", $"lang", $"text"))
+      .withColumn("quality", qualityCol($"text", $"hf_w"))
+      .join(topCnt, "doc_id")
       .select($"doc_id", $"lang",
-        size($"w").cast("long").as("n_tok"),
-        length($"text").cast("long").as("nc"),
-        size(filter($"w", x => x === "the" || x === "a")).cast("long")
-          .as("n_stop"),
-        qualityCol($"text", $"w").as("quality"))
-      // mean word length in exact centi-chars: chars minus the
-      // n_tok-1 separators, scaled before the single integer division
-      .withColumn("mean_wl_centi", expr("(nc - n_tok + 1) * 100 div n_tok"))
-      .join(topShare, "doc_id")
-      .select($"doc_id", $"lang", $"n_tok", $"mean_wl_centi", $"n_stop",
-        $"top_ppm", $"quality",
-        ($"n_tok" >= HF_MIN_TOK).as("r_len"),
-        ($"mean_wl_centi" >= HF_WL_MIN && $"mean_wl_centi" <= HF_WL_MAX)
+        $"hf_n_tok".as("n_tok"), $"hf_mean_wl".as("mean_wl_centi"),
+        $"hf_n_stop".as("n_stop"), hfTopPpmCol.as("top_ppm"), $"quality",
+        ($"hf_n_tok" >= HF_MIN_TOK).as("r_len"),
+        ($"hf_mean_wl" >= HF_WL_MIN && $"hf_mean_wl" <= HF_WL_MAX)
           .as("r_wordlen"),
-        ($"n_stop" >= HF_STOP_MIN).as("r_stop"),
-        ($"top_ppm" <= HF_REP_MAX_PPM).as("r_rep"))
+        ($"hf_n_stop" >= HF_STOP_MIN).as("r_stop"),
+        (hfTopPpmCol <= HF_REP_MAX_PPM).as("r_rep"))
   }
 
   def heuristicFilters(s: SparkSession, dir: String): DataFrame = {
@@ -3325,16 +3345,18 @@ object Pipeline {
        |htp AS (
        |  SELECT doc_id, CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_ppm
        |  FROM htc GROUP BY doc_id),
-       |hs AS (
+       |hsv AS (
        |  SELECT hst.doc_id, hst.lang, hst.n_tok,
        |    CAST((hst.nc - hst.n_tok + 1) * 100 // hst.n_tok AS BIGINT) AS mean_wl_centi,
-       |    hst.n_stop, htp.top_ppm, hst.quality,
-       |    hst.n_tok >= $HF_MIN_TOK AS r_len,
-       |    CAST((hst.nc - hst.n_tok + 1) * 100 // hst.n_tok AS BIGINT)
-       |      BETWEEN $HF_WL_MIN AND $HF_WL_MAX AS r_wordlen,
-       |    hst.n_stop >= $HF_STOP_MIN AS r_stop,
-       |    htp.top_ppm <= $HF_REP_MAX_PPM AS r_rep
-       |  FROM hst JOIN htp USING (doc_id))""".stripMargin
+       |    hst.n_stop, htp.top_ppm, hst.quality
+       |  FROM hst JOIN htp USING (doc_id)),
+       |hs AS (
+       |  SELECT *,
+       |    n_tok >= $HF_MIN_TOK AS r_len,
+       |    mean_wl_centi BETWEEN $HF_WL_MIN AND $HF_WL_MAX AS r_wordlen,
+       |    n_stop >= $HF_STOP_MIN AS r_stop,
+       |    top_ppm <= $HF_REP_MAX_PPM AS r_rep
+       |  FROM hsv)""".stripMargin
 
   val heuristicFiltersSql: String =
     s"""WITH $heuristicStatsCtesSql
@@ -3622,12 +3644,14 @@ object Pipeline {
       |w AS (
       |  SELECT lang, n_docs, n_tok, share_ppm,
       |    CAST(floor(sqrt(CAST(share_ppm * 1000000 AS DOUBLE))) AS BIGINT) AS w
-      |  FROM sh)
-      |SELECT lang, n_docs, n_tok, share_ppm,
-      |  CAST(w * 1000000 // SUM(w) OVER () AS BIGINT) AS weight_ppm,
-      |  CAST(CAST(w * 1000000 // SUM(w) OVER () AS BIGINT) * 1000
-      |    // NULLIF(share_ppm, 0) AS BIGINT) AS boost_milli
-      |FROM w ORDER BY lang""".stripMargin
+      |  FROM sh),
+      |nw AS (
+      |  SELECT lang, n_docs, n_tok, share_ppm,
+      |    CAST(w * 1000000 // SUM(w) OVER () AS BIGINT) AS weight_ppm
+      |  FROM w)
+      |SELECT lang, n_docs, n_tok, share_ppm, weight_ppm,
+      |  CAST(weight_ppm * 1000 // NULLIF(share_ppm, 0) AS BIGINT) AS boost_milli
+      |FROM nw ORDER BY lang""".stripMargin
 
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24

@@ -126,20 +126,18 @@ object Streams {
     * keeps the aggregate shape that scales to arbitrary documents.
     */
   def heuristicGate(df: DataFrame): DataFrame = {
-    val w = graft.queries.Pipeline.words(col("text"))
-    df.withColumn("hf_w", w)
-      .withColumn("hf_n_tok", size(col("hf_w")).cast("long"))
-      .withColumn("hf_mean_wl",
-        expr("(CAST(length(text) AS BIGINT) - hf_n_tok + 1) * 100 div hf_n_tok"))
-      .withColumn("hf_n_stop",
-        size(filter(col("hf_w"), x => x === "the" || x === "a")).cast("long"))
-      .withColumn("hf_top_ppm", expr(
+    // the three per-row statistics come from the SAME builder as the
+    // batch screen (Pipeline.withHfStats); only the top-token COUNT
+    // plan is gate-specific (row-local HOFs vs batch explode+groupBy),
+    // and its ppm normalization is shared again (hfTopPpmCol)
+    graft.queries.Pipeline.withHfStats(df)
+      .withColumn("hf_mx", expr(
         "array_max(transform(array_distinct(hf_w), " +
-          "t -> CAST(size(filter(hf_w, x -> x = t)) AS BIGINT))) " +
-          "* 1000000 div hf_n_tok"))
+          "t -> CAST(size(filter(hf_w, x -> x = t)) AS BIGINT)))"))
+      .withColumn("hf_top_ppm", graft.queries.Pipeline.hfTopPpmCol)
       .filter(graft.queries.Pipeline.hfKeep(
         col("hf_n_tok"), col("hf_mean_wl"), col("hf_n_stop"), col("hf_top_ppm")))
-      .drop("hf_w", "hf_n_tok", "hf_mean_wl", "hf_n_stop", "hf_top_ppm")
+      .drop("hf_w", "hf_n_tok", "hf_mean_wl", "hf_n_stop", "hf_mx", "hf_top_ppm")
   }
 
   /** Streaming NEAR-dup gate — the ingestion-side slice of the batch
