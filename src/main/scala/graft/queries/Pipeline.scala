@@ -2740,6 +2740,58 @@ object Pipeline {
        |WHERE cluster_size >= 2
        |ORDER BY keep_id""".stripMargin
 
+  /** Quality-aware keep decision — the policy switch [[repQuality]]'s
+    * audit evaluates, shipped as its own operator: per duplicate
+    * cluster keep the argmax-quality member (floor-micro of the shared
+    * [[qualityCol]], ties to the smaller doc_id), emitting the same
+    * (doc_id, keep_id, is_kept) contract as [[dedupFull]] so a
+    * pipeline can swap policies without touching consumers. Cluster
+    * identity still comes from the min-label components pass — the
+    * policy changes WHICH member survives, never the clustering, so
+    * the incremental maintenance story is untouched (labels are
+    * policy-free; the best-member choice recomputes per cluster from
+    * the bucketed keep-map). The argmax is a groupBy `max(struct)` —
+    * map-side partials collapse a billion-copy cluster per task (the
+    * [[dedupFull]] de-skew discipline), where a window over the
+    * cluster partition would serialize the hot cluster through one
+    * reducer.
+    */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id",
+        floor(qualityCol($"text", $"w") * 1000000.0).cast("long").as("qm"))
+    val km = keepMapOf(s, dir)
+    // max(struct(qm, -doc_id)): highest quality, then smallest id
+    val best = km.join(q, "doc_id")
+      .groupBy($"keep_id")
+      .agg(max(struct($"qm", (-$"doc_id").as("nid"))).as("m"))
+      .select($"keep_id", (-$"m.nid").as("best_id"))
+    km.join(best, "keep_id")
+      .select($"doc_id", $"best_id".as("keep_id_q"),
+        ($"doc_id" === $"best_id").as("is_kept_q"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val keepBestSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(floor((${qualitySql("text")}) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qm
+       |  FROM documents),
+       |f AS ($dedupFullSql),
+       |best AS (
+       |  SELECT keep_id, doc_id AS best_id FROM (
+       |    SELECT f.keep_id, q.doc_id,
+       |      row_number() OVER (
+       |        PARTITION BY f.keep_id ORDER BY q.qm DESC, q.doc_id) AS rn
+       |    FROM f JOIN q USING (doc_id))
+       |  WHERE rn = 1)
+       |SELECT f.doc_id, b.best_id AS keep_id_q,
+       |  f.doc_id = b.best_id AS is_kept_q
+       |FROM f JOIN best b USING (keep_id)
+       |ORDER BY f.doc_id""".stripMargin
+
   /** Below this quality score (the [[qualityScore]] formula, ~25th
     * percentile on the fixture corpus) a document is dropped from the
     * training manifest.
@@ -6337,6 +6389,7 @@ object Pipeline {
     "x_mix_temperature" -> mixTemperature _,
     "x_filter_agreement" -> filterAgreement _,
     "x_rep_quality"    -> repQuality _,
+    "x_keep_best"      -> keepBest _,
     "x_bigram_fluency" -> bigramFluency _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
@@ -6421,6 +6474,7 @@ object Pipeline {
     "x_mix_temperature" -> mixTemperatureSql,
     "x_filter_agreement" -> filterAgreementSql,
     "x_rep_quality"    -> repQualitySql,
+    "x_keep_best"      -> keepBestSql,
     "x_bigram_fluency" -> bigramFluencySql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,

@@ -302,6 +302,17 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       val (sz3, kept3, best3, regret3, sub3) = got(3L)
       assert(sz3 == 2L && !sub3 && regret3 == 0L && kept3 == best3,
         s"identical dups carry zero regret: ${got(3L)}")
+
+      // the policy switch the audit evaluates, over the same corpus:
+      // quality-aware keep picks doc 2 (the lowercase, higher-scoring
+      // dup) where min-id picked doc 1; ties and singletons unchanged
+      val kb = Pipeline.keepBest(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(kb(1L) == ((2L, false)) && kb(2L) == ((2L, true)),
+        s"best-quality member survives, not the smallest id: $kb")
+      assert(kb(3L) == ((3L, true)) && kb(4L) == ((3L, false)),
+        s"quality tie falls back to the smaller id: $kb")
+      assert(kb(5L) == ((5L, true)), s"singleton keeps itself: $kb")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
