@@ -46,6 +46,10 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10 (7): x_keep_best 1.04 from two identical-code
+    * full-suite runs (93.5 / 92.0 s totals, min-of-2 0.52/0.43
+    * doubled); no existing entries move.
+    *
     * Round 10 (6): x_bigram_fluency 1.90 from two identical-code
     * full-suite runs (82.7 / 94.6 s totals, min-of-2 0.94/0.95
     * doubled); no existing entries move.
@@ -167,6 +171,7 @@ object Bench {
     "x_index_health" -> 2.47,
     "x_ivf_recluster" -> 2.70,
     "x_incr_media" -> 0.64,
+    "x_keep_best" -> 1.04,
     "x_ivf_drift" -> 0.52, // re-recorded from full-suite runs (0.247/0.262 min-of-2); the first recording used cold single-query sessions and was 6x loose
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
     "x_incremental_dedup" -> 0.64,
