@@ -163,15 +163,22 @@ object ScaleProbe {
     // the per-rule screen must stay linear: per-row rules fused into
     // the scan + one doc-keyed token aggregate
     val tHeuristic = drive("x_heuristic_filters")
+    // the corpus-LM fluency score is the other new shuffle-consumer
+    // family (bigram index): its claim is linear growth, like the
+    // span audit; the keep-policy switch is a cheap keep-map consumer
+    val tFluency = drive("x_bigram_fluency")
+    val tKeepBest = drive("x_keep_best")
     val nSpans = queries.Pipeline.queries("x_dup_spans")(spark, dir).count()
     val nHealth = queries.Pipeline.queries("x_index_health")(spark, dir).count()
     val nRecluster = queries.Pipeline.queries("x_ivf_recluster")(spark, dir).count()
     val nHeuristic = queries.Pipeline.queries("x_heuristic_filters")(spark, dir).count()
+    val nFluency = queries.Pipeline.queries("x_bigram_fluency")(spark, dir).count()
+    val nKeepBest = queries.Pipeline.queries("x_keep_best")(spark, dir).count()
     require(nSpans == nDocs && nHealth == 3,
       s"span audit must cover the corpus ($nSpans/$nDocs), health is 3 families ($nHealth)")
     require(nRecluster > 0, "recluster repair returned no rows")
-    require(nHeuristic == nDocs,
-      s"rule screen must cover the corpus ($nHeuristic/$nDocs)")
+    require(nHeuristic == nDocs && nFluency == nDocs && nKeepBest == nDocs,
+      s"per-doc screens must cover the corpus ($nHeuristic/$nFluency/$nKeepBest vs $nDocs)")
     isolate()
 
     // stdout contract mirrors Bench: one greppable JSON line per factor
@@ -186,7 +193,8 @@ object ScaleProbe {
       s""""bm25_sec":$tBm25,"brute_sec":$tBrute,""" +
       s""""bm25_incr_sec":$tBm25Incr,"ann_incr_sec":$tAnnIncr,""" +
       s""""spans_sec":$tSpans,"health_sec":$tHealth,"recluster_sec":$tRecluster,""" +
-      s""""heuristic_sec":$tHeuristic}""")
+      s""""heuristic_sec":$tHeuristic,"fluency_sec":$tFluency,""" +
+      s""""keep_best_sec":$tKeepBest}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),

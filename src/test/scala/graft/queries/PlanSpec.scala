@@ -388,6 +388,18 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("x_keep_best: cluster argmax via partial-aggregated max(struct), never a window") {
+    // a window over the cluster partition would serialize a
+    // billion-copy hot cluster through one reducer; the groupBy
+    // argmax collapses it map-side
+    val p = plan("x_keep_best")
+    assert(!p.contains("Window"),
+      "cluster argmax must be a groupBy max(struct), not a window:\n" +
+        p.take(2000))
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "expected partial aggregation in:\n" + p.take(2000))
+  }
+
   test("x_ann_incr: stale centroids broadcast into the batch scan, top-k without global sort") {
     val p = plan("x_ann_incr")
     // the assignment E-step is cells×1 metadata against the batch —
