@@ -2827,6 +2827,46 @@ object Pipeline {
   private def mixBucketSql(id: String): String =
     s"('0x' || substr(md5('mix|' || CAST($id AS VARCHAR)), 1, 4))::BIGINT % 100"
 
+  /** Mix-coin calibration eval — the report that ships with
+    * [[weightedMix]] (the [[langConfusion]] discipline applied to the
+    * sampler): per language the configured keep-rate, the documents
+    * and kept documents under the deterministic md5 coin, the
+    * REALIZED rate in exact ppm, and its signed deviation from
+    * nominal. The md5 bucket is uniform only asymptotically — on a
+    * small stratum the realized rate wanders (binomial noise, made
+    * visible here instead of assumed away), and a systematic skew
+    * would mean the coin's bucket space is biased, the failure this
+    * eval exists to catch before a mix ships. One scan, one
+    * langs-keyed aggregate; the rate is a per-lang constant so
+    * `first` is deterministic.
+    */
+  def mixRealized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang", mixRateCol.as("rate"), mixBucketCol.as("bucket"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"bucket" < $"rate", lit(1))).as("n_kept"),
+        first($"rate").cast("long").as("rate_pct"))
+      .select($"lang", $"rate_pct", $"n_docs", $"n_kept",
+        expr("(n_kept * 1000000) div n_docs").as("realized_ppm"),
+        expr("(n_kept * 1000000) div n_docs - rate_pct * 10000").as("dev_ppm"))
+      .orderBy($"lang")
+  }
+
+  lazy val mixRealizedSql: String =
+    s"""SELECT lang, rate_pct, n_docs, n_kept,
+       |  CAST(n_kept * 1000000 // n_docs AS BIGINT) AS realized_ppm,
+       |  CAST(n_kept * 1000000 // n_docs - rate_pct * 10000 AS BIGINT) AS dev_ppm
+       |FROM (
+       |  SELECT lang,
+       |    CAST(${mixRateSql("lang")} AS BIGINT) AS rate_pct,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN ${mixBucketSql("doc_id")} < ${mixRateSql("lang")}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM documents GROUP BY lang)
+       |ORDER BY lang""".stripMargin
+
   /** The quality formula — `w` is the pre-split token array. Fixed
     * expression order, so the double is bit-identical across engines.
     * `private[graft]`: the streaming quality gate
@@ -6387,6 +6427,7 @@ object Pipeline {
     "x_ann_incr"       -> annIncr _,
     "x_heuristic_filters" -> heuristicFilters _,
     "x_mix_temperature" -> mixTemperature _,
+    "x_mix_realized"   -> mixRealized _,
     "x_filter_agreement" -> filterAgreement _,
     "x_rep_quality"    -> repQuality _,
     "x_keep_best"      -> keepBest _,
@@ -6472,6 +6513,7 @@ object Pipeline {
     "x_ann_incr"       -> annIncrSql,
     "x_heuristic_filters" -> heuristicFiltersSql,
     "x_mix_temperature" -> mixTemperatureSql,
+    "x_mix_realized"   -> mixRealizedSql,
     "x_filter_agreement" -> filterAgreementSql,
     "x_rep_quality"    -> repQualitySql,
     "x_keep_best"      -> keepBestSql,

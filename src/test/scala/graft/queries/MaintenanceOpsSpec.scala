@@ -316,6 +316,34 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("mixRealized: rate-100 keeps everything, ppm arithmetic foots against the coin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mix-realized-").toString
+    try {
+      val docs = (1L to 40L).map(i =>
+        (i, s"doc number $i", if (i <= 10) "en" else "zh"))
+      docs.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.mixRealized(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      assert(got("en") == ((100L, 10L, 10L, 1000000L, 0L)),
+        s"rate 100 keeps every doc with zero deviation: ${got("en")}")
+      val (rate, n, kept, ppm, dev) = got("zh")
+      assert(rate == 25L && n == 30L && kept <= n,
+        s"zh stratum shape: ${got("zh")}")
+      assert(ppm == kept * 1000000L / n && dev == ppm - 250000L,
+        s"realized/deviation must foot exactly: ${got("zh")}")
+      // the coin itself must match the weightedMix production filter —
+      // one shared definition, so the eval counts what the mix keeps
+      val mixKept = Pipeline.weightedMix(spark, dir).collect()
+        .count(_.getString(1) == "zh")
+      assert(kept == mixKept,
+        s"eval's kept count must equal the shipped mix ($kept vs $mixKept)")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("bigramFluency: corpus-conditional bigram means, exact ppm, sub-bigram docs NULL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bigram-fluency-").toString
