@@ -46,6 +46,11 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 10 (8): x_mix_realized 0.42 from two identical-code
+    * full-suite runs (113.8 / 110.2 s totals — the machine ran ~20%
+    * slower than the earlier same-day pairs; min-of-2 0.21/0.19
+    * doubled); no existing entries move.
+    *
     * Round 10 (7): x_keep_best 1.04 from two identical-code
     * full-suite runs (93.5 / 92.0 s totals, min-of-2 0.52/0.43
     * doubled); no existing entries move.
@@ -160,6 +165,7 @@ object Bench {
     "x_frame_sample" -> 0.32,
     "x_hash_sample" -> 0.32,
     "x_heuristic_filters" -> 1.80,
+    "x_mix_realized" -> 0.42,
     "x_mix_temperature" -> 0.37,
     "x_rep_quality" -> 0.78,
     "x_compaction_signal" -> 2.28,
