@@ -2769,8 +2769,8 @@ object Pipeline {
       .agg(max(struct($"qm", (-$"doc_id").as("nid"))).as("m"))
       .select($"keep_id", (-$"m.nid").as("best_id"))
     km.join(best, "keep_id")
-      .select($"doc_id", $"best_id".as("keep_id_q"),
-        ($"doc_id" === $"best_id").as("is_kept_q"))
+      .select($"doc_id", $"best_id".as("keep_id"),
+        ($"doc_id" === $"best_id").as("is_kept"))
       .orderBy($"doc_id")
   }
 
@@ -2787,8 +2787,8 @@ object Pipeline {
        |        PARTITION BY f.keep_id ORDER BY q.qm DESC, q.doc_id) AS rn
        |    FROM f JOIN q USING (doc_id))
        |  WHERE rn = 1)
-       |SELECT f.doc_id, b.best_id AS keep_id_q,
-       |  f.doc_id = b.best_id AS is_kept_q
+       |SELECT f.doc_id, b.best_id AS keep_id,
+       |  f.doc_id = b.best_id AS is_kept
        |FROM f JOIN best b USING (keep_id)
        |ORDER BY f.doc_id""".stripMargin
 

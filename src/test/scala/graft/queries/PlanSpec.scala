@@ -415,16 +415,46 @@ class PlanSpec extends AnyFunSuite {
     // all four rule statistics derive from `text` INSIDE the scans
     // (per-row lengths/counts, exploded tokens); only doc-keyed
     // integers may shuffle — text riding the doc_id join would ship
-    // the corpus through the exchange twice
-    val fmt = graft.SparkEntry.queries("x_heuristic_filters")(spark, dir)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-    val sections = fmt.split("\n\n")
-    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
-    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
-    val offending = exchanges.filter(sec =>
-      sec.linesIterator.exists(l =>
-        l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
+    // the corpus through the exchange twice. Asserted on attribute
+    // IDs, not explain-format strings: the text attribute is resolved
+    // from the analyzed plan's leaves and followed through
+    // pass-through aliases, so a rename/projection before the
+    // exchange can't make the check pass vacuously. (Derived columns
+    // — length(text), exploded tokens — get fresh non-alias
+    // expressions and rightly don't count as carrying the text.)
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+
+    val qe = graft.SparkEntry.queries("x_heuristic_filters")(spark, dir)
+      .queryExecution
+    val seed = qe.analyzed.collectLeaves().flatMap(_.output)
+      .filter(_.name == "text").map(_.exprId).toSet
+    assert(seed.nonEmpty, "documents relation must expose a text column")
+
+    val phys: SparkPlan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    var ids = seed
+    var grew = true
+    while (grew) {
+      grew = false
+      phys.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case a @ Alias(ar: AttributeReference, _)
+              if ids.contains(ar.exprId) && !ids.contains(a.exprId) =>
+            ids += a.exprId; grew = true
+          case _ => ()
+        })
+      }
+    }
+    val exchanges = phys.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty,
+      "expected Exchange nodes in:\n" + phys.toString.take(2000))
+    val offending =
+      exchanges.filter(_.child.output.exists(o => ids.contains(o.exprId)))
     assert(offending.isEmpty,
       "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
   }
