@@ -4297,6 +4297,19 @@ object Pipeline {
     */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bm25Scored(s, dir)
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(10)
+  }
+
+  /** [[bm25Search]]'s scored frame BEFORE its top-k — (doc_id,
+    * n_terms, score_micro) for every document matching ≥ 1 query
+    * term. Shared with [[hybridRank]] so the fusion's lexical arm IS
+    * the production scorer (score arithmetic and the match prune
+    * cannot diverge between the operator and the fusion built on it).
+    */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     def tfCols = BM25_QUERY.zipWithIndex.map { case (t, i) =>
       size(filter($"w", x => x === t)).cast("long").as(s"tf$i")
     }
@@ -4325,11 +4338,13 @@ object Pipeline {
       .select($"doc_id", nTerms.cast("long").as("n_terms"),
         termScores.reduce(_ + _).as("score_micro"))
       .filter($"n_terms" > 0)
-      .orderBy($"score_micro".desc, $"doc_id")
-      .limit(10)
   }
 
-  val bm25SearchSql: String = {
+  /** [[bm25Scored]]'s DuckDB twin — a full SELECT usable as a
+    * subquery; [[bm25SearchSql]] and the fusion's lexical CTE both
+    * append their own ORDER/LIMIT.
+    */
+  private val bm25ScoredSql: String = {
     val tfDefs = BM25_QUERY.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n    ")
@@ -4363,10 +4378,13 @@ object Pipeline {
        |    CAST($nTerms AS BIGINT) AS n_terms,
        |    ($termScores) AS score_micro
        |  FROM d, c)
-       |WHERE n_terms > 0
+       |WHERE n_terms > 0""".stripMargin
+  }
+
+  val bm25SearchSql: String =
+    s"""$bm25ScoredSql
        |ORDER BY score_micro DESC, doc_id
        |LIMIT 10""".stripMargin
-  }
 
   /** The probe batch [[bm25Batch]] scores — the [[bm25Search]] query
     * plus a second with a deliberately rare term (`dup`, df ≈ 5% of
@@ -6023,11 +6041,120 @@ object Pipeline {
        |FROM assign GROUP BY 1, 2
        |ORDER BY old_label, label""".stripMargin
 
+  /** Candidate-pool depth per retrieval arm feeding the RRF fusion —
+    * each arm contributes its top-POOL ranked list, the fusion
+    * re-ranks their union. Constant at any corpus size: the fusion's
+    * working set is ≤ 2·POOL rows however big the corpus is.
+    */
+  private val HYBRID_POOL = 100
+
+  /** RRF rank-smoothing constant (the standard k = 60 from the
+    * original reciprocal-rank-fusion formulation).
+    */
+  private val RRF_K = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    * probe ([[bm25Scored]] — the [[bm25Search]] scorer, shared so the
+    * arms cannot diverge from the operators they fuse) and the IVF
+    * vector probe ([[annIvf]]'s cell-probe shape) into one top-10.
+    * The shape every retrieval-augmented pipeline ships: lexical
+    * precision + semantic recall, combined without score calibration
+    * — RRF uses only the RANKS, so the incomparable score scales
+    * (integer BM25 micros vs cosine doubles) never meet.
+    *
+    * Per arm: distributed top-[[HYBRID_POOL]] (TakeOrderedAndProject —
+    * per-partition heaps, no global sort), THEN a rank window over
+    * the ≤ POOL surviving rows (a bounded single partition — the
+    * global window never sees the corpus). Fusion is a union +
+    * doc-keyed aggregate over the ≤ 2·POOL pooled rows (NOT an outer
+    * join — a full outer can't broadcast and would drag a
+    * SortMergeJoin into every audit built on this plan); a doc
+    * surfacing in one arm alone keeps NULL for the other rank. The
+    * contribution is Σ 1000000 div (k + rank) — pure integer
+    * arithmetic, deterministic and cross-engine exact; a missing arm
+    * contributes 0. Final top-10 by fused score, ties to the smaller
+    * doc_id. Corpus-side cost is exactly the two probes' one-scan
+    * plans; everything after is constant-size.
+    */
+  def hybridRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val lex = bm25Scored(s, dir)
+      .orderBy($"score_micro".desc, $"doc_id").limit(HYBRID_POOL)
+      .select($"doc_id",
+        row_number().over(Window.orderBy($"score_micro".desc, $"doc_id"))
+          .cast("long").as("lex_rank"),
+        lit(null).cast("long").as("vec_rank"))
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"label".as("q_label"))
+    val vec = e.join(broadcast(q), $"label" === $"q_label")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", cosine(s, $"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(HYBRID_POOL)
+      .select($"vec_id".as("doc_id"),
+        lit(null).cast("long").as("lex_rank"),
+        row_number().over(Window.orderBy($"cos".desc, $"vec_id"))
+          .cast("long").as("vec_rank"))
+    lex.unionByName(vec)
+      .groupBy($"doc_id")
+      .agg(max($"lex_rank").as("lex_rank"), max($"vec_rank").as("vec_rank"))
+      .select($"doc_id", $"lex_rank", $"vec_rank",
+        (coalesce(expr(s"$RRF_MICRO div ($RRF_K + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RRF_MICRO div ($RRF_K + vec_rank)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy($"rrf_micro".desc, $"doc_id")
+      .limit(10)
+  }
+
+  /** RRF contributions in integer micro-units: 1000000 div (k+rank). */
+  private val RRF_MICRO = 1000000L
+
+  /** [[bm25Scored]] cut to the fusion's candidate pool. */
+  private val bm25SearchPoolSql: String =
+    s"""$bm25ScoredSql
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $HYBRID_POOL""".stripMargin
+
+  val hybridRankSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM ($bm25SearchPoolSql)),
+       |vec AS (
+       |  SELECT vec_id AS doc_id, CAST(row_number() OVER (
+       |    ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
+       |  FROM (
+       |    SELECT vec_id, ${cosineSql("embedding", "qv")} AS cos
+       |    FROM embeddings,
+       |      (SELECT embedding AS qv, label AS q_label FROM embeddings
+       |       WHERE vec_id = 0)
+       |    WHERE vec_id <> 0 AND label = q_label
+       |    ORDER BY cos DESC, vec_id
+       |    LIMIT $HYBRID_POOL))
+       |SELECT doc_id, lex_rank, vec_rank,
+       |  CAST(COALESCE($RRF_MICRO // ($RRF_K + lex_rank), 0)
+       |     + COALESCE($RRF_MICRO // ($RRF_K + vec_rank), 0) AS BIGINT)
+       |    AS rrf_micro
+       |FROM (
+       |  SELECT doc_id, MAX(lex_rank) AS lex_rank, MAX(vec_rank) AS vec_rank
+       |  FROM (
+       |    SELECT doc_id, lex_rank, CAST(NULL AS BIGINT) AS vec_rank FROM lex
+       |    UNION ALL
+       |    SELECT doc_id, CAST(NULL AS BIGINT), vec_rank FROM vec)
+       |  GROUP BY doc_id)
+       |ORDER BY rrf_micro DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   /** Recall@10 audit of every ANN variant against the brute-force
     * ground truth ([[simSearch]]) — the eval harness an ANN deployment
     * runs before trusting an index: k returned, true-neighbor hits,
     * recall in percent. Each variant's top-10 is 10 rows, so the joins
-    * are broadcast-trivial; the cost is the four probes themselves.
+    * are broadcast-trivial; the cost is the probes themselves. The
+    * `hybrid` row measures what the RRF fusion ([[hybridRank]]) keeps
+    * of the pure-cosine truth once the keyword arm shares the vote —
+    * the fused list's vector recall is exactly the tradeoff a hybrid
+    * deployment signs up for, so it belongs in the standing audit.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -6039,6 +6166,8 @@ object Pipeline {
       .unionByName(annLshMultiprobe(s, dir)
         .select($"vec_id", lit("lsh_multiprobe").as("method")))
       .unionByName(annPq(s, dir).select($"vec_id", lit("pq").as("method")))
+      .unionByName(hybridRank(s, dir)
+        .select($"doc_id".as("vec_id"), lit("hybrid").as("method")))
     cand.join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy($"method")
       .agg(count(lit(1)).as("k_returned"),
@@ -6055,7 +6184,8 @@ object Pipeline {
        |  UNION ALL SELECT 'ivf_nprobe', vec_id FROM ($annIvfNprobeSql)
        |  UNION ALL SELECT 'lsh', vec_id FROM ($annLshSql)
        |  UNION ALL SELECT 'lsh_multiprobe', vec_id FROM ($annLshMultiprobeSql)
-       |  UNION ALL SELECT 'pq', vec_id FROM ($annPqSql))
+       |  UNION ALL SELECT 'pq', vec_id FROM ($annPqSql)
+       |  UNION ALL SELECT 'hybrid', doc_id FROM ($hybridRankSql))
        |SELECT method, COUNT(*) AS k_returned,
        |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10 AS BIGINT) AS recall_pct
@@ -6424,6 +6554,7 @@ object Pipeline {
     "x_bm25_search"    -> bm25Search _,
     "x_bm25_batch"     -> bm25Batch _,
     "x_bm25_incr"      -> bm25Incr _,
+    "x_hybrid_rank"    -> hybridRank _,
     "x_ann_incr"       -> annIncr _,
     "x_heuristic_filters" -> heuristicFilters _,
     "x_mix_temperature" -> mixTemperature _,
@@ -6508,6 +6639,7 @@ object Pipeline {
     "x_kmeans_moves"   -> kmeansMovesSql,
     "x_kmeans_converge" -> kmeansConvergeSql,
     "x_bm25_search"    -> bm25SearchSql,
+    "x_hybrid_rank"    -> hybridRankSql,
     "x_bm25_batch"     -> bm25BatchSql,
     "x_bm25_incr"      -> bm25IncrSql,
     "x_ann_incr"       -> annIncrSql,

@@ -390,4 +390,50 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         s"dominant lang cut: ${got("b")}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("hybridRank: both-arm doc beats either single-arm top, missing arm reads NULL, RRF exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hybrid-rank-").toString
+    try {
+      // lexical arm (query terms spark/merge/stream; avgdl = 3):
+      //   doc 2 "spark merge table" scores 2×1400000 → lex rank 1
+      //   doc 1 4×spark, dl 5      → ⌊1400000·88/58⌋ = 2124137, rank 2
+      //   doc 4 "merge", dl 1      → ⌊1400000·22/16⌋ = 1925000, rank 3
+      // vector arm (query = vec 0, cell 0): doc 3 cos≈0.9999 rank 1,
+      //   doc 2 cos≈0.8 rank 2; docs 1/4 sit in cell 1 — unprobed
+      val docs = Seq(
+        (0L, "nothing relevant here"),
+        (1L, "spark spark spark spark pipeline"),
+        (2L, "spark merge table"),
+        (3L, "completely different words"),
+        (4L, "merge"))
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb = Seq(
+        (0L, 0, Seq(1.0f, 0.0f)),
+        (2L, 0, Seq(0.8f, 0.6f)),
+        (3L, 0, Seq(0.99f, 0.01f)),
+        (1L, 1, Seq(0.0f, 1.0f)),
+        (4L, 1, Seq(0.5f, 0.5f)))
+      emb.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val got = Pipeline.hybridRank(spark, dir).collect().map(r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))
+      // RRF micros: 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+      assert(got.toSeq == Seq(
+        (2L, Some(1L), Some(2L), 16393L + 16129L), // both arms fuse
+        (3L, None, Some(1L), 16393L),              // vector-only
+        (1L, Some(2L), None, 16129L),              // lexical-only
+        (4L, Some(3L), None, 15873L)),
+        s"fusion order / NULL arms / exact RRF: ${got.toSeq}")
+      // the both-arm doc outranks BOTH single-arm rank-1 docs — the
+      // property the fusion exists for
+      assert(got.head._1 == 2L && got.head._4 > got(1)._4,
+        s"mid-rank agreement must beat single-arm tops: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }

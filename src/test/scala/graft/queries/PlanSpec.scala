@@ -411,6 +411,18 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("x_hybrid_rank: both arms are distributed top-k pools, query vector broadcast") {
+    val p = plan("x_hybrid_rank")
+    // each arm cuts to its HYBRID_POOL with per-partition heaps (the
+    // corpus never globally sorts); the rank windows then see only
+    // the bounded pools. The fused tail is a third top-k.
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 3,
+      "arm pools + fused tail must be TakeOrderedAndProject, not global sorts:\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row query vector must broadcast into the cell probe:\n" + p.take(2000))
+  }
+
   test("x_heuristic_filters: no exchange carries the document text") {
     // all four rule statistics derive from `text` INSIDE the scans
     // (per-row lengths/counts, exploded tokens); only doc-keyed
