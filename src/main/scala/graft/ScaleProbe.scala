@@ -113,6 +113,7 @@ object ScaleProbe {
 
     val t7 = System.nanoTime()
     queries.Pipeline.ensureBaseLabels(spark, dir)
+    queries.Pipeline.ensureBaseKeepBest(spark, dir)
     val tBaseState = secsSince(t7)
 
     val tIncr = drive("x_incr_clusters")
@@ -168,6 +169,10 @@ object ScaleProbe {
     // span audit; the keep-policy switch is a cheap keep-map consumer
     val tFluency = drive("x_bigram_fluency")
     val tKeepBest = drive("x_keep_best")
+    // the policy layer's per-batch path: touched-cluster argmax +
+    // bucketed passthrough — its cost must track the batch's blast
+    // radius, not re-pay the full-corpus argmax measured above
+    val tKeepBestIncr = drive("x_keep_best_incr")
     val nSpans = queries.Pipeline.queries("x_dup_spans")(spark, dir).count()
     val nHealth = queries.Pipeline.queries("x_index_health")(spark, dir).count()
     val nRecluster = queries.Pipeline.queries("x_ivf_recluster")(spark, dir).count()
@@ -194,7 +199,7 @@ object ScaleProbe {
       s""""bm25_incr_sec":$tBm25Incr,"ann_incr_sec":$tAnnIncr,""" +
       s""""spans_sec":$tSpans,"health_sec":$tHealth,"recluster_sec":$tRecluster,""" +
       s""""heuristic_sec":$tHeuristic,"fluency_sec":$tFluency,""" +
-      s""""keep_best_sec":$tKeepBest}""")
+      s""""keep_best_sec":$tKeepBest,"keep_best_incr_sec":$tKeepBestIncr}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),

@@ -2758,6 +2758,15 @@ object Pipeline {
     */
   def keepBest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    keepBestDecision(s, dir).orderBy($"doc_id")
+  }
+
+  /** [[keepBest]] without the presentation sort — what
+    * [[ensureBaseKeepBest]] materializes (the [[dedupDecision]] /
+    * [[dedupFull]] split).
+    */
+  private def keepBestDecision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val q = Tables(s, dir, "documents")
       .select($"doc_id", $"text", words($"text").as("w"))
       .select($"doc_id",
@@ -2771,7 +2780,6 @@ object Pipeline {
     km.join(best, "keep_id")
       .select($"doc_id", $"best_id".as("keep_id"),
         ($"doc_id" === $"best_id").as("is_kept"))
-      .orderBy($"doc_id")
   }
 
   lazy val keepBestSql: String =
@@ -2790,6 +2798,177 @@ object Pipeline {
        |SELECT f.doc_id, b.best_id AS keep_id,
        |  f.doc_id = b.best_id AS is_kept
        |FROM f JOIN best b USING (keep_id)
+       |ORDER BY f.doc_id""".stripMargin
+
+  /** One-time materialization of YESTERDAY's keep-best decisions —
+    * [[keepBest]] over the base corpus, written as a
+    * `bucketBy(doc_id)` layout (the [[ensureKeepMap]] pattern) so the
+    * incremental path's passthrough join ships zero exchange. Keyed
+    * on the BASE keep-map artifact's name: corpus stamp, edge format,
+    * and embedding stamp invalidate transitively.
+    */
+  def ensureBaseKeepBest(s: SparkSession, dir: String): java.nio.file.Path = {
+    val baseDir = ensureBaseCorpus(s, dir).toString
+    val baseMap = ensureKeepMap(s, baseDir)
+    ensureArtifact("graft-basekeepbest", dir, "documents",
+        s"|p${baseMap.getFileName}|b$KEEP_BUCKETS") { staging =>
+      val tmp = s"graft_basekeepbest_build_${ProcessHandle.current.pid}"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      keepBestDecision(s, baseDir)
+        .repartition(KEEP_BUCKETS, col("doc_id"))
+        .write.bucketBy(KEEP_BUCKETS, "doc_id").sortBy("doc_id")
+        .option("path", staging.toString)
+        .saveAsTable(tmp)
+      s.sql(s"DROP TABLE $tmp")
+    }
+  }
+
+  /** Yesterday's keep-best artifact as a bucket-aware DataFrame (the
+    * [[keepMapOf]] registration pattern).
+    */
+  private def baseKeepBestOf(s: SparkSession, dir: String): DataFrame =
+    Pipeline.synchronized {
+      val p = ensureBaseKeepBest(s, dir)
+      val tbl = s"graft_basekeepbest_${p.getFileName}"
+      if (!s.catalog.tableExists(tbl))
+        s.sql(
+          s"""CREATE TABLE $tbl (doc_id BIGINT, keep_id BIGINT, is_kept BOOLEAN)
+             |USING parquet
+             |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $KEEP_BUCKETS BUCKETS
+             |LOCATION '$p'""".stripMargin)
+      s.table(tbl).select(col("doc_id"), col("keep_id"), col("is_kept"))
+    }
+
+  /** Incremental keep-best — the policy layer's per-batch maintenance,
+    * completing for [[keepBest]] what `x_incr_clusters` completed for
+    * clustering: given yesterday's decisions ([[ensureBaseKeepBest]])
+    * and the two bucketed keep-maps, recompute the argmax-quality
+    * keeper ONLY over clusters the batch touched; every other doc
+    * passes yesterday's row through untouched, flagged `recomputed =
+    * false`.
+    *
+    * Touched = today-clusters that gained a batch member or whose id
+    * moved, PLUS the base-cluster ids such moves departed — the
+    * departure side matters: a cluster that merely LOST its
+    * best-quality member to another cluster keeps every surviving
+    * member's keep-map id, so only the departed doc's `base_keep`
+    * names it for recompute. The map diff is a bucket-aligned left
+    * join (both maps bucketed by doc_id into [[KEEP_BUCKETS]] — zero
+    * exchange); the touched set and the per-cluster argmax results
+    * are batch-blast-radius-sized, so they broadcast; the quality
+    * pass scans only touched members (broadcast semi into the
+    * document scan, never a corpus shuffle). The oracle recomputes
+    * keep-best from scratch over the full corpus and derives
+    * `recomputed` from the same map diff — the hash match is the
+    * incremental ≡ full-recompute proof, exactly the
+    * `x_incr_clusters` contract.
+    *
+    * EXACTNESS: unconditional. An untouched cluster has identical
+    * membership to its same-id base cluster (docs never leave the
+    * corpus; any join/depart flags both sides), and quality is
+    * per-row deterministic — so yesterday's argmax row is today's.
+    * Unlike the edge families there is no cap boundary: the policy
+    * layer consumes the maintained keep-map, whatever machinery
+    * (incremental or compaction) produced it.
+    */
+  def keepBestIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseDir = ensureBaseCorpus(s, dir).toString
+    val today = keepMapOf(s, dir).select($"doc_id", $"keep_id")
+    val base = keepMapOf(s, baseDir)
+      .select($"doc_id", $"keep_id".as("base_keep"))
+    val changed = today.join(base, Seq("doc_id"), "left")
+      .filter(isBatchId($"doc_id") || $"base_keep".isNull ||
+        $"base_keep" =!= $"keep_id")
+    val touched = changed.select($"keep_id".as("t"))
+      .union(changed.filter($"base_keep".isNotNull).select($"base_keep".as("t")))
+      .distinct()
+    val touchedMembers =
+      today.join(broadcast(touched), $"keep_id" === $"t", "left_semi")
+    val qm = Tables(s, dir, "documents")
+      .join(broadcast(touchedMembers.select($"doc_id")), Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id",
+        floor(qualityCol($"text", $"w") * 1000000.0).cast("long").as("qm"))
+    val best = touchedMembers.join(qm, "doc_id")
+      .groupBy($"keep_id")
+      .agg(max(struct($"qm", (-$"doc_id").as("nid"))).as("m"))
+      .select($"keep_id".as("t2"), (-$"m.nid").as("best_id"))
+    val rec = touchedMembers.join(broadcast(best), $"keep_id" === $"t2")
+      .select($"doc_id", $"best_id".as("keep_id"),
+        ($"doc_id" === $"best_id").as("is_kept"), lit(true).as("recomputed"))
+    val pass = baseKeepBestOf(s, dir)
+      .join(today.join(broadcast(touched), $"keep_id" === $"t", "left_anti")
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("recomputed", lit(false))
+    rec.unionByName(pass).orderBy($"doc_id")
+  }
+
+  /** The full keep-map — [[dedupFullSql]]'s closure (near-dup ∪
+    * exact edges) parameterized over a documents/embeddings source
+    * pair, as a self-contained `(WITH RECURSIVE … SELECT doc_id,
+    * keep_id)` subquery body for [[keepBestIncrSql]]'s base/full
+    * twin derivation.
+    */
+  private def keepMapSqlFrom(docsSrc: String, embSrc: String): String =
+    s"""WITH RECURSIVE
+       |jac AS (WITH ${ngramPairCountsCtesSqlFrom(docsSrc)}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |sim AS (WITH ${simhashPairsCtesSqlFrom(docsSrc)}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |sem AS (SELECT a_id, b_id FROM (${embedNearDupBodySqlFrom(embSrc)})),
+       |reps AS (
+       |  SELECT doc_id, min(doc_id) OVER (
+       |    PARTITION BY md5(lower(trim(text)))) AS rep FROM $docsSrc),
+       |edges AS (
+       |  SELECT a_id, b_id FROM jac UNION SELECT a_id, b_id FROM sim
+       |  UNION SELECT a_id, b_id FROM sem
+       |  UNION SELECT rep, doc_id FROM reps WHERE doc_id <> rep),
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM edges
+       |  UNION SELECT b_id, a_id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+       |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS keep_id
+       |FROM $docsSrc d LEFT JOIN cl c ON d.doc_id = c.id""".stripMargin
+
+  /** DuckDB twin of [[keepBestIncr]]: ground truth by FULL recompute —
+    * both keep-maps derived from scratch, keep-best as the plain
+    * cluster argmax over the full map, and `recomputed` from the
+    * identical map-diff definition. The Spark side never recomputes
+    * untouched clusters; matching this oracle is the incremental ≡
+    * full proof.
+    */
+  lazy val keepBestIncrSql: String =
+    s"""WITH
+       |base_docs AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |base_emb AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+       |fmap AS (${keepMapSqlFrom("documents", "embeddings")}),
+       |bmap AS (${keepMapSqlFrom("base_docs", "base_emb")}),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(floor((${qualitySql("text")}) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qm
+       |  FROM documents),
+       |fbest AS (
+       |  SELECT keep_id, doc_id AS best_id FROM (
+       |    SELECT f.keep_id, q.doc_id,
+       |      row_number() OVER (
+       |        PARTITION BY f.keep_id ORDER BY q.qm DESC, q.doc_id) AS rn
+       |    FROM fmap f JOIN q USING (doc_id))
+       |  WHERE rn = 1),
+       |changed AS (
+       |  SELECT f.doc_id, f.keep_id, b.keep_id AS base_keep
+       |  FROM fmap f LEFT JOIN bmap b USING (doc_id)
+       |  WHERE f.doc_id % 10 = 7 OR b.keep_id IS NULL OR b.keep_id <> f.keep_id),
+       |touched AS (
+       |  SELECT keep_id AS t FROM changed
+       |  UNION SELECT base_keep FROM changed WHERE base_keep IS NOT NULL)
+       |SELECT f.doc_id, fb.best_id AS keep_id, f.doc_id = fb.best_id AS is_kept,
+       |  f.keep_id IN (SELECT t FROM touched) AS recomputed
+       |FROM fmap f JOIN fbest fb ON f.keep_id = fb.keep_id
        |ORDER BY f.doc_id""".stripMargin
 
   /** Below this quality score (the [[qualityScore]] formula, ~25th
@@ -6562,6 +6741,7 @@ object Pipeline {
     "x_filter_agreement" -> filterAgreement _,
     "x_rep_quality"    -> repQuality _,
     "x_keep_best"      -> keepBest _,
+    "x_keep_best_incr" -> keepBestIncr _,
     "x_bigram_fluency" -> bigramFluency _,
     "x_lang_confusion" -> langConfusion _,
     "x_dup_src_matrix" -> dupSrcMatrix _,
@@ -6649,6 +6829,7 @@ object Pipeline {
     "x_filter_agreement" -> filterAgreementSql,
     "x_rep_quality"    -> repQualitySql,
     "x_keep_best"      -> keepBestSql,
+    "x_keep_best_incr" -> keepBestIncrSql,
     "x_bigram_fluency" -> bigramFluencySql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dup_src_matrix" -> dupSrcMatrixSql,

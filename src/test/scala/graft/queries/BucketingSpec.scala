@@ -116,4 +116,25 @@ class BucketingSpec extends AnyFunSuite {
         "left_anti")
     assert(missing.count() == 0, "sym layout must contain both directions of every pair")
   }
+
+  test("keep-best incremental: today/base keep-maps diff without shuffling either map") {
+    // keepBestIncr's touched-set derivation is a left join of the two
+    // corpus-sized decision maps — at 100 TB, re-shuffling either per
+    // batch is exactly the cost the aligned bucketed layouts delete.
+    // The merge hint blocks a fixture-scale broadcast from hiding the
+    // layout.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val today = Pipeline.keepMapOf(spark, dir).select($"doc_id", $"keep_id")
+    val baseDir = Pipeline.ensureBaseCorpus(spark, dir).toString
+    val base = Pipeline.keepMapOf(spark, baseDir)
+      .select($"doc_id", $"keep_id".as("base_keep"))
+    val diff = today.hint("merge").join(base, Seq("doc_id"), "left")
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "expected the forced merge join:\n" + plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucket-aligned map diff must not shuffle either side:\n" + plan.take(3000))
+    assert(diff.count() > 0)
+  }
 }

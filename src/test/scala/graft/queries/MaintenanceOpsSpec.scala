@@ -391,6 +391,56 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("keepBestIncr: batch arrival flips a touched keeper; untouched clusters pass through") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("keep-best-incr-").toString
+    try {
+      val docs = Seq(
+        // base cluster {1,2} (case-folded exact dups): doc 2's
+        // lowercase stopwords win the base argmax
+        (1L, "The A alpha beta gamma delta"),
+        (2L, "the a alpha beta gamma delta"),
+        // batch arrival 7: near-dup of 2 (shares 4 of 6 shingles,
+        // Jaccard 2/3) with MORE stopword mass — the keeper must flip
+        (7L, "the a the a alpha beta gamma delta"),
+        // untouched cluster {3,4}: byte-identical, tie to smaller id
+        (3L, "zz yy ww vv uu tt"),
+        (4L, "zz yy ww vv uu tt"),
+        // untouched base singleton
+        (5L, "solo document completely unique here now"),
+        // batch singleton: new cluster, keeps itself, recomputed
+        (17L, "totally novel content appears here today"))
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.keepBestIncr(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 7L, 17L),
+        s"every doc decided exactly once: ${got.keySet}")
+      // touched cluster {1,2,7}: batch doc 7 has the best quality —
+      // the keeper FLIPS from yesterday's doc 2
+      assert(got(7L) == ((7L, true, true)) && got(1L) == ((7L, false, true)) &&
+        got(2L) == ((7L, false, true)),
+        s"batch arrival must steal keeper-ship in its cluster: $got")
+      // untouched clusters pass yesterday's rows through, un-recomputed
+      assert(got(3L) == ((3L, true, false)) && got(4L) == ((3L, false, false)),
+        s"untouched tie cluster passes through: $got")
+      assert(got(5L) == ((5L, true, false)),
+        s"untouched singleton passes through: $got")
+      // batch singleton forms its own recomputed cluster
+      assert(got(17L) == ((17L, true, true)),
+        s"batch singleton keeps itself, flagged recomputed: $got")
+
+      // the incremental ≡ full identity on this corpus: projecting
+      // away the flag reproduces keepBest over the full corpus
+      val full = Pipeline.keepBest(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(full == got.view.mapValues(v => (v._1, v._2)).toMap,
+        s"incremental must equal full recompute: $full vs $got")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("hybridRank: both-arm doc beats either single-arm top, missing arm reads NULL, RRF exact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("hybrid-rank-").toString

@@ -411,6 +411,19 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("x_keep_best_incr: touched-cluster argmax partial-aggregated, corpus scan behind broadcast semi") {
+    val p = plan("x_keep_best_incr")
+    // same de-skew discipline as x_keep_best: no window over the
+    // cluster partition anywhere in the incremental path
+    assert(!p.contains("Window"),
+      "cluster argmax must be a groupBy max(struct), not a window:\n" +
+        p.take(2000))
+    // the quality scan touches only touched members — a broadcast
+    // semi into the document scan, never a corpus shuffle join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "touched-member quality scan must be a broadcast semi:\n" + p.take(2000))
+  }
+
   test("x_hybrid_rank: both arms are distributed top-k pools, query vector broadcast") {
     val p = plan("x_hybrid_rank")
     // each arm cuts to its HYBRID_POOL with per-partition heaps (the
