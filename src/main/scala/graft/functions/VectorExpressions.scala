@@ -351,6 +351,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_novelty_ppm",
       exprs => BloomNoveltyPpm(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_fluency_ppm",
+      exprs => BigramFluencyPpm(exprs(0), exprs(1)), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -378,5 +381,12 @@ object VectorFunctions {
     register(spark)
     call_function("graft_bloom_novelty_ppm", shingles,
       org.apache.spark.sql.functions.lit(filterBytes))
+  }
+
+  def bigramFluencyPpm(spark: SparkSession, tokens: Column,
+      statsBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bigram_fluency_ppm", tokens,
+      org.apache.spark.sql.functions.lit(statsBytes))
   }
 }

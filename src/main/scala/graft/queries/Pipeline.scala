@@ -754,6 +754,55 @@ object Pipeline {
     bos.toByteArray
   }
 
+  /** Serialized STALE bigram-probability table for the streaming
+    * fluency gate ([[graft.streaming.Streams.fluencyGate]]) — the
+    * [[corpusShingleFilter]] contract applied to `x_bigram_fluency`'s
+    * statistic: per BASE-corpus bigram (the batch slice excluded —
+    * yesterday's compaction view, `x_bm25_incr`'s staleness rule) the
+    * conditional probability `(cab · 1e6) div ca` in exact ppm, keyed
+    * by the seed-chained XXH64 of the two tokens
+    * ([[graft.functions.BigramFluencyPpm.key]] — ONE key definition,
+    * shared with the expression, so builder and gate cannot drift).
+    * The cab/ca derivation is byte-identical to [[bigramFluency]]'s
+    * (same explode, same DECIMAL(38,0) `div`), so a gate decision can
+    * be re-derived exactly by the batch operator over the base slice.
+    * Same deployment contract as the novelty Bloom: linear in the
+    * base corpus's distinct-bigram count, rebuilt once per compaction
+    * and broadcast to executors as a plan constant — never per-batch
+    * state.
+    */
+  def corpusBigramStats(s: SparkSession, dir: String,
+      batchPred: Column = defaultBatchPred): Array[Byte] = {
+    import s.implicits._
+    val bi = Tables(s, dir, "documents")
+      .filter(!batchPred)
+      .select(words($"text").as("w"))
+      .select(explode(expr(
+        "CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b)) " +
+          "ELSE array() END")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    val cab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+    val pairs = cab.join(ca, Seq("a"))
+      .select($"a", $"b", expr(
+        "(CAST(cab AS DECIMAL(38,0)) * 1000000) div CAST(ca AS DECIMAL(38,0))")
+        .cast("long").as("ppm"))
+      .collect()
+      .map(r => (graft.functions.BigramFluencyPpm.key(
+        r.getString(0), r.getString(1)), r.getLong(2)))
+    graft.functions.BigramFluencyPpm.serialize(pairs)
+  }
+
+  /** Ingest-batch documents whose mean stale-bigram probability falls
+    * under this floor are dropped by the fluency gate: footed on the
+    * fixture distribution (p5 ≈ 32 700 ppm, median ≈ 34 500), 30 000
+    * sits below the 5th percentile — only genuinely rare-construction
+    * text fails. Sub-bigram docs carry no signal and pass, mirroring
+    * the batch operator's NULL.
+    */
+  private[graft] val FLUENCY_MIN = 30000L
+
   /** DuckDB twin of [[noveltyCore]], parameterized on the batch
     * condition.
     */

@@ -242,6 +242,40 @@ object Streams {
       .drop("novelty_ppm")
   }
 
+  /** Streaming FLUENCY gate — the ingestion-side slice of the batch
+    * `x_bigram_fluency` score, completing the gate battery (quality,
+    * near-dup, novelty, media, heuristic, + fluency): drop arriving
+    * documents whose mean corpus-conditional bigram probability
+    * against a PRE-BUILT STALE table
+    * ([[graft.queries.Pipeline.corpusBigramStats]], refreshed at
+    * compaction cadence) falls under the floor. Stateless like
+    * [[noveltyGate]]: the serialized table rides into the codegen'd
+    * [[graft.functions.BigramFluencyPpm]] expression as a plan
+    * constant (deserialized once per executor), so the gate adds ZERO
+    * streaming state at any ingest rate — the scalable shape for a
+    * score that would otherwise need a bigram-table join + per-doc
+    * aggregation per micro-batch (stateful, watermark-coupled).
+    * Stale-stats semantics mirror `x_bm25_incr`'s contract: the table
+    * is the BASE corpus's, so a bigram first seen in the batch scores
+    * 0 ppm — fresh text is still scored (its seen bigrams carry the
+    * signal), it just earns no credit from evidence the corpus
+    * doesn't have yet; the batch recompute at next compaction is the
+    * exact authority, same contract as the hamming-0 [[nearDupGate]].
+    * Sub-bigram docs (< 2 tokens) carry no signal and pass, mirroring
+    * the batch operator's NULL.
+    */
+  def fluencyGate(
+      df: DataFrame, bigramStats: Array[Byte],
+      floorPpm: Long = graft.queries.Pipeline.FLUENCY_MIN,
+      textCol: String = "text"): DataFrame = {
+    val ppm = graft.functions.VectorFunctions.bigramFluencyPpm(
+      df.sparkSession,
+      graft.queries.Pipeline.words(col(textCol)), bigramStats)
+    df.withColumn("fluency_ppm", ppm)
+      .filter(col("fluency_ppm").isNull || col("fluency_ppm") >= floorPpm)
+      .drop("fluency_ppm")
+  }
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

@@ -111,6 +111,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       "the gate and the batch screen share one rule definition")
   }
 
+  test("fluencyGate: stale-table scores match hand values; fresh-bigram docs score 0, sub-bigram docs pass") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // base corpus (ids ∉ batch slice): bigram stats
+    //   cab: (a,b)=4, (b,a)=2, (b,c)=1, (q,r)=1; ca: a=4, b=3, q=1
+    //   ppm: P(b|a)=1000000, P(a|b)=666666, P(c|b)=333333, P(r|q)=1000000
+    val base = Seq(
+      1L -> "a b a b a b",
+      2L -> "a b c",
+      3L -> "q r")
+    // the arriving batch (ids % 10 = 7), scored under YESTERDAY's
+    // stats only
+    val batch = Seq(
+      7L -> "a b c",        // (1000000 + 333333) / 2 = 666666 → kept
+      17L -> "zz ww vv",    // all bigrams base-unseen → 0 → dropped
+      27L -> "solo",        // sub-bigram → NULL → passes
+      37L -> "q r",         // 1000000 → kept
+      47L -> "a b zz ww")   // fresh tail earns nothing: 1000000/3 = 333333 → kept
+    val dir = tmp.resolve("fluency-corpus").toString
+    (base ++ batch).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stats = graft.queries.Pipeline.corpusBigramStats(spark, dir)
+
+    // the expression itself, batch-side, against the hand values — the
+    // stale-stats semantics pinned number-for-number
+    val scored = batch.toDF("doc_id", "text")
+      .withColumn("ppm", graft.functions.VectorFunctions.bigramFluencyPpm(
+        spark, graft.queries.Pipeline.words(col("text")), stats))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(scored == Map(7L -> Some(666666L), 17L -> Some(0L),
+      27L -> None, 37L -> Some(1000000L), 47L -> Some(333333L)),
+      s"stale-table scores must match hand-computed ppm: $scored")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("fluency-kept").toString
+    val q = Streams.fluencyGate(mem.toDF().toDF("doc_id", "text"), stats)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-fl").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamKept == Set(7L, 27L, 37L, 47L),
+      s"gate must drop only the base-unseen doc: $streamKept")
+  }
+
   test("nearDupGate: fingerprint replays dropped, short docs and novel docs pass") {
     val spark0 = spark
     import spark0.implicits._
