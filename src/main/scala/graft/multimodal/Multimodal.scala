@@ -271,14 +271,23 @@ object Multimodal {
     * stages, shared with [[ensureFrameIndex]] so the from-scratch
     * pipeline and the persisted incremental index can never diverge.
     */
-  private def keptFrames(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Assets collapsed away by the exact-payload pre-collapse (every
+    * non-minimal id per payload hash) — shared by the window and
+    * sub-window feature stages.
+    */
+  private def nonRepAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hashed = assets(s, dir).select($"asset_id", md5($"payload").as("h"))
-    val nonReps = hashed
+    hashed
       .join(hashed.groupBy($"h").agg(min($"asset_id").as("keep_id")), Seq("h"))
       .filter($"asset_id" =!= $"keep_id")
       .select($"asset_id")
+  }
+
+  private def keptFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val nonReps = nonRepAssets(s, dir)
     val frames = assets(s, dir)
       .filter($"kind" === "video" && length($"payload") >= WIN_BYTES)
       .withColumn("off",
@@ -319,7 +328,57 @@ object Multimodal {
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
         (col("c") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("jaccard") >= 0.5 || col("containment") >= 0.9)
-      .orderBy(col("a_id"), col("b_id"))
+
+  /** Video exact-payload representatives — the sub-window stage's
+    * universe (kind and pre-collapse matching the window stage's).
+    */
+  private def videoReps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter($"kind" === "video")
+      .join(nonRepAssets(s, dir), Seq("asset_id"), "left_anti")
+      .select($"asset_id", $"payload")
+  }
+
+  /** Byte-prefix containment pairs for SUB-WINDOW assets — the
+    * residual the window metrics structurally cannot see: a variant
+    * shorter than one [[WIN_BYTES]] window holds no complete feature
+    * window, so no set metric links it at any sampling density. Its
+    * ENTIRE payload is one byte string, and "is it a truncation of a
+    * stored asset" is exactly "is it a byte prefix" — checked by
+    * hashing each candidate carrier's same-length prefix. Linear and
+    * bounded: the distinct sub-window lengths are < [[WIN_BYTES]]
+    * values (broadcast), each carrier contributes ≤ that many
+    * fixed-width prefix hashes map-side, boilerplate prefixes (a
+    * shared header is EVERY video's prefix) are cut by the
+    * [[FRAME_DF_CAP]] discipline before any pair forms, and only
+    * (id, length, 32-char hash) rows reach an exchange — payloads
+    * never leave the scan, the window stage's contract. Metrics are
+    * the byte-level instances of the pair metrics: containment of the
+    * whole variant = 1.0 by construction; jaccard = |variant| /
+    * |carrier| bytes. A corpus with no sub-window assets pays nothing
+    * (the length domain is empty).
+    */
+  private def subWindowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = videoReps(s, dir)
+    val subs = vids.filter(length($"payload") < WIN_BYTES)
+      .select($"asset_id", length($"payload").cast("long").as("l"),
+        md5($"payload").as("ph"))
+    val lens = subs.select($"l").distinct()
+    val pre = vids.join(broadcast(lens), length($"payload") >= $"l")
+      .select($"asset_id".as("c_id"), $"l",
+        md5(expr(s"substring(payload, 1, cast(l as int))")).as("ph"),
+        length($"payload").cast("long").as("slen"))
+    val boilerplate = pre.groupBy($"l", $"ph").agg(count(lit(1)).as("df"))
+      .filter($"df" > FRAME_DF_CAP).select($"l", $"ph")
+    val kpre = pre.join(broadcast(boilerplate), Seq("l", "ph"), "left_anti")
+    subs.join(kpre, Seq("l", "ph"))
+      .filter($"asset_id" =!= $"c_id")
+      .select(least($"asset_id", $"c_id").as("a_id"),
+        greatest($"asset_id", $"c_id").as("b_id"),
+        ($"l".cast("double") / $"slen").as("jaccard"),
+        lit(1.0).as("containment"))
+  }
 
   def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -337,6 +396,8 @@ object Multimodal {
       index.select(posexplode($"g").as(Seq("px", "x")), $"g")
         .select($"x",
           explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y")))
+      .unionByName(subWindowPairs(s, dir))
+      .orderBy($"a_id", $"b_id")
   }
 
   /** [[mediaNearDup]]'s oracle over an arbitrary documents source
@@ -367,11 +428,38 @@ object Multimodal {
        |  SELECT x.asset_id AS a_id, y.asset_id AS b_id, COUNT(*) AS c
        |  FROM kf x JOIN kf y
        |    ON x.frame_md5 = y.frame_md5 AND x.asset_id < y.asset_id
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard,
-       |  c / least(na.n, nb.n) AS containment
-       |FROM inter JOIN sz na ON a_id = na.asset_id JOIN sz nb ON b_id = nb.asset_id
-       |WHERE c / (na.n + nb.n - c) >= 0.5 OR c / least(na.n, nb.n) >= 0.9
+       |  GROUP BY 1, 2),
+       |vids AS (
+       |  SELECT doc_id AS asset_id, $payloadSql AS p FROM $src
+       |  WHERE doc_id % 3 = 2
+       |    AND doc_id NOT IN (SELECT asset_id FROM nonrep)),
+       |subs AS (
+       |  SELECT asset_id, CAST(length(p) AS BIGINT) AS l, md5(p) AS ph
+       |  FROM vids WHERE length(p) < $WIN_BYTES),
+       |pre AS (
+       |  SELECT v.asset_id AS c_id, d.l,
+       |    md5(substr(v.p, 1, CAST(d.l AS BIGINT))) AS ph,
+       |    CAST(length(v.p) AS BIGINT) AS slen
+       |  FROM vids v JOIN (SELECT DISTINCT l FROM subs) d
+       |    ON length(v.p) >= d.l),
+       |kpre AS (
+       |  SELECT pre.* FROM pre
+       |  JOIN (SELECT l, ph FROM pre GROUP BY l, ph
+       |        HAVING COUNT(*) <= $FRAME_DF_CAP) ok USING (l, ph)),
+       |swp AS (
+       |  SELECT least(s.asset_id, k.c_id) AS a_id,
+       |    greatest(s.asset_id, k.c_id) AS b_id,
+       |    CAST(s.l AS DOUBLE) / k.slen AS jaccard,
+       |    CAST(1.0 AS DOUBLE) AS containment
+       |  FROM subs s JOIN kpre k ON s.l = k.l AND s.ph = k.ph
+       |    AND s.asset_id <> k.c_id)
+       |SELECT * FROM (
+       |  SELECT a_id, b_id, c / (na.n + nb.n - c) AS jaccard,
+       |    c / least(na.n, nb.n) AS containment
+       |  FROM inter JOIN sz na ON a_id = na.asset_id JOIN sz nb ON b_id = nb.asset_id
+       |  WHERE c / (na.n + nb.n - c) >= 0.5 OR c / least(na.n, nb.n) >= 0.9
+       |  UNION ALL
+       |  SELECT a_id, b_id, jaccard, containment FROM swp)
        |ORDER BY a_id, b_id""".stripMargin
 
   val mediaNearDupSql: String = mediaNearDupBodySqlFrom("documents")
@@ -417,6 +505,35 @@ object Multimodal {
         "frame_md5", FRAME_IDX_BUCKETS)
       .select(col("asset_id"), col("n"), col("frame_md5"))
 
+  /** One-time build of the PREFIX index — [[subWindowPairs]]'
+    * `(asset_id, l, ph, slen)` carrier rows persisted
+    * `bucketBy(ph)`: the stored state that keeps the sub-window
+    * containment stage incremental. Re-deriving prefix hashes per
+    * batch would READ every stored payload per increment — the same
+    * cost [[ensureFrameIndex]] exists to avoid — while the index is
+    * ≤ [[WIN_BYTES]] fixed-width hash rows per carrier, negligible
+    * next to the frame postings at real payload sizes.
+    */
+  def ensurePrefixIndex(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.queries.Pipeline.ensureBucketedIndex(s, "graft-prefidx", dir,
+        "documents", s"|v$FRAME_IDX_FMT_VERSION|b$FRAME_IDX_BUCKETS",
+        FRAME_IDX_BUCKETS, "ph") {
+      import s.implicits._
+      val vids = videoReps(s, dir)
+      val lens = vids.filter(length($"payload") < WIN_BYTES)
+        .select(length($"payload").cast("long").as("l")).distinct()
+      vids.join(broadcast(lens), length($"payload") >= $"l")
+        .select($"asset_id", $"l",
+          md5(expr(s"substring(payload, 1, cast(l as int))")).as("ph"),
+          length($"payload").cast("long").as("slen"))
+    }
+
+  private def prefixIndexOf(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Pipeline.bucketedIndexOf(s, ensurePrefixIndex(s, dir),
+        "graft_prefidx", "asset_id BIGINT, l BIGINT, ph STRING, slen BIGINT",
+        "ph", FRAME_IDX_BUCKETS)
+      .select(col("asset_id"), col("l"), col("ph"), col("slen"))
+
   /** Incremental media near-dup — the daily-ingest twin of
     * [[mediaNearDup]], the `x_incremental_neardup` discipline applied
     * to the media family: the arriving batch (`asset_id ≡ 7 mod 10`,
@@ -454,13 +571,36 @@ object Multimodal {
     val index = kept.groupBy($"frame_md5")
       .agg(collect_list(struct($"asset_id", $"n", $"is_t")).as("g"))
       .filter(size($"g") >= 2)
-    scoreFramePairs(
+    val windowed = scoreFramePairs(
       index
         .select(explode($"g").as("x"), $"g")
         .filter($"x.is_t")
         .select($"x", explode($"g").as("y"))
         .filter($"x.asset_id" =!= $"y.asset_id" &&
           (!$"y.is_t" || $"x.asset_id" < $"y.asset_id")))
+    // the sub-window containment stage off the persisted prefix index
+    // (the mediaNearDup stage's incremental twin): batch-touching
+    // feature groups only, capped with the same boilerplate
+    // discipline as the rebuild — everything rides the ph-bucketed
+    // layout, so the prune, the cap aggregate, and the pair join
+    // exchange nothing corpus-scale
+    val pidx = prefixIndexOf(s, adir)
+      .withColumn("is_t", $"asset_id" % 10 === 7)
+    val touchedP = pidx.filter($"is_t").select($"l", $"ph").distinct()
+    val touched = pidx.join(touchedP, Seq("l", "ph"), "left_semi")
+    val boilerplate = pidx.groupBy($"l", $"ph").agg(count(lit(1)).as("df"))
+      .filter($"df" > FRAME_DF_CAP).select($"l", $"ph")
+    val kept2 = touched.join(broadcast(boilerplate), Seq("l", "ph"), "left_anti")
+    val swp = kept2.filter($"l" === $"slen")
+      .select($"l", $"ph", $"asset_id", $"is_t")
+      .join(kept2.select($"l", $"ph", $"asset_id".as("c_id"),
+        $"slen", $"is_t".as("c_is_t")), Seq("l", "ph"))
+      .filter($"asset_id" =!= $"c_id" && ($"is_t" || $"c_is_t"))
+      .select(least($"asset_id", $"c_id").as("a_id"),
+        greatest($"asset_id", $"c_id").as("b_id"),
+        ($"l".cast("double") / $"slen").as("jaccard"),
+        lit(1.0).as("containment"))
+    windowed.unionByName(swp).orderBy($"a_id", $"b_id")
   }
 
   /** DuckDB twin: derive the identical planted corpus, FULL-rebuild
