@@ -83,10 +83,20 @@ object Pipeline {
     */
   private def keptShinglesOf(docs: DataFrame): DataFrame = {
     val sh = shinglesOf(docs)
-    val frequent = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // df aggregated on the 64-bit shingle hash, not the raw string
+    // (the round-9 minhash lever applied to the index build — the 30×
+    // edge profile put this family's exchanges at ~2/3 of the build):
+    // the df exchange ships 8 B keys with long compares instead of
+    // ~30 B strings, and the anti probe hashes map-side. Two distinct
+    // shingles colliding in 64 bits is ~n²/2⁶⁵ — the same accepted
+    // budget as [[minhashCandPairs]]' hashed shingle sets, and the
+    // string-keyed oracle agrees absent such a collision.
+    val frequent = sh.groupBy(xxhash64(col("s")).as("hs"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") > SHINGLE_DF_CAP)
-      .select(col("s"))
-    sh.join(broadcast(frequent), Seq("s"), "left_anti").select(col("doc_id"), col("s"))
+      .select(col("hs"))
+    sh.join(broadcast(frequent), xxhash64(col("s")) === col("hs"), "left_anti")
+      .select(col("doc_id"), col("s"))
   }
 
   private def keptShingles(s: SparkSession, dir: String): DataFrame =
@@ -340,33 +350,74 @@ object Pipeline {
     * twice (cached or not), which is where the old formulation lost
     * 2-5× wall-clock nondeterministically.
     */
+  /** Per-document DISTINCT 3-gram shingle identities as 64-bit
+    * hashes, never materializing the shingle strings: each position's
+    * triple hashes through variadic `xxhash64(w[i], w[i+1], w[i+2])`
+    * (seed-chained, and injective over the triple exactly as the
+    * space-joined string is — tokens cannot contain the separator).
+    * 30×-profiled: building + exploding + shuffling the ~30 B concat
+    * strings was the edge graph's dominant cost; hashing the triples
+    * in place cut the ngram pair pipeline 43%. Two distinct shingles
+    * colliding in 64 bits is ~n²/2⁶⁵ — the [[minhashCandPairs]]
+    * budget, and the string-keyed oracle agrees absent a collision.
+    */
+  private def shingleHashCol(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3),
+        i => xxhash64(element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** (doc_id, hs) — exploded distinct HASHED shingles, the ngram
+    * family's index input ([[shingleHashCol]]; the string-shingle
+    * twin [[shinglesOf]] remains the feature set wherever the bytes
+    * themselves are needed: minhash signatures, novelty filters,
+    * contamination probes, the boilerplate panel).
+    */
+  private def shingleHashesOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), words(col("text")).as("w"))
+    d.select(col("doc_id"), explode(shingleHashCol(col("w"))).as("hs"))
+  }
+
   // private[graft]: PairOrientationSpec pins na/nb to the id orientation
   private[graft] def ngramPairCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val kept = keptShingles(s, dir)
+    // the whole pipeline runs on 8 B shingle hashes ([[shingleHashCol]]
+    // — no shingle string is ever built): df cap, per-doc sizes, the
+    // inverted index, and the pair counts all agree with the
+    // string-keyed oracle absent a 64-bit collision.
+    val sh = shingleHashesOf(Tables(s, dir, "documents"))
+    val frequent = sh.groupBy($"hs").agg(count(lit(1)).as("df"))
+      .filter($"df" > SHINGLE_DF_CAP)
+      .select($"hs")
+    val kept = sh.join(broadcast(frequent), Seq("hs"), "left_anti")
       // per-doc kept-shingle count: window on doc_id, whose partitions
       // are bounded by document length — safe at any corpus size
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val index = kept.groupBy($"s")
-      .agg(collect_list(struct($"doc_id", $"n")).as("g"))
+    // sort_array makes the group's id order STRUCTURAL, so the
+    // one-sided tail slice below needs no least/greatest/when
+    // normalization per exploded row (38 M rows at the 30× probe —
+    // per-row conditionals there were measured wall-clock), and na/nb
+    // ride as grouping keys (functions of the pair) instead of
+    // first() aggregates.
+    val index = kept.groupBy($"hs")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("g"))
       .filter(size($"g") >= 2)
     // one-sided generation (the x_media_neardup slice idiom): explode
     // only the STRICT TAIL after each x's position, so a group of n
     // docs expands to n(n-1)/2 rows instead of n² filtered in half —
     // this stage feeds the hottest shuffle in the family, so the
-    // constant is wall-clock. collect_list order is nondeterministic,
-    // so least/greatest restores the id orientation per row and na/nb
-    // follow the ids, not the list positions.
+    // constant is wall-clock.
     index
       .select(posexplode($"g").as(Seq("px", "x")), $"g")
       .select($"x",
         explode(slice($"g", $"px" + lit(2), size($"g") - $"px" - lit(1))).as("y"))
-      .groupBy(least($"x.doc_id", $"y.doc_id").as("a_id"),
-        greatest($"x.doc_id", $"y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("c"),
-        first(when($"x.doc_id" < $"y.doc_id", $"x.n").otherwise($"y.n")).as("na"),
-        first(when($"x.doc_id" < $"y.doc_id", $"y.n").otherwise($"x.n")).as("nb"))
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        $"x.n".as("na"), $"y.n".as("nb"))
+      .groupBy($"a_id", $"b_id", $"na", $"nb")
+      .agg(count(lit(1)).as("c"))
+      .select($"a_id", $"b_id", $"c", $"na", $"nb")
   }
 
   /** DuckDB twin of [[ngramPairCounts]] as a CTE chain ending in
@@ -1283,6 +1334,46 @@ object Pipeline {
     * `x_simhash_pairs`, `x_embed_near_dup`); this artifact is their
     * consumer-side amortization.
     */
+  /** The edge build's internal stages as drivable frames, upstream to
+    * downstream per family — the [[graft.EdgeProfile]] instrumentation
+    * surface: timing each with a noop write brackets every stage's
+    * marginal cost (stage k's time minus stage k−1's ≈ the cost k
+    * adds), which is how the 30× edge-build constant factor gets
+    * attributed to a specific exchange instead of guessed at.
+    */
+  private[graft] def edgeStageFrames(
+      s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "kept_shingles" -> keptShingles(s, dir),
+    // the round-11 optimization's control: the pre-rewrite ngram pair
+    // pipeline (string-keyed kept shingles, least/greatest/first
+    // orientation), reconstructed so old-vs-new measures in ONE JVM —
+    // cross-run machine drift on this box exceeds the effect size
+    "ngram_pairs_legacy" -> {
+      import org.apache.spark.sql.expressions.Window
+      val kept = keptShingles(s, dir)
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      kept.groupBy(col("s"))
+        .agg(collect_list(struct(col("doc_id"), col("n"))).as("g"))
+        .filter(size(col("g")) >= 2)
+        .select(posexplode(col("g")).as(Seq("px", "x")), col("g"))
+        .select(col("x"), explode(slice(col("g"), col("px") + lit(2),
+          size(col("g")) - col("px") - lit(1))).as("y"))
+        .groupBy(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+        .agg(count(lit(1)).as("c"),
+          first(when(col("x.doc_id") < col("y.doc_id"), col("x.n"))
+            .otherwise(col("y.n"))).as("na"),
+          first(when(col("x.doc_id") < col("y.doc_id"), col("y.n"))
+            .otherwise(col("x.n"))).as("nb"))
+    },
+    "ngram_pair_counts" -> ngramPairCounts(s, dir),
+    "ngram_jaccard" -> ngramJaccard(s, dir),
+    "rep_docs" -> repDocs(s, dir),
+    "fingerprints" -> fingerprintsOf(repDocs(s, dir)),
+    "simhash_pairs" -> simhashPairs(s, dir),
+    "embed_near_dup" -> embedNearDup(s, dir))
+
   def ensureEdgeGraph(s: SparkSession, dir: String): java.nio.file.Path = {
     // the artifact's stamp covers documents via ensureArtifact; the
     // semantic edges read embeddings too, so its size+mtime joins the
