@@ -327,6 +327,17 @@ object Bench {
       // its from-scratch derivation stays measured as x_media_neardup)
       val mdir = graft.multimodal.Multimodal.ensureMediaPlanted(spark, sfDir)
       graft.multimodal.Multimodal.ensureFrameIndex(spark, mdir.toString)
+      // the sub-window stage's persisted prefix index — same stored-
+      // state contract as the frame postings
+      graft.multimodal.Multimodal.ensurePrefixIndex(spark, mdir.toString)
+    }
+    if (needed("keep_best_incr")) {
+      // yesterday's keep-best decisions + both bucketed keep-maps
+      // (setup for x_keep_best_incr — the measured query is the map
+      // diff, the touched-cluster argmax, and the passthrough; the
+      // full-corpus argmax stays measured as x_keep_best)
+      graft.queries.Pipeline.ensureKeepMap(spark, sfDir)
+      graft.queries.Pipeline.ensureBaseKeepBest(spark, sfDir)
     }
     var failed = List.empty[String]
     var retried = List.empty[String]

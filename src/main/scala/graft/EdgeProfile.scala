@@ -29,6 +29,14 @@ object EdgeProfile {
   private def runOne(
       spark: SparkSession, srcDir: String, dir: String, factor: Int): Unit = {
     val nDocs = ScaleProbe.buildFixture(spark, srcDir, dir, factor)
+    // the COLD build first — the position ScaleProbe measures it in
+    // (stage warm-up below would otherwise flatter it by the warmed
+    // codegen/JIT paths; the cold/warm gap is itself a finding)
+    Sessions.isolateQueries(spark)
+    val tc = System.nanoTime()
+    val coldPath = queries.Pipeline.ensureEdgeGraph(spark, dir)
+    val tEdgeCold = secs(tc)
+    println(s"""{"probe":"edge-cold","factor":$factor,"cold_sec":$tEdgeCold}""")
     val stages = queries.Pipeline.edgeStageFrames(spark, dir)
     val timed = stages.map { case (name, df) =>
       Sessions.isolateQueries(spark)
@@ -36,9 +44,10 @@ object EdgeProfile {
       df.write.format("noop").mode("overwrite").save()
       name -> secs(t)
     }
-    // the full artifact build, cold (the fixture is fresh, so the
-    // stamp re-keys): union + distinct + parquet write on top of the
-    // family pipelines above
+    // the same full artifact build WARM (artifact deleted so the
+    // stamp re-builds): the cold−warm gap is first-execution overhead
+    // (JIT + whole-stage-codegen compilation), not data-scale work
+    queries.Pipeline.deleteTree(coldPath)
     Sessions.isolateQueries(spark)
     val t = System.nanoTime()
     queries.Pipeline.ensureEdgeGraph(spark, dir)
@@ -47,7 +56,7 @@ object EdgeProfile {
       .map { case (n, s) => "\"" + n + "\":" + s }.mkString(",")
     println(
       s"""{"probe":"edge-profile","factor":$factor,"docs":$nDocs,""" +
-      stageJson + s""","edge_total_sec":$tEdge}""")
+      stageJson + s""","edge_cold_sec":$tEdgeCold,"edge_total_sec":$tEdge}""")
   }
 
   private def secs(t: Long): Double =

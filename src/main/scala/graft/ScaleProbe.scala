@@ -70,7 +70,7 @@ object ScaleProbe {
     def drive(name: String): Double = {
       isolate()
       val t = System.nanoTime()
-      queries.Pipeline.queries(name)(spark, dir)
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       secsSince(t)
     }
@@ -96,8 +96,8 @@ object ScaleProbe {
 
     val tManifest = drive("x_corpus_manifest")
 
-    val nDecision = queries.Pipeline.queries("x_dedup_full")(spark, dir).count()
-    val nManifest = queries.Pipeline.queries("x_corpus_manifest")(spark, dir).count()
+    val nDecision = SparkEntry.queries("x_dedup_full")(spark, dir).count()
+    val nManifest = SparkEntry.queries("x_corpus_manifest")(spark, dir).count()
     require(nDecision == nDocs && nManifest == nDocs,
       s"decision/manifest row counts ($nDecision/$nManifest) != corpus size $nDocs")
 
@@ -120,7 +120,7 @@ object ScaleProbe {
     val incrRounds = queries.Pipeline.lastComponentsRounds
 
     val tSignal = drive("x_compaction_signal")
-    val nIncr = queries.Pipeline.queries("x_incr_clusters")(spark, dir).count()
+    val nIncr = SparkEntry.queries("x_incr_clusters")(spark, dir).count()
     require(nIncr > 0, "incremental clusters returned no rows")
 
     // the retrieval family at scale — the same measured treatment the
@@ -143,12 +143,12 @@ object ScaleProbe {
     // aggregate + the batch, not re-pay the index build
     val tBm25Incr = drive("x_bm25_incr")
     val tAnnIncr = drive("x_ann_incr")
-    val nProbe = queries.Pipeline.queries("x_ann_ivf_nprobe")(spark, dir).count()
-    val nPq = queries.Pipeline.queries("x_ann_pq")(spark, dir).count()
-    val nBm = queries.Pipeline.queries("x_bm25_batch")(spark, dir).count()
-    val nBrute = queries.Pipeline.queries("x_sim_search")(spark, dir).count()
-    val nAnnIncr = queries.Pipeline.queries("x_ann_incr")(spark, dir).count()
-    val nBmIncr = queries.Pipeline.queries("x_bm25_incr")(spark, dir).count()
+    val nProbe = SparkEntry.queries("x_ann_ivf_nprobe")(spark, dir).count()
+    val nPq = SparkEntry.queries("x_ann_pq")(spark, dir).count()
+    val nBm = SparkEntry.queries("x_bm25_batch")(spark, dir).count()
+    val nBrute = SparkEntry.queries("x_sim_search")(spark, dir).count()
+    val nAnnIncr = SparkEntry.queries("x_ann_incr")(spark, dir).count()
+    val nBmIncr = SparkEntry.queries("x_bm25_incr")(spark, dir).count()
     require(nProbe > 0 && nPq > 0 && nBm > 0 && nBrute > 0 &&
       nAnnIncr > 0 && nBmIncr > 0,
       s"retrieval probes must return rows ($nProbe/$nPq/$nBm/$nBrute/$nAnnIncr/$nBmIncr)")
@@ -204,16 +204,16 @@ object ScaleProbe {
     multimodal.Multimodal.mediaNearDup(spark, mediaDir)
       .write.format("noop").mode("overwrite").save()
     val tMediaRebuild = secsSince(t13)
-    val nCompaction = queries.Pipeline.queries("x_compaction_run")(spark, dir).count()
-    val nIncrMedia = queries.Pipeline.queries("x_incr_media")(spark, dir).count()
+    val nCompaction = SparkEntry.queries("x_compaction_run")(spark, dir).count()
+    val nIncrMedia = SparkEntry.queries("x_incr_media")(spark, dir).count()
     require(nCompaction > 0 && nIncrMedia > 0,
       s"repair probes must return rows ($nCompaction/$nIncrMedia)")
-    val nSpans = queries.Pipeline.queries("x_dup_spans")(spark, dir).count()
-    val nHealth = queries.Pipeline.queries("x_index_health")(spark, dir).count()
-    val nRecluster = queries.Pipeline.queries("x_ivf_recluster")(spark, dir).count()
-    val nHeuristic = queries.Pipeline.queries("x_heuristic_filters")(spark, dir).count()
-    val nFluency = queries.Pipeline.queries("x_bigram_fluency")(spark, dir).count()
-    val nKeepBest = queries.Pipeline.queries("x_keep_best")(spark, dir).count()
+    val nSpans = SparkEntry.queries("x_dup_spans")(spark, dir).count()
+    val nHealth = SparkEntry.queries("x_index_health")(spark, dir).count()
+    val nRecluster = SparkEntry.queries("x_ivf_recluster")(spark, dir).count()
+    val nHeuristic = SparkEntry.queries("x_heuristic_filters")(spark, dir).count()
+    val nFluency = SparkEntry.queries("x_bigram_fluency")(spark, dir).count()
+    val nKeepBest = SparkEntry.queries("x_keep_best")(spark, dir).count()
     require(nSpans == nDocs && nHealth == 3,
       s"span audit must cover the corpus ($nSpans/$nDocs), health is 3 families ($nHealth)")
     require(nRecluster > 0, "recluster repair returned no rows")
