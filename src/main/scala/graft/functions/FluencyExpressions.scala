@@ -20,7 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * df-0 rule: fresh text stays scoreable, it just carries no base
   * evidence), and the result is the integer mean `Σppm div (n-1)`.
   * Null for docs under 2 tokens (no bigrams — no signal, mirroring
-  * the batch operator's NULL).
+  * the batch operator's NULL) AND for docs where EVERY bigram misses
+  * the table: zero matched bigrams means the base corpus holds no
+  * evidence about the doc at all, which is absence of signal, not
+  * disfluency — the same no-evidence→NULL rule the sub-bigram case
+  * already applies. Without this rule a gate over the score would
+  * flat-reject the first ingest of any genuinely new language or
+  * domain (the opposite selection pressure from the novelty gate it
+  * sits beside); with it, partial evidence still counts in full
+  * (matched-ppm sum over ALL bigrams, unseen ones diluting at 0).
   *
   * `right` must be a FOLDABLE binary column: the table serialized by
   * [[BigramFluencyPpm.serialize]] (sorted key hashes + ppm values,
@@ -111,8 +119,21 @@ object BigramFluencyPpm {
   def key(a: String, b: String): Long =
     key(UTF8String.fromString(a), UTF8String.fromString(b))
 
+  /** Absolute entry ceiling for the single-buffer blob layout:
+    * past this, `4 + n*16` overflows Int (a negative
+    * `ByteBuffer.allocate`). Builders must budget FAR below it —
+    * [[graft.queries.Pipeline.BIGRAM_STATS_MAX_ENTRIES]] caps at 4M
+    * entries (64 MB) — this constant only turns a silent overflow
+    * into a named contract violation.
+    */
+  val MaxTableEntries: Int = (Int.MaxValue - 4) / 16
+
   /** (key, ppm) pairs → sorted binary blob: [int n][n keys][n ppms]. */
   def serialize(pairs: Array[(Long, Long)]): Array[Byte] = {
+    require(pairs.length <= MaxTableEntries,
+      s"bigram stats table has ${pairs.length} entries, over the " +
+        s"$MaxTableEntries blob-layout ceiling; cap the build " +
+        "(corpusBigramStats maxEntries) far below this")
     val sorted = pairs.sortBy(_._1)
     val bb = ByteBuffer.allocate(4 + sorted.length * 16)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -131,21 +152,24 @@ object BigramFluencyPpm {
   }
 
   /** Interpreted kernel shared by eval and codegen: integer mean of
-    * per-bigram table ppms (missing bigram → 0); null under 2 tokens
-    * or on a null element.
+    * per-bigram table ppms (missing bigram → 0); null under 2 tokens,
+    * on a null element, or when NO bigram matched the table (zero
+    * base evidence = no signal — the class doc's novel-domain rule).
     */
   def compute(arr: ArrayData, t: Table): java.lang.Long = {
     val n = arr.numElements()
     if (n < 2) return null
     var sum = 0L
+    var matched = 0
     var i = 0
     while (i < n - 1) {
       if (arr.isNullAt(i) || arr.isNullAt(i + 1)) return null
       val k = key(arr.getUTF8String(i), arr.getUTF8String(i + 1))
       val idx = java.util.Arrays.binarySearch(t.keys, k)
-      if (idx >= 0) sum += t.ppms(idx)
+      if (idx >= 0) { sum += t.ppms(idx); matched += 1 }
       i += 1
     }
-    java.lang.Long.valueOf(sum / (n - 1))
+    if (matched == 0) null
+    else java.lang.Long.valueOf(sum / (n - 1))
   }
 }

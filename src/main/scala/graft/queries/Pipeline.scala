@@ -816,15 +816,39 @@ object Pipeline {
     * shared with the expression, so builder and gate cannot drift).
     * The cab/ca derivation is byte-identical to [[bigramFluency]]'s
     * (same explode, same DECIMAL(38,0) `div`), so a gate decision can
-    * be re-derived exactly by the batch operator over the base slice.
-    * Same deployment contract as the novelty Bloom: linear in the
-    * base corpus's distinct-bigram count, rebuilt once per compaction
-    * and broadcast to executors as a plan constant — never per-batch
-    * state.
+    * be re-derived exactly by the batch operator over the base slice
+    * restricted to the kept bigram set.
+    *
+    * BOUNDED like the novelty Bloom, not linear in the corpus: a raw
+    * distinct-bigram table grows without bound (Heaps' law), so at
+    * 100 TB an uncapped collect is a multi-GB driver materialization
+    * and an equally large plan constant on every executor. The budget
+    * here is two-stage: (1) a min-count floor drops hapax bigrams
+    * (`cab < minCount`), then (2) a hard `maxEntries` cap keeps the
+    * top-K bigrams ranked by mass (`cab` DESC, ties broken by prefix
+    * mass `ca` DESC then `(a, b)` — fully deterministic). The top-K
+    * runs as TakeOrderedAndProject, so driver memory is O(maxEntries)
+    * regardless of corpus size; the serialized blob is exactly
+    * `4 + 16·K` bytes (`K ≤ maxEntries`), i.e. ≤ 64 MB at the default
+    * cap — a broadcastable plan constant at any corpus scale. Kept
+    * entries' ppm values are computed against the FULL prefix mass
+    * `ca` before capping, so they are exact; an evicted bigram scores
+    * 0 ppm by [[graft.functions.BigramFluencyPpm]]'s defined miss
+    * semantics, which only LOWERS a doc's mean — the conservative
+    * direction for an ingest gate, the same argument the novelty
+    * Bloom's false positives make in their direction. A doc whose
+    * bigrams ALL miss the table carries no base evidence and passes
+    * the gate (NULL, the sub-bigram rule), so capping cannot
+    * flat-reject a novel domain. Rebuilt once per compaction; never
+    * per-batch state.
     */
   def corpusBigramStats(s: SparkSession, dir: String,
-      batchPred: Column = defaultBatchPred): Array[Byte] = {
+      batchPred: Column = defaultBatchPred,
+      minCount: Long = 1L,
+      maxEntries: Int = BIGRAM_STATS_MAX_ENTRIES): Array[Byte] = {
     import s.implicits._
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
     val bi = Tables(s, dir, "documents")
       .filter(!batchPred)
       .select(words($"text").as("w"))
@@ -835,15 +859,28 @@ object Pipeline {
       .select($"p.a".as("a"), $"p.b".as("b"))
     val cab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
     val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+    // ppm from the FULL prefix mass, THEN floor + cap: kept entries
+    // stay exact, evicted ones fall to the kernel's 0-ppm miss rule.
     val pairs = cab.join(ca, Seq("a"))
+      .filter($"cab" >= minCount)
       .select($"a", $"b", expr(
         "(CAST(cab AS DECIMAL(38,0)) * 1000000) div CAST(ca AS DECIMAL(38,0))")
-        .cast("long").as("ppm"))
+        .cast("long").as("ppm"), $"cab", $"ca")
+      .orderBy($"cab".desc, $"ca".desc, $"a", $"b")
+      .limit(maxEntries)
       .collect()
       .map(r => (graft.functions.BigramFluencyPpm.key(
         r.getString(0), r.getString(1)), r.getLong(2)))
     graft.functions.BigramFluencyPpm.serialize(pairs)
   }
+
+  /** Default entry cap for [[corpusBigramStats]]: 4M entries = 64 MB
+    * serialized (`4 + 16·4M`), sized to stay a comfortable broadcast /
+    * codegen-reference constant. Well under the absolute
+    * [[graft.functions.BigramFluencyPpm.MaxTableEntries]] ceiling
+    * where the single-buffer layout's Int arithmetic overflows.
+    */
+  val BIGRAM_STATS_MAX_ENTRIES: Int = 4 * 1000 * 1000
 
   /** Ingest-batch documents whose mean stale-bigram probability falls
     * under this floor are dropped by the fluency gate: footed on the

@@ -261,8 +261,16 @@ object Streams {
     * signal), it just earns no credit from evidence the corpus
     * doesn't have yet; the batch recompute at next compaction is the
     * exact authority, same contract as the hamming-0 [[nearDupGate]].
-    * Sub-bigram docs (< 2 tokens) carry no signal and pass, mirroring
-    * the batch operator's NULL.
+    * NO-EVIDENCE docs pass: under 2 tokens (no bigrams) or zero
+    * bigrams matching the table both score NULL and clear the gate —
+    * a doc the base corpus knows nothing about is novel, not
+    * disfluent, so the first ingest of a new language/domain flows
+    * through to the novelty machinery instead of being flat-rejected
+    * here (the gate battery's selection pressures stay aligned). The
+    * table itself is BOUNDED (min-count floor + top-K cap,
+    * [[graft.queries.Pipeline.corpusBigramStats]]), so both the
+    * driver build and the per-executor constant are O(cap) at any
+    * corpus scale.
     */
   def fluencyGate(
       df: DataFrame, bigramStats: Array[Byte],

@@ -111,26 +111,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       "the gate and the batch screen share one rule definition")
   }
 
-  test("fluencyGate: stale-table scores match hand values; fresh-bigram docs score 0, sub-bigram docs pass") {
+  test("fluencyGate: stale-table scores match hand values; zero-evidence docs pass, low-evidence docs drop") {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
 
     // base corpus (ids ∉ batch slice): bigram stats
-    //   cab: (a,b)=4, (b,a)=2, (b,c)=1, (q,r)=1; ca: a=4, b=3, q=1
-    //   ppm: P(b|a)=1000000, P(a|b)=666666, P(c|b)=333333, P(r|q)=1000000
+    //   cab: (a,b)=4, (b,a)=2, (b,c)=1, (q,r)=1, (x,yi)=1 ×40, (yi,x)=1 ×39
+    //   ca: a=4, b=3, q=1, x=40, yi=1
+    //   ppm: P(b|a)=1000000, P(a|b)=666666, P(c|b)=333333, P(r|q)=1000000,
+    //        P(yi|x)=25000 (1e6 div 40 — under FLUENCY_MIN=30000)
+    val xy = (1 to 40).map(i => s"x y$i").mkString(" ")
     val base = Seq(
       1L -> "a b a b a b",
       2L -> "a b c",
-      3L -> "q r")
+      3L -> "q r",
+      4L -> xy)
     // the arriving batch (ids % 10 = 7), scored under YESTERDAY's
     // stats only
     val batch = Seq(
       7L -> "a b c",        // (1000000 + 333333) / 2 = 666666 → kept
-      17L -> "zz ww vv",    // all bigrams base-unseen → 0 → dropped
+      17L -> "zz ww vv",    // all bigrams base-unseen → NULL (no evidence) → passes
       27L -> "solo",        // sub-bigram → NULL → passes
       37L -> "q r",         // 1000000 → kept
-      47L -> "a b zz ww")   // fresh tail earns nothing: 1000000/3 = 333333 → kept
+      47L -> "a b zz ww",   // fresh tail earns nothing: 1000000/3 = 333333 → kept
+      57L -> "x y1")        // matched and RARE: 25000 < floor → dropped
     val dir = tmp.resolve("fluency-corpus").toString
     (base ++ batch).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -144,8 +149,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       .collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-    assert(scored == Map(7L -> Some(666666L), 17L -> Some(0L),
-      27L -> None, 37L -> Some(1000000L), 47L -> Some(333333L)),
+    assert(scored == Map(7L -> Some(666666L), 17L -> None,
+      27L -> None, 37L -> Some(1000000L), 47L -> Some(333333L),
+      57L -> Some(25000L)),
       s"stale-table scores must match hand-computed ppm: $scored")
 
     val mem = MemoryStream[(Long, String)]
@@ -161,8 +167,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally q.stop()
     val streamKept = spark.read.parquet(out)
       .select($"doc_id").as[Long].collect().toSet
-    assert(streamKept == Set(7L, 27L, 37L, 47L),
-      s"gate must drop only the base-unseen doc: $streamKept")
+    assert(streamKept == Set(7L, 17L, 27L, 37L, 47L),
+      s"gate must drop only the base-evidenced rare doc: $streamKept")
+  }
+
+  test("fluencyGate: bounded stats — min-count floor + top-K cap pin blob size, capped scores exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // same corpus shape as the uncapped test; the budget BINDS here:
+    // minCount=2 floors every hapax bigram (b,c), (q,r), all (x,yi) /
+    // (yi,x) — survivors (a,b) cab=4 and (b,a) cab=2, within the K=2
+    // cap. Kept ppms stay exact (full prefix mass): P(b|a)=1000000,
+    // P(a|b)=666666.
+    val xy = (1 to 40).map(i => s"x y$i").mkString(" ")
+    val base = Seq(
+      1L -> "a b a b a b",
+      2L -> "a b c",
+      3L -> "q r",
+      4L -> xy)
+    val batch = Seq(
+      7L -> "a b c",   // (1000000 + 0) / 2 = 500000 — (b,c) evicted, matched=1
+      37L -> "q r",    // (q,r) evicted → zero matched → NULL → passes
+      57L -> "x y1")   // (x,y1) evicted → zero matched → NULL → passes
+    val dir = tmp.resolve("fluency-capped-corpus").toString
+    (base ++ batch).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stats = graft.queries.Pipeline.corpusBigramStats(
+      spark, dir, minCount = 2L, maxEntries = 2)
+
+    // the serialized budget is the contract: exactly 4 + 16·K bytes
+    assert(stats.length == 4 + 16 * 2,
+      s"capped blob must be 4 + 16·K bytes, got ${stats.length}")
+    assert(graft.functions.BigramFluencyPpm.MaxTableEntries ==
+      (Int.MaxValue - 4) / 16)
+
+    val scored = batch.toDF("doc_id", "text")
+      .withColumn("ppm", graft.functions.VectorFunctions.bigramFluencyPpm(
+        spark, graft.queries.Pipeline.words(col("text")), stats))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(scored == Map(7L -> Some(500000L), 37L -> None, 57L -> None),
+      s"capped-table scores must match hand values: $scored")
+
+    // gate ≡ the capped-table rule: eviction only lowers matched
+    // scores or removes evidence entirely — nothing new gets dropped
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("fluency-capped-kept").toString
+    val q = Streams.fluencyGate(mem.toDF().toDF("doc_id", "text"), stats)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-flc").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamKept == Set(7L, 37L, 57L),
+      s"under the capped table every batch doc clears the gate: $streamKept")
   }
 
   test("nearDupGate: fingerprint replays dropped, short docs and novel docs pass") {
