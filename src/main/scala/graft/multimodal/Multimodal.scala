@@ -505,6 +505,16 @@ object Multimodal {
         "frame_md5", FRAME_IDX_BUCKETS)
       .select(col("asset_id"), col("n"), col("frame_md5"))
 
+  /** Bump when the prefix-row semantics ([[subWindowPairs]]' carrier
+    * shape, the md5-prefix derivation, the short-payload length set)
+    * change. Deliberately its OWN token, not
+    * [[FRAME_IDX_FMT_VERSION]]: the two indexes version
+    * independently, and sharing a token would let a prefix-semantics
+    * change without a frame-index bump serve a stale prefix index to
+    * [[incrMedia]]'s sub-window stage.
+    */
+  private val PREFIX_IDX_FMT_VERSION = 1
+
   /** One-time build of the PREFIX index — [[subWindowPairs]]'
     * `(asset_id, l, ph, slen)` carrier rows persisted
     * `bucketBy(ph)`: the stored state that keeps the sub-window
@@ -516,7 +526,7 @@ object Multimodal {
     */
   def ensurePrefixIndex(s: SparkSession, dir: String): java.nio.file.Path =
     graft.queries.Pipeline.ensureBucketedIndex(s, "graft-prefidx", dir,
-        "documents", s"|v$FRAME_IDX_FMT_VERSION|b$FRAME_IDX_BUCKETS",
+        "documents", s"|v$PREFIX_IDX_FMT_VERSION|b$FRAME_IDX_BUCKETS",
         FRAME_IDX_BUCKETS, "ph") {
       import s.implicits._
       val vids = videoReps(s, dir)

@@ -1381,10 +1381,15 @@ object Pipeline {
   private[graft] def edgeStageFrames(
       s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
     "kept_shingles" -> keptShingles(s, dir),
-    // the round-11 optimization's control: the pre-rewrite ngram pair
-    // pipeline (string-keyed kept shingles, least/greatest/first
+    // the round-11 optimization's control: the pre-rewrite ngram PAIR
+    // pipeline (string pair-index keys, least/greatest/first
     // orientation), reconstructed so old-vs-new measures in ONE JVM —
-    // cross-run machine drift on this box exceeds the effect size
+    // cross-run machine drift on this box exceeds the effect size.
+    // NOT fully pre-rewrite: it feeds from keptShingles, whose df-cap
+    // stage was itself moved to xxhash64 keys in the same round-11
+    // change, so the control already includes that part of the
+    // optimization and the measured delta UNDERSTATES the true win —
+    // the A/B isolates the pair-index keying only
     "ngram_pairs_legacy" -> {
       import org.apache.spark.sql.expressions.Window
       val kept = keptShingles(s, dir)
@@ -1687,6 +1692,16 @@ object Pipeline {
     * aligns to the same buckets without re-shuffling the map.
     */
   private val KEEP_BUCKETS = 8
+
+  /** Format version of the persisted keep-best decision artifact
+    * ([[ensureBaseKeepBest]]). Bump on ANY change to the quality
+    * formula ([[qualityCol]]/`qualitySql`) or the keep-best argmax
+    * tie-break — the artifact stores decisions, not inputs, so a
+    * semantics change without a bump would leave stale keepers that
+    * [[keepBestIncr]]'s untouched-cluster passthrough serves as if
+    * fresh.
+    */
+  private val KEEP_BEST_FMT_VERSION = 1
 
   /** One-time build of the dedup-decision artifact — [[dedupDecision]]
     * (doc_id, keep_id, is_kept) materialized as a `bucketBy(doc_id)`
@@ -2981,14 +2996,18 @@ object Pipeline {
     * [[keepBest]] over the base corpus, written as a
     * `bucketBy(doc_id)` layout (the [[ensureKeepMap]] pattern) so the
     * incremental path's passthrough join ships zero exchange. Keyed
-    * on the BASE keep-map artifact's name: corpus stamp, edge format,
-    * and embedding stamp invalidate transitively.
+    * on the BASE keep-map artifact's name (corpus stamp, edge format,
+    * and embedding stamp invalidate transitively) PLUS
+    * [[KEEP_BEST_FMT_VERSION]]: bump that token whenever the quality
+    * formula or the argmax tie-break changes, or stale persisted
+    * decisions would silently ride through [[keepBestIncr]]'s
+    * untouched-cluster passthrough.
     */
   def ensureBaseKeepBest(s: SparkSession, dir: String): java.nio.file.Path = {
     val baseDir = ensureBaseCorpus(s, dir).toString
     val baseMap = ensureKeepMap(s, baseDir)
     ensureArtifact("graft-basekeepbest", dir, "documents",
-        s"|p${baseMap.getFileName}|b$KEEP_BUCKETS") { staging =>
+        s"|v$KEEP_BEST_FMT_VERSION|p${baseMap.getFileName}|b$KEEP_BUCKETS") { staging =>
       val tmp = s"graft_basekeepbest_build_${ProcessHandle.current.pid}"
       s.sql(s"DROP TABLE IF EXISTS $tmp")
       keepBestDecision(s, baseDir)
