@@ -218,11 +218,19 @@ object Pipeline {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // probe on the 64-bit shingle hash, not the string (the df-cap /
+    // pair-index keying discipline applied to this join): the bench
+    // set broadcasts as 8 B longs, the training side's map-side probe
+    // compares longs, and no shingle string crosses the broadcast. A
+    // cross-shingle collision under-counts by 1 in ~n²/2⁶⁵ — the
+    // family's accepted budget; the string-keyed oracle agrees absent
+    // such a collision.
     val sh = keptShingles(s, dir)
+      .select($"doc_id", xxhash64($"s").as("hs"))
     val bench = sh.filter($"doc_id" % 50 === 0)
-      .select($"s").distinct()
+      .select($"hs").distinct()
     sh.filter($"doc_id" % 50 =!= 0)
-      .join(broadcast(bench), "s")
+      .join(broadcast(bench), "hs")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_contaminated_shingles"))
       .orderBy($"doc_id")
@@ -759,11 +767,21 @@ object Pipeline {
   private def noveltyCore(s: SparkSession, dir: String,
       batchPred: Column): DataFrame = {
     import s.implicits._
+    // the whole core runs on 64-bit shingle hashes: the corpus side's
+    // distinct — the operator's dominant exchange, linear in the BASE
+    // corpus — shuffles 8 B longs instead of ~30 B strings, and the
+    // anti-join probes long keys. A batch shingle colliding with a
+    // DIFFERENT corpus shingle under-reports novelty (anti-join drops
+    // it) at ~n²/2⁶⁵ — conservative for a drop-below-floor gate, the
+    // same direction as the novelty Bloom's false positives; the
+    // string-keyed oracle agrees absent such a collision. Row counts
+    // per doc are unaffected (shinglesOf is already per-doc distinct).
     val sh = shinglesOf(Tables(s, dir, "documents"))
+      .select($"doc_id", xxhash64($"s").as("hs"))
     val batch = sh.filter(batchPred)
-    val corpus = sh.filter(!batchPred).select($"s").distinct()
+    val corpus = sh.filter(!batchPred).select($"hs").distinct()
     val totals = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val novel = batch.join(corpus, Seq("s"), "left_anti")
+    val novel = batch.join(corpus, Seq("hs"), "left_anti")
       .groupBy($"doc_id").agg(count(lit(1)).as("nn"))
     totals.join(novel, Seq("doc_id"), "left")
       .select($"doc_id", $"n_shingles", coalesce($"nn", lit(0L)).as("n_novel"))
@@ -772,6 +790,44 @@ object Pipeline {
 
   def shingleNovelty(s: SparkSession, dir: String): DataFrame =
     noveltyCore(s, dir, defaultBatchPred).orderBy(col("doc_id"))
+
+  /** A/B frames for the hashed-join-key sweep: [[contamination]] and
+    * [[shingleNovelty]] paired with their pre-rewrite STRING-keyed
+    * controls, reconstructed so old-vs-new measures in one JVM (the
+    * [[edgeStageFrames]] `ngram_pairs_legacy` discipline — cross-run
+    * drift on this box exceeds the effect size). Driven by
+    * [[graft.HashKeyProfile]].
+    */
+  private[graft] def hashKeyAbFrames(
+      s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    import s.implicits._
+    val contaminationLegacy = {
+      val sh = keptShingles(s, dir)
+      val bench = sh.filter($"doc_id" % 50 === 0).select($"s").distinct()
+      sh.filter($"doc_id" % 50 =!= 0)
+        .join(broadcast(bench), "s")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_contaminated_shingles"))
+        .orderBy($"doc_id")
+    }
+    val noveltyLegacy = {
+      val sh = shinglesOf(Tables(s, dir, "documents"))
+      val batch = sh.filter(defaultBatchPred)
+      val corpus = sh.filter(!defaultBatchPred).select($"s").distinct()
+      val totals = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = batch.join(corpus, Seq("s"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("nn"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"nn", lit(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+    }
+    Seq(
+      "contamination_legacy" -> contaminationLegacy,
+      "contamination_hashed" -> contamination(s, dir),
+      "novelty_legacy" -> noveltyLegacy,
+      "novelty_hashed" -> shingleNovelty(s, dir))
+  }
 
   /** Serialized Bloom filter of the corpus's distinct shingle
     * universe — the broadcastable stand-in for [[noveltyCore]]'s
