@@ -5216,29 +5216,149 @@ object Pipeline {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
-  /** IVF-style ANN: the coarse quantizer is the `label` column (a
-    * cluster assignment); probe only the query's cell. At scale this is
-    * the partition-pruning path — data bucketed/partitioned by cell id
-    * means the scan touches one cell, not the corpus.
+  // --------------------------------------- learned coarse quantizer
+
+  /** Bump when the learned-quantizer semantics change (seed choice,
+    * round count, E/M formulas): the persisted centroid artifact and
+    * the cell-partitioned layout keyed off it must not survive a
+    * training change, or the stored index would silently diverge from
+    * the oracle's re-derived chain.
+    */
+  private val KMEANS_FMT_VERSION = 1
+
+  /** Centroid-refinement rounds of the learned coarse quantizer: the
+    * quantizer is c2 — [[cellCentroids]]' label-cell seed refined by
+    * this many chained E/M rounds — and every vector's cell is the
+    * E-step against it (round 3's assignment in [[kmeansConverge]]'s
+    * chain, promoted from convergence report to index). A 100 TB
+    * corpus has no trusted `label` column; it has raw vectors and a
+    * training procedure — so the IVF/PQ family keys off THIS, with
+    * the fixture labels serving only as the deterministic k-means
+    * seed (k and starting positions), the role a kmeans++ sample
+    * plays in production. Fixed horizon, not a convergence test: the
+    * build is the same three corpus passes at any scale, and
+    * [[kmeansConverge]] is the operator that MEASURES whether the
+    * horizon suffices (n_moved → 0).
+    */
+  private val LLOYD_ROUNDS = 2
+
+  /** The refined codebook c2 as a frame — (k, cvec), cells × 1 rows.
+    * Each round is a broadcast E-step ([[kmeansAssignFrom]]) plus a
+    * cells×dims-keyed M-step ([[centroidsFromAssign]]) — no
+    * corpus-sized state on the driver at any point.
+    */
+  private def lloydCentroidsFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var cents = cellCentroids(s, dir).withColumnRenamed("label", "k")
+    var corpus = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", microVec(s, $"embedding").as("mvec"))
+    (1 to LLOYD_ROUNDS).foreach { _ =>
+      val assign = kmeansAssignFrom(s, corpus, cents)
+      cents = centroidsFromAssign(s, assign)
+      corpus = assign.select($"vec_id", $"label", $"mvec")
+    }
+    cents
+  }
+
+  /** One-time build of the learned coarse quantizer — the "train the
+    * index" step every ANN system amortizes, persisted with the
+    * [[ensureIvfLayout]] stamping discipline so probes never re-run
+    * the chain.
+    */
+  def ensureKmeansCentroids(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-kmcent", dir, "embeddings",
+        s"|v$KMEANS_FMT_VERSION|r$LLOYD_ROUNDS") { staging =>
+      lloydCentroidsFrame(s, dir).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+
+  /** The learned centroids, collected — cells × 1 index metadata (the
+    * FAISS shape, same adjudicated pattern as [[annPq]]'s codebook):
+    * the quantizer ships to query time as a plan constant, never a
+    * corpus-scale operand.
+    */
+  private def learnedCentroids(
+      s: SparkSession, dir: String): Array[(Int, Seq[Long])] = {
+    import s.implicits._
+    s.read.parquet(ensureKmeansCentroids(s, dir).toString)
+      .select($"k", $"cvec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+  }
+
+  /** Per-row learned-cell assignment against the collected quantizer —
+    * the E-step as a pure PROJECTION: least() over per-cell
+    * (exact-micro² d2, k) structs, ties to the smaller k (the
+    * min-struct pattern), so assignment adds ZERO shuffle at any
+    * corpus size. Identical by definition to the stored round-3
+    * assignment: a3 IS the E-step against c2.
+    */
+  private def learnedCellCol(
+      s: SparkSession, mvec: Column, cents: Array[(Int, Seq[Long])]): Column = {
+    val alts = cents.map { case (k, cvec) =>
+      struct(pqDist2(s, mvec, typedLit(cvec)).as("d2"), lit(k).as("k"))
+    }
+    if (alts.length == 1) lit(cents.head._1)
+    else least(alts.toIndexedSeq: _*).getField("k")
+  }
+
+  /** Probe-side cell ranking over the collected quantizer — cells
+    * sorted by (exact micro² L2 to the query, cell id), the driver
+    * arithmetic every probe shares. Mirrors the oracle's `qd3` CTE.
+    */
+  private def rankedCells(
+      cents: Array[(Int, Seq[Long])], qmicro: Seq[Long]): IndexedSeq[Int] =
+    cents.map { case (k, cvec) =>
+      val d2 = qmicro.indices.map { j =>
+        val d = qmicro(j) - cvec(j); d * d
+      }.sum
+      (d2, k)
+    }.sorted.map(_._2).toIndexedSeq
+
+  /** The query vector (vec_id = 0) in micro-units — one tiny driver
+    * job, shared by the probe-ranking paths.
+    */
+  private def qMicro(s: SparkSession, dir: String): Seq[Long] = {
+    import s.implicits._
+    Tables(s, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+      .map(v => math.floor(v.toDouble * 1000000.0d).toLong)
+  }
+
+  /** IVF-style ANN over the LEARNED coarse quantizer: every vector's
+    * cell is its argmin-L2² learned centroid ([[learnedCellCol]] — a
+    * map-side projection against the collected codebook), and the
+    * probe touches only the query's cell. This is the filter-path
+    * variant (assignment recomputed in-plan, no stored layout);
+    * [[annIvfPruned]] is the same probe over the physically
+    * partitioned index. The oracle re-derives the identical quantizer
+    * through the chained E/M CTEs ([[learnedCellsCteSql]]), so the
+    * hash match pins training AND probe semantics.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val cents = learnedCentroids(s, dir)
     val e = Tables(s, dir, "embeddings")
+      .withColumn("cell",
+        learnedCellCol(s, microVec(s, $"embedding"), cents))
     val q = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), $"label".as("q_label"))
-    e.join(broadcast(q), $"label" === $"q_label")
+      .select($"embedding".as("qv"), $"cell".as("q_cell"))
+    e.join(broadcast(q), $"cell" === $"q_cell")
       .filter($"vec_id" =!= 0)
-      .select($"vec_id", $"label", cosine(s, $"embedding", $"qv").as("cos"))
+      .select($"vec_id", $"cell", cosine(s, $"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
   }
 
-  val annIvfSql: String =
-    s"""SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos
-       |FROM embeddings,
-       |  (SELECT embedding AS qv, label AS q_label FROM embeddings WHERE vec_id = 0)
-       |WHERE vec_id <> 0 AND label = q_label
-       |ORDER BY cos DESC, vec_id
+  lazy val annIvfSql: String =
+    s"""WITH $learnedCellsCteSql
+       |SELECT e.vec_id, c.cell, ${cosineSql("e.embedding", "qv")} AS cos
+       |FROM embeddings e JOIN lcells c ON e.vec_id = c.vec_id,
+       |  (SELECT e2.embedding AS qv, c2.cell AS q_cell
+       |   FROM embeddings e2 JOIN lcells c2 ON e2.vec_id = c2.vec_id
+       |   WHERE e2.vec_id = 0)
+       |WHERE e.vec_id <> 0 AND c.cell = q_cell
+       |ORDER BY cos DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
   /** IVF with REAL partition pruning — the 100 TB layout: embeddings
@@ -5356,25 +5476,37 @@ object Pipeline {
     }
 
   def ensureIvfLayout(s: SparkSession, dir: String): java.nio.file.Path =
-    ensureArtifact("graft-ivf", dir, "embeddings", "") { staging =>
+    ensureArtifact("graft-ivf", dir, "embeddings",
+        s"|v$KMEANS_FMT_VERSION|r$LLOYD_ROUNDS|learned") { staging =>
       import s.implicits._
+      // the layout's directory key is the LEARNED cell: assignment is
+      // a projection against the collected quantizer, so the build is
+      // one map pass + the partitioned write (the quantizer training
+      // itself is the ensureKmeansCentroids artifact, amortized)
+      val cents = learnedCentroids(s, dir)
       Tables(s, dir, "embeddings")
-        .repartition($"label", pmod($"vec_id", lit(IVF_WRITE_SALT)))
-        .write.mode("overwrite").partitionBy("label").parquet(staging.toString)
+        .withColumn("cell",
+          learnedCellCol(s, microVec(s, $"embedding"), cents))
+        .repartition($"cell", pmod($"vec_id", lit(IVF_WRITE_SALT)))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     }
 
   def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val cents = learnedCentroids(s, dir)
+    // the query's cell: argmin over the collected quantizer — driver
+    // arithmetic over cells×1 metadata, no job at all (vs the stored
+    // layout's a3 this is the same E-step by definition)
+    val qCell = rankedCells(cents, qMicro(s, dir)).head
     val part = ensureIvfLayout(s, dir)
     val e = s.read.parquet(part.toString)
-      .select($"vec_id", $"label".cast("int").as("label"), $"embedding")
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"embedding")
     val q = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), $"label".as("q_label"))
-    val qLabel = q.head().getInt(1) // drives partition pruning (one tiny job)
-    e.filter($"label" === qLabel)
-      .join(broadcast(q), $"label" === $"q_label")
+      .select($"embedding".as("qv"))
+    e.filter($"cell" === qCell)
+      .crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)
-      .select($"vec_id", $"label", cosine(s, $"embedding", $"qv").as("cos"))
+      .select($"vec_id", $"cell", cosine(s, $"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
   }
@@ -5516,14 +5648,36 @@ object Pipeline {
     * the embeddings, nothing pairwise) — cheap enough for every
     * batch at 100 TB, like the lexical monitor it mirrors.
     */
-  def ivfDrift(s: SparkSession, dir: String): DataFrame = {
+  // the monitored cells are the LEARNED quantizer's — assignment is
+  // the same zero-shuffle projection the probes use, so the monitor
+  // watches the index that is actually deployed, not the fixture's
+  // label metadata
+  def ivfDrift(s: SparkSession, dir: String): DataFrame =
+    ivfDriftOver(s, learnedAssigned(s, dir))
+
+  /** The embeddings carrying their learned-cell assignment — the
+    * shared input of the monitor/repair family's public entry points.
+    */
+  private def learnedAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
+    val cents = learnedCentroids(s, dir)
+    Tables(s, dir, "embeddings")
+      .withColumn("cell",
+        learnedCellCol(s, microVec(s, $"embedding"), cents))
+  }
+
+  /** [[ivfDrift]] over an explicit (vec_id, embedding, cell)
+    * assignment — the monitor arithmetic decoupled from the quantizer
+    * so hand-fixture specs (and a deployment with its own cell
+    * source) pin the drift semantics directly.
+    */
+  private[graft] def ivfDriftOver(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
     // pinned: both the numerator join and the final output read these
     // per-cell counts; without the pin each consumer re-scans and
     // re-aggregates the embeddings (the affectedDocs discipline). The
     // pin's lifecycle belongs to the caller's harness.
-    val cnt = capKeyCounts(emb, "vec_id", "label").localCheckpoint()
+    val cnt = capKeyCounts(emb, "vec_id", "cell").localCheckpoint()
     // cross-products in DECIMAL(38,0): a cell of ~4M unit-scale
     // vectors puts ms_full·n_base near 1.6e19 > Long.MaxValue — int64
     // would overflow (ANSI throw or silent wrap) at exactly the cell
@@ -5539,17 +5693,17 @@ object Pipeline {
     // Long shortcut is a silent cross-engine divergence at exactly the
     // cell sizes the monitor exists for
     val perPos = emb
-      .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
-      .select($"label", $"vec_id", ($"pos0" + 1).cast("long").as("pos"),
+      .select($"cell", $"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
+      .select($"cell", $"vec_id", ($"pos0" + 1).cast("long").as("pos"),
         floor($"v".cast("double") * 1000000.0).cast("long").as("vm"))
-      .groupBy($"label", $"pos")
+      .groupBy($"cell", $"pos")
       .agg(sum($"vm".cast(dec)).as("ms_full"),
         sum(when(isBatchId($"vec_id"), $"vm").otherwise(0L).cast(dec)).as("ms_batch"))
-    val numer = perPos.join(broadcast(cnt), "label")
-      .select($"label",
+    val numer = perPos.join(broadcast(cnt), "cell")
+      .select($"cell",
         abs($"ms_full" * ($"n_full" - $"n_batch").cast(dec) -
           ($"ms_full" - $"ms_batch") * $"n_full".cast(dec)).as("term"))
-      .groupBy($"label").agg(sum($"term").as("numer"))
+      .groupBy($"cell").agg(sum($"term").as("numer"))
     // LEFT join: a cell whose embeddings are all empty arrays has no
     // per-pos rows, and an inner join would silently drop it from the
     // monitor — including a brand-new all-batch cell, the row whose
@@ -5562,37 +5716,34 @@ object Pipeline {
     // numer is cells-sized index metadata — broadcast it so the
     // monitor's tail never sort-merges two tiny aggregates (and the
     // recluster repair built on top stays shuffle-join-free)
-    cnt.join(broadcast(numer), Seq("label"), "left")
+    cnt.join(broadcast(numer), Seq("cell"), "left")
       .withColumn("den",
         $"n_full".cast(dec) * ($"n_full" - $"n_batch").cast(dec))
-      .select($"label", ($"n_full" - $"n_batch").as("n_base"), $"n_batch",
+      .select($"cell", ($"n_full" - $"n_batch").as("n_base"), $"n_batch",
         when($"n_full" - $"n_batch" > 0, expr("numer div den")).as("drift_micro"))
       .withColumn("recluster_due",
         $"n_base" === 0L || $"n_batch" * 10L >= $"n_base" ||
           coalesce($"drift_micro", lit(0L)) >= DRIFT_FLOOR_MICRO)
-      .orderBy($"label")
+      .orderBy($"cell")
   }
 
-  val ivfDriftSql: String =
-    s"""WITH cnt AS (
-       |  SELECT label, COUNT(*) AS n_full,
+  lazy val ivfDriftSql: String =
+    s"""WITH $learnedCellsCteSql,
+       |cnt AS (
+       |  SELECT cell, COUNT(*) AS n_full,
        |    COUNT(*) FILTER (WHERE vec_id % 10 = 7) AS n_batch
-       |  FROM embeddings GROUP BY 1),
+       |  FROM lcells GROUP BY 1),
        |pp AS (
-       |  SELECT label, pos, SUM(vm) AS ms_full,
-       |    SUM(CASE WHEN vec_id % 10 = 7 THEN vm ELSE 0 END) AS ms_batch
-       |  FROM (
-       |    SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
-       |      CAST(floor(CAST(unnest(embedding) AS DOUBLE) *
-       |        CAST(1000000 AS DOUBLE)) AS BIGINT) AS vm
-       |    FROM embeddings)
+       |  SELECT c.cell, v.pos, SUM(v.mv) AS ms_full,
+       |    SUM(CASE WHEN v.vec_id % 10 = 7 THEN v.mv ELSE 0 END) AS ms_batch
+       |  FROM mvl v JOIN lcells c USING (vec_id)
        |  GROUP BY 1, 2),
        |num AS (
-       |  SELECT pp.label,
+       |  SELECT pp.cell,
        |    SUM(ABS(ms_full * (n_full - n_batch) -
        |            (ms_full - ms_batch) * n_full)) AS numer
-       |  FROM pp JOIN cnt USING (label) GROUP BY 1)
-       |SELECT cnt.label AS label, n_full - n_batch AS n_base, n_batch,
+       |  FROM pp JOIN cnt USING (cell) GROUP BY 1)
+       |SELECT cnt.cell AS cell, n_full - n_batch AS n_base, n_batch,
        |  -- CAST: DuckDB sums BIGINT into HUGEINT, and a HUGEINT
        |  -- division would reach the compare as a float
        |  CAST(CASE WHEN n_full - n_batch > 0
@@ -5602,10 +5753,8 @@ object Pipeline {
        |   COALESCE(CAST(CASE WHEN n_full - n_batch > 0
        |     THEN numer // (n_full * (n_full - n_batch)) ELSE NULL END AS BIGINT), 0)
        |     >= $DRIFT_FLOOR_MICRO) AS recluster_due
-       |-- LEFT: an all-empty-embeddings cell has no pp rows; it must
-       |-- stay in the monitor with NULL drift (Spark twin agrees)
-       |FROM cnt LEFT JOIN num ON cnt.label = num.label
-       |ORDER BY cnt.label""".stripMargin
+       |FROM cnt LEFT JOIN num ON cnt.cell = num.cell
+       |ORDER BY cnt.cell""".stripMargin
 
   /** IVF recluster repair — the operator [[ivfDrift]] schedules,
     * completing the vector family's monitor + repair pair the way
@@ -5628,13 +5777,19 @@ object Pipeline {
     * (< 8 dims) stay in sub-cell 0 — the quantizer needs its 8 planes
     * — mirrored exactly in the oracle.
     */
-  def ivfRecluster(s: SparkSession, dir: String): DataFrame = {
+  def ivfRecluster(s: SparkSession, dir: String): DataFrame =
+    ivfReclusterOver(s, learnedAssigned(s, dir))
+
+  /** [[ivfRecluster]] over an explicit assignment (the
+    * [[ivfDriftOver]] decoupling). */
+  private[graft] def ivfReclusterOver(
+      s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    val flagged = ivfDrift(s, dir).filter($"recluster_due")
-      .select($"label", lit(true).as("flag"))
-    Tables(s, dir, "embeddings")
-      .join(broadcast(flagged), Seq("label"), "left")
-      .select($"vec_id", $"label",
+    val flagged = ivfDriftOver(s, emb).filter($"recluster_due")
+      .select($"cell", lit(true).as("flag"))
+    emb
+      .join(broadcast(flagged), Seq("cell"), "left")
+      .select($"vec_id", $"cell",
         when($"flag".isNotNull && size($"embedding") >= 8,
           signBucket($"embedding")).otherwise(lit(0L)).as("sub"),
         $"flag".isNotNull.as("reassigned"))
@@ -5642,12 +5797,14 @@ object Pipeline {
   }
 
   lazy val ivfReclusterSql: String =
-    s"""WITH fl AS (SELECT label FROM ($ivfDriftSql) WHERE recluster_due)
-       |SELECT e.vec_id, e.label,
-       |  CAST(CASE WHEN fl.label IS NOT NULL AND len(e.embedding) >= 8
+    s"""WITH fl AS (SELECT cell FROM ($ivfDriftSql) WHERE recluster_due),
+       |lc AS (WITH $learnedCellsCteSql SELECT vec_id, cell FROM lcells)
+       |SELECT e.vec_id, c.cell,
+       |  CAST(CASE WHEN fl.cell IS NOT NULL AND len(e.embedding) >= 8
        |    THEN ${signBucketSql("e.embedding")} ELSE 0 END AS BIGINT) AS sub,
-       |  fl.label IS NOT NULL AS reassigned
-       |FROM embeddings e LEFT JOIN fl ON e.label = fl.label
+       |  fl.cell IS NOT NULL AS reassigned
+       |FROM embeddings e JOIN lc c ON e.vec_id = c.vec_id
+       |  LEFT JOIN fl ON c.cell = fl.cell
        |ORDER BY e.vec_id""".stripMargin
 
   /** Recluster effectiveness report — the eval that ships with
@@ -5662,30 +5819,36 @@ object Pipeline {
     * aggregation over the repair's assignment — key count is
     * cells × ≤256 sub-buckets, independent of corpus size.
     */
-  def reclusterStats(s: SparkSession, dir: String): DataFrame = {
+  def reclusterStats(s: SparkSession, dir: String): DataFrame =
+    reclusterStatsOver(s, learnedAssigned(s, dir))
+
+  /** [[reclusterStats]] over an explicit assignment (the
+    * [[ivfDriftOver]] decoupling). */
+  private[graft] def reclusterStatsOver(
+      s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    ivfRecluster(s, dir)
+    ivfReclusterOver(s, emb)
       .filter($"reassigned")
-      .groupBy($"label", $"sub").agg(count(lit(1)).as("m"))
-      .groupBy($"label")
+      .groupBy($"cell", $"sub").agg(count(lit(1)).as("m"))
+      .groupBy($"cell")
       .agg(sum($"m").as("n_members"),
         count(lit(1)).as("n_subcells"),
         max($"m").as("max_subcell"))
       .withColumn("balance_ppm", expr("(max_subcell * 1000000) div n_members"))
-      .orderBy($"label")
+      .orderBy($"cell")
   }
 
   lazy val reclusterStatsSql: String =
     s"""WITH r AS ($ivfReclusterSql),
        |sc AS (
-       |  SELECT label, sub, COUNT(*) AS m FROM r WHERE reassigned
+       |  SELECT cell, sub, COUNT(*) AS m FROM r WHERE reassigned
        |  GROUP BY 1, 2)
-       |SELECT label, CAST(SUM(m) AS BIGINT) AS n_members,
+       |SELECT cell, CAST(SUM(m) AS BIGINT) AS n_members,
        |  COUNT(*) AS n_subcells,
        |  CAST(MAX(m) AS BIGINT) AS max_subcell,
        |  CAST((MAX(m) * 1000000) // SUM(m) AS BIGINT) AS balance_ppm
-       |FROM sc GROUP BY label
-       |ORDER BY label""".stripMargin
+       |FROM sc GROUP BY cell
+       |ORDER BY cell""".stripMargin
 
   /** Cells larger than this are hierarchically sub-blocked by the
     * 8-sign-bit bucket (the [[annLsh]] quantizer) before the
@@ -5834,23 +5997,31 @@ object Pipeline {
   }
 
   /** Product-quantization codebook: the [[DIM]]-dim space split into
-    * [[PQ_M]] subspaces of [[PQ_SUB]] dims; per (subspace, label cell)
-    * one centroid — the label column is the training assignment, as in
-    * [[annIvf]]. Centroid components are floor(mean) in micro-units:
-    * the int64 sum is exact, the one division happens in double on
-    * values far below 2^53, and floor is tie-free — both engines get
-    * the identical integer. Output is cells × [[PQ_M]] rows regardless
-    * of corpus size (one shuffle whose key count is cells × dims).
+    * [[PQ_M]] subspaces of [[PQ_SUB]] dims; per (subspace, LEARNED
+    * cell) one centroid — the training assignment is the learned
+    * quantizer ([[learnedCellCol]]), as in [[annIvf]]: a map-side
+    * projection feeds a cells×dims-keyed aggregate, so the train pass
+    * is one corpus scan + one bounded shuffle. Centroid components
+    * are floor(mean) in micro-units: the int64 sum is exact, the one
+    * division happens in double on values far below 2^53, and floor
+    * is tie-free — both engines get the identical integer. Output is
+    * cells × [[PQ_M]] rows regardless of corpus size.
     */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    microDimSums(s, dir)
-      .select($"label", ($"pos0" / lit(PQ_SUB)).cast("int").as("m"),
+    val cents = learnedCentroids(s, dir)
+    Tables(s, dir, "embeddings")
+      .select(microVec(s, $"embedding").as("mvec"))
+      .withColumn("cell", learnedCellCol(s, $"mvec", cents))
+      .select($"cell", posexplode($"mvec").as(Seq("pos0", "mv")))
+      .groupBy($"cell", $"pos0")
+      .agg(sum($"mv").as("sm"), count(lit(1)).as("n"))
+      .select($"cell", ($"pos0" / lit(PQ_SUB)).cast("int").as("m"),
         pmod($"pos0", lit(PQ_SUB)).as("j"),
         floor($"sm".cast("double") / $"n").cast("long").as("c"))
-      .groupBy($"label", $"m")
+      .groupBy($"cell", $"m")
       .agg(collect_list(struct($"j", $"c")).as("jc"))
-      .select($"label", $"m",
+      .select($"cell", $"m",
         transform(sort_array($"jc"), x => x.getField("c")).as("cvec"))
   }
 
@@ -5897,17 +6068,22 @@ object Pipeline {
   /** Shared oracle CTE chain: micro vectors, per-dim cell sums, the
     * PQ codebook, and the per-vector subspace slices.
     */
-  private val pqCtesSql: String =
-    s"""$microDimsCtesSql,
+  private lazy val pqCtesSql: String =
+    s"""$learnedCellsCteSql,
+       |pmv AS (SELECT vec_id, $microVecSql AS mvec FROM embeddings),
+       |ldims AS (
+       |  SELECT c.cell, v.pos, CAST(SUM(v.mv) AS BIGINT) AS sm, COUNT(*) AS n
+       |  FROM mvl v JOIN lcells c USING (vec_id)
+       |  GROUP BY c.cell, v.pos),
        |cb AS (
-       |  SELECT label, (pos - 1) // $PQ_SUB AS m,
+       |  SELECT cell, (pos - 1) // $PQ_SUB AS m,
        |    list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
-       |  FROM dims GROUP BY label, (pos - 1) // $PQ_SUB),
+       |  FROM ldims GROUP BY cell, (pos - 1) // $PQ_SUB),
        |sub AS (
        |  SELECT vec_id, m, list_slice(mvec, m * $PQ_SUB + 1, (m + 1) * $PQ_SUB) AS svec
-       |  FROM mv, (SELECT unnest(range($PQ_M)) AS m)),
+       |  FROM pmv, (SELECT unnest(range($PQ_M)) AS m)),
        |dist AS (
-       |  SELECT vec_id, m, label, ${pqDist2Sql("svec", "cvec")} AS dist2
+       |  SELECT vec_id, m, cell, ${pqDist2Sql("svec", "cvec")} AS dist2
        |  FROM sub JOIN cb USING (m))""".stripMargin
 
   /** Product-quantization codes: each vector compressed to [[PQ_M]]
@@ -5926,26 +6102,26 @@ object Pipeline {
       .join(broadcast(pqCodebook(s, dir)), "m")
       .withColumn("dist2", pqDist2(s, $"svec", $"cvec"))
       .groupBy($"vec_id", $"m")
-      .agg(min(struct($"dist2", $"label")).as("best"))
+      .agg(min(struct($"dist2", $"cell")).as("best"))
       .groupBy($"vec_id")
       .agg(collect_list(struct($"m", $"best")).as("cs"))
       .select($"vec_id",
         concat_ws("-", transform(sort_array($"cs"),
-          x => x.getField("best").getField("label").cast("string"))).as("pq_code"),
+          x => x.getField("best").getField("cell").cast("string"))).as("pq_code"),
         aggregate(transform($"cs", x => x.getField("best").getField("dist2")),
           lit(0L), (a, v) => a + v).as("err_micro2"))
       .orderBy($"vec_id")
   }
 
-  val pqCodesSql: String =
+  lazy val pqCodesSql: String =
     s"""WITH $pqCtesSql,
        |best AS (
-       |  SELECT vec_id, m, label, dist2 FROM (
+       |  SELECT vec_id, m, cell, dist2 FROM (
        |    SELECT *, row_number() OVER (
-       |      PARTITION BY vec_id, m ORDER BY dist2, label) AS rn FROM dist)
+       |      PARTITION BY vec_id, m ORDER BY dist2, cell) AS rn FROM dist)
        |  WHERE rn = 1)
        |SELECT vec_id,
-       |  string_agg(CAST(label AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       |  string_agg(CAST(cell AS VARCHAR), '-' ORDER BY m) AS pq_code,
        |  CAST(SUM(dist2) AS BIGINT) AS err_micro2
        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
@@ -5965,40 +6141,38 @@ object Pipeline {
     import s.implicits._
     val cb = pqCodebook(s, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    val qmicro = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
-      .select($"embedding").head().getSeq[Float](0)
-      .map(v => math.floor(v.toDouble * 1000000.0d).toLong)
-    val qtab = cb.map { case (label, m, cvec) =>
+    val qmicro = qMicro(s, dir)
+    val qtab = cb.map { case (cell, m, cvec) =>
       val qd = (0 until PQ_SUB).map { j =>
         val diff = qmicro(m * PQ_SUB + j) - cvec(j); diff * diff
       }.sum
-      (m, label, qd)
-    }.toSeq.toDF("m", "label", "qd")
-    val cbDf = cb.toSeq.toDF("label", "m", "cvec")
+      (m, cell, qd)
+    }.toSeq.toDF("m", "cell", "qd")
+    val cbDf = cb.toSeq.toDF("cell", "m", "cvec")
     pqSubvectors(s, dir)
       .filter($"vec_id" =!= 0)
       .join(broadcast(cbDf), "m")
       .withColumn("dist2", pqDist2(s, $"svec", $"cvec"))
-      .join(broadcast(qtab), Seq("m", "label"))
+      .join(broadcast(qtab), Seq("m", "cell"))
       .groupBy($"vec_id", $"m")
-      .agg(min(struct($"dist2", $"label", $"qd")).as("best"))
+      .agg(min(struct($"dist2", $"cell", $"qd")).as("best"))
       .groupBy($"vec_id")
       .agg(sum($"best".getField("qd")).as("adc_micro2"))
       .orderBy($"adc_micro2", $"vec_id")
       .limit(10)
   }
 
-  val annPqSql: String =
+  lazy val annPqSql: String =
     s"""WITH $pqCtesSql,
        |q AS (SELECT m, svec AS qvec FROM sub WHERE vec_id = 0),
        |qtab AS (
-       |  SELECT cb.m, cb.label, ${pqDist2Sql("qvec", "cvec")} AS qd
+       |  SELECT cb.m, cb.cell, ${pqDist2Sql("qvec", "cvec")} AS qd
        |  FROM cb JOIN q ON cb.m = q.m),
        |best AS (
        |  SELECT vec_id, m, qd FROM (
-       |    SELECT d.vec_id, d.m, d.label, qt.qd, row_number() OVER (
-       |      PARTITION BY d.vec_id, d.m ORDER BY d.dist2, d.label) AS rn
-       |    FROM dist d JOIN qtab qt ON d.m = qt.m AND d.label = qt.label
+       |    SELECT d.vec_id, d.m, d.cell, qt.qd, row_number() OVER (
+       |      PARTITION BY d.vec_id, d.m ORDER BY d.dist2, d.cell) AS rn
+       |    FROM dist d JOIN qtab qt ON d.m = qt.m AND d.cell = qt.cell
        |    WHERE d.vec_id <> 0)
        |  WHERE rn = 1)
        |SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS adc_micro2
@@ -6084,45 +6258,33 @@ object Pipeline {
     */
   def annIvfNprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents = cellCentroids(s, dir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1)))
-    val qmicro = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
-      .select($"embedding").head().getSeq[Float](0)
-      .map(v => math.floor(v.toDouble * 1000000.0d).toLong)
-    val cells = cents.map { case (label, cvec) =>
-        val d2 = qmicro.indices.map { j =>
-          val diff = qmicro(j) - cvec(j); diff * diff
-        }.sum
-        (d2, label)
-      }.sorted.take(IVF_NPROBE).map(_._2).toIndexedSeq
+    val cents = learnedCentroids(s, dir)
+    val cells = rankedCells(cents, qMicro(s, dir)).take(IVF_NPROBE)
     val part = ensureIvfLayout(s, dir)
     val e = s.read.parquet(part.toString)
-      .select($"vec_id", $"label".cast("int").as("label"), $"embedding")
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"embedding")
     val q = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
       .select($"embedding".as("qv"))
-    e.filter($"label".isin(cells: _*))
+    e.filter($"cell".isin(cells: _*))
       .crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)
-      .select($"vec_id", $"label", cosine(s, $"embedding", $"qv").as("cos"))
+      .select($"vec_id", $"cell", cosine(s, $"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
   }
 
-  val annIvfNprobeSql: String =
-    s"""WITH $microDimsCtesSql,
-       |$cellCentroidsCteSql,
-       |cells AS (
-       |  SELECT label FROM (
-       |    SELECT cent.label,
-       |      row_number() OVER (
-       |        ORDER BY ${l2MicroSql("qm", "cvec")}, cent.label) AS rn
-       |    FROM cent, (SELECT mvec AS qm FROM mv WHERE vec_id = 0))
+  lazy val annIvfNprobeSql: String =
+    s"""WITH $learnedCellsCteSql,
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY d2, cell) AS rn FROM qd3)
        |  WHERE rn <= $IVF_NPROBE)
-       |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos
-       |FROM embeddings JOIN cells USING (label),
+       |SELECT e.vec_id, c.cell, ${cosineSql("e.embedding", "qv")} AS cos
+       |FROM embeddings e JOIN lcells c ON e.vec_id = c.vec_id
+       |  JOIN probe USING (cell),
        |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-       |WHERE vec_id <> 0
-       |ORDER BY cos DESC, vec_id
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
   /** Incremental ANN — the vector-side freshness contract, the twin
@@ -6361,7 +6523,25 @@ object Pipeline {
     * order-independent, so long form is bit-identical to the list
     * fold, just allocator-friendly.
     */
-  lazy val kmeansConvergeSql: String = {
+  /** The three-round Lloyd chain as oracle CTEs — `mvl` (long-form
+    * micro vectors), `c0` (label-seeded centroids), `d1..d3`
+    * (per-round distance tables), `a1..a3` (E-steps), `c1`/`c2`
+    * (M-steps) — ONE definition of the training chain, shared by
+    * [[kmeansConvergeSql]] (the convergence report) and
+    * [[learnedCellsCteSql]] (the learned-quantizer oracle every
+    * IVF/PQ query re-derives), so the quantizer the retrieval oracles
+    * use cannot drift from the training operator's.
+    *
+    * Null contract: embeddings with null ELEMENTS are outside this
+    * oracle's parity contract (the engine's MicroVec nulls the whole
+    * vector, which then cannot carry an E-step assignment; the
+    * long-form unnest below would instead null single positions).
+    * Fixtures carry none — [[microVecSql]]'s guard documents the
+    * aligned behavior for the single-pass micro-unit oracles, and a
+    * corpus with corrupt vectors must drop them upstream before any
+    * multi-round pipeline.
+    */
+  private lazy val lloydChainCtesSql: String = {
     def dist(cent: String, out: String): String =
       s"""$out AS (
          |  SELECT v.vec_id, c.label AS k,
@@ -6381,18 +6561,7 @@ object Pipeline {
          |    CAST(floor(CAST(CAST(SUM(v.mv) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
          |  FROM mvl v JOIN $assignT a USING (vec_id)
          |  GROUP BY a.label, v.pos)""".stripMargin
-    def moved(src: String, r: Int): String =
-      s"SELECT $r AS round, COUNT(*) FILTER (WHERE label <> old_label) AS n_moved, " +
-        s"COUNT(*) AS n_total FROM $src"
-    // Null contract: embeddings with null ELEMENTS are outside this
-    // oracle's parity contract (the engine's MicroVec nulls the whole
-    // vector, which then cannot carry an E-step assignment; the
-    // long-form unnest below would instead null single positions).
-    // Fixtures carry none — [[microVecSql]]'s guard documents the
-    // aligned behavior for the single-pass micro-unit oracles, and a
-    // corpus with corrupt vectors must drop them upstream before any
-    // multi-round pipeline.
-    s"""WITH mvl AS (
+    s"""mvl AS (
        |  SELECT vec_id, pos,
        |    CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mv
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
@@ -6410,7 +6579,25 @@ object Pipeline {
        |${assign("d2", "a1", "a2")},
        |${cent("a2", "c2")},
        |${dist("c2", "d3")},
-       |${assign("d3", "a2", "a3")}
+       |${assign("d3", "a2", "a3")}""".stripMargin
+  }
+
+  /** The learned coarse quantizer as oracle CTEs: the chain plus
+    * `lcells` (vec_id → learned cell, round 3's assignment — what
+    * [[learnedCellCol]] computes in-plan) and `qd3` (the query
+    * vector's distance to every refined centroid — what the
+    * driver-side probe ranking computes from collected metadata).
+    */
+  private lazy val learnedCellsCteSql: String =
+    s"""$lloydChainCtesSql,
+       |lcells AS (SELECT vec_id, label AS cell FROM a3),
+       |qd3 AS (SELECT k AS cell, d2 FROM d3 WHERE vec_id = 0)""".stripMargin
+
+  lazy val kmeansConvergeSql: String = {
+    def moved(src: String, r: Int): String =
+      s"SELECT $r AS round, COUNT(*) FILTER (WHERE label <> old_label) AS n_moved, " +
+        s"COUNT(*) AS n_total FROM $src"
+    s"""WITH $lloydChainCtesSql
        |SELECT * FROM (
        |  ${moved("a1", 1)}
        |  UNION ALL ${moved("a2", 2)}
@@ -6516,10 +6703,15 @@ object Pipeline {
         row_number().over(Window.orderBy($"score_micro".desc, $"doc_id"))
           .cast("long").as("lex_rank"),
         lit(null).cast("long").as("vec_rank"))
+    // the vector arm probes the LEARNED cell — annIvf's quantizer, so
+    // the fusion's semantic arm is the deployed index's probe shape
+    val cents = learnedCentroids(s, dir)
     val e = Tables(s, dir, "embeddings")
+      .withColumn("cell",
+        learnedCellCol(s, microVec(s, $"embedding"), cents))
     val q = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), $"label".as("q_label"))
-    val vec = e.join(broadcast(q), $"label" === $"q_label")
+      .select($"embedding".as("qv"), $"cell".as("q_cell"))
+    val vec = e.join(broadcast(q), $"cell" === $"q_cell")
       .filter($"vec_id" =!= 0)
       .select($"vec_id", cosine(s, $"embedding", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id").limit(HYBRID_POOL)
@@ -6547,7 +6739,7 @@ object Pipeline {
        |ORDER BY score_micro DESC, doc_id
        |LIMIT $HYBRID_POOL""".stripMargin
 
-  val hybridRankSql: String =
+  lazy val hybridRankSql: String =
     s"""WITH lex AS (
        |  SELECT doc_id, CAST(row_number() OVER (
        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
@@ -6556,12 +6748,14 @@ object Pipeline {
        |  SELECT vec_id AS doc_id, CAST(row_number() OVER (
        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
        |  FROM (
-       |    SELECT vec_id, ${cosineSql("embedding", "qv")} AS cos
-       |    FROM embeddings,
-       |      (SELECT embedding AS qv, label AS q_label FROM embeddings
-       |       WHERE vec_id = 0)
-       |    WHERE vec_id <> 0 AND label = q_label
-       |    ORDER BY cos DESC, vec_id
+       |    WITH $learnedCellsCteSql
+       |    SELECT e.vec_id, ${cosineSql("e.embedding", "qv")} AS cos
+       |    FROM embeddings e JOIN lcells c ON e.vec_id = c.vec_id,
+       |      (SELECT e2.embedding AS qv, c2.cell AS q_cell
+       |       FROM embeddings e2 JOIN lcells c2 ON e2.vec_id = c2.vec_id
+       |       WHERE e2.vec_id = 0)
+       |    WHERE e.vec_id <> 0 AND c.cell = q_cell
+       |    ORDER BY cos DESC, e.vec_id
        |    LIMIT $HYBRID_POOL))
        |SELECT doc_id, lex_rank, vec_rank,
        |  CAST(COALESCE($RRF_MICRO // ($RRF_K + lex_rank), 0)

@@ -50,7 +50,13 @@ class IvfDriftSpec extends AnyFunSuite {
       rows.toDF("vec_id", "label", "embedding")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-      val got = Pipeline.ivfDrift(spark, dir).collect()
+      // the Over variant with cell := label — this spec pins the
+      // MONITOR arithmetic; the public operator's learned-quantizer
+      // assignment is pinned by the x_ivf_drift oracle row
+      val got = Pipeline.ivfDriftOver(spark,
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .withColumn("cell", org.apache.spark.sql.functions.col("label")))
+        .collect()
         .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))))
         .toMap

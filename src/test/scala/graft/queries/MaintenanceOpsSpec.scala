@@ -162,7 +162,13 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       rows.toDF("vec_id", "label", "embedding")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-      val got = Pipeline.ivfRecluster(spark, dir).collect()
+      // the Over variants with cell := label — this spec pins the
+      // split/repair arithmetic; the learned-quantizer assignment is
+      // pinned by the x_ivf_recluster oracle row (the hand fixture's
+      // ragged vector lengths are outside the quantizer's contract)
+      def assigned = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("cell", org.apache.spark.sql.functions.col("label"))
+      val got = Pipeline.ivfReclusterOver(spark, assigned).collect()
         .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
         .toMap
       assert(got(1) == ((0, 0L, false)) && got(2) == ((0, 0L, false)),
@@ -177,7 +183,7 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       // the effectiveness report over the same corpus: only SPLIT
       // cells appear; cell 1 dispersed into two singleton sub-cells
       // (balance 50%), cell 2 is a single-member degenerate split
-      val stats = Pipeline.reclusterStats(spark, dir).collect()
+      val stats = Pipeline.reclusterStatsOver(spark, assigned).collect()
         .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4)))).toMap
       assert(!stats.contains(0), s"quiet cell must not be reported: $stats")

@@ -49,8 +49,8 @@ class PlanSpec extends AnyFunSuite {
   test("x_ann_ivf_pruned: partition pruning reaches the scan") {
     val p = plan("x_ann_ivf_pruned")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(scanLine.contains("label"),
-      "expected PartitionFilters on label, got: " + scanLine)
+    assert(scanLine.contains("cell"),
+      "expected PartitionFilters on the learned cell, got: " + scanLine)
   }
 
   test("x_bm25_batch: corpus consumed once — scoring plan reads the posting checkpoint") {
@@ -127,8 +127,8 @@ class PlanSpec extends AnyFunSuite {
     // the IN (cell1, cell2, cell3) probe list must reach the scan as a
     // partition filter — at 100 TB this is the difference between a
     // 3-directory listing and a full-corpus file walk
-    assert(scanLine.contains("label") && scanLine.contains("IN"),
-      "expected PartitionFilters label IN (probed cells), got: " + scanLine)
+    assert(scanLine.contains("cell") && scanLine.contains("IN"),
+      "expected PartitionFilters cell IN (probed cells), got: " + scanLine)
   }
 
   test("q_local_supplier: one fact-fact shuffle join, all dims broadcast") {
