@@ -368,6 +368,12 @@ object Pipeline {
     * in place cut the ngram pair pipeline 43%. Two distinct shingles
     * colliding in 64 bits is ~n²/2⁶⁵ — the [[minhashCandPairs]]
     * budget, and the string-keyed oracle agrees absent a collision.
+    * Deployment threshold (SURVEY §7.4): ~1 expected collision at
+    * n ≈ 5×10⁹ distinct shingles; a collision merges one shingle
+    * pair (an extra candidate / a df overcount — conservative), and
+    * past the threshold the escape hatch is a two-seed 128-bit
+    * identity (a second xxhash64 with a distinct constant first arg,
+    * joins keyed on the pair).
     */
   private def shingleHashCol(w: Column): Column =
     when(size(w) >= 3,
