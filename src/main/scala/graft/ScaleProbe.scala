@@ -131,6 +131,14 @@ object ScaleProbe {
     // BM25 batch scoring (posting materialization + candidate-bounded
     // scoring), and the declared brute-force baseline for contrast.
     isolate()
+    // the learned-quantizer training (round 12): the Lloyd E/M chain
+    // over the full corpus, measured on its own line — this is the
+    // "train the index" cost every ANN system amortizes, and its
+    // growth curve (linear-ish in the corpus: three broadcast E-steps
+    // + bounded M-steps) is the scale claim to verify
+    val t9b = System.nanoTime()
+    queries.Pipeline.ensureKmeansCentroids(spark, dir)
+    val tKmTrain = secsSince(t9b)
     val t10 = System.nanoTime()
     queries.Pipeline.ensureIvfLayout(spark, dir)
     val tIvfLayout = secsSince(t10)
@@ -229,7 +237,8 @@ object ScaleProbe {
       s""""keepmap_sec":$tKeepMap,"manifest_sec":$tManifest,""" +
       s""""index_sec":$tIndex,"base_state_sec":$tBaseState,""" +
       s""""incr_sec":$tIncr,"incr_rounds":$incrRounds,"signal_sec":$tSignal,""" +
-      s""""ivf_layout_sec":$tIvfLayout,"nprobe_sec":$tNprobe,"pq_sec":$tPq,""" +
+      s""""km_train_sec":$tKmTrain,"ivf_layout_sec":$tIvfLayout,""" +
+      s""""nprobe_sec":$tNprobe,"pq_sec":$tPq,""" +
       s""""bm25_sec":$tBm25,"brute_sec":$tBrute,""" +
       s""""bm25_incr_sec":$tBm25Incr,"ann_incr_sec":$tAnnIncr,""" +
       s""""spans_sec":$tSpans,"health_sec":$tHealth,"recluster_sec":$tRecluster,""" +

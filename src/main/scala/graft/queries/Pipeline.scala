@@ -281,6 +281,131 @@ object Pipeline {
     s"""SELECT s, COUNT(*) AS df FROM (${shinglesSqlFrom("documents")})
        |GROUP BY s ORDER BY df DESC, s LIMIT 25""".stripMargin
 
+  // ------------------------------------------------------ BPE trainer
+
+  /** Merge rounds of the BPE trainer — the `x_kmeans_converge`
+    * horizon discipline: a fixed, oracle-checkable round count; a
+    * real tokenizer run iterates the same step to its target vocab
+    * size.
+    */
+  private val BPE_ROUNDS = 3
+
+  /** Word-frequency vocabulary with per-word symbol strings — the
+    * state a BPE trainer iterates on. THE scale pivot of the whole
+    * operator: the corpus is touched exactly once (one groupBy
+    * collapsing it to its Zipf-bounded vocabulary), and every merge
+    * round thereafter runs over the VOCAB, not the corpus — the
+    * standard word-frequency-dict formulation of BPE training.
+    * Symbols are space-delimited characters with sentinel spaces at
+    * both ends (` h e l l o `), so a merge is a string replace with
+    * unambiguous boundaries. Empty tokens carry no symbols and are
+    * excluded by declared semantics.
+    */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(explode(words($"text")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "concat(' ', array_join(transform(sequence(1, length(w)), " +
+          "i -> substr(w, i, 1)), ' '), ' ')"))
+  }
+
+  /** Frequency of each adjacent symbol pair across the vocabulary,
+    * weighted by word frequency — the statistic a BPE round argmaxes.
+    * Key space is the symbol-pair vocabulary (bounded), never the
+    * corpus.
+    */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), split(trim(col("syms")), " ").as("sy"))
+      .select(col("freq"), explode(expr(
+        "CASE WHEN size(sy) >= 2 THEN " +
+          "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i + 1] AS b)) " +
+          "ELSE array() END")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pair_count"))
+
+  /** Byte-pair-encoding tokenizer training, [[BPE_ROUNDS]] rounds —
+    * the step every in-house tokenizer pipeline runs over its corpus:
+    * per round, the highest-frequency adjacent symbol pair (ties
+    * count DESC, then (a, b) — fully deterministic) becomes a merge,
+    * and the vocabulary's symbol strings fuse that pair in place.
+    * Output is the merge table (round, a, b, pair_count) — the
+    * artifact BPE training EXISTS to produce, ≤ [[BPE_ROUNDS]] rows
+    * at any corpus size (driver-held merge metadata, the codebook /
+    * centroid pattern).
+    *
+    * Merge application semantics (cross-engine exact by
+    * construction): two left-to-right non-overlapping
+    * `replace(syms, " a b ", " a$b ")` passes. One pass can skip a
+    * pair whose leading space was consumed by the immediately
+    * preceding match (` a b a b ` → ` ab a b `); the second pass
+    * catches exactly those, and BOTH engines' replace is the same
+    * left-to-right scan, so the oracle is bit-identical whatever the
+    * adjacency pattern. Per round: one vocab-keyed aggregate + a
+    * 1-row TakeOrdered (the merge decision is index metadata), then a
+    * map-side replace over the vocab.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var vocab = bpeVocab(s, dir).localCheckpoint()
+    val rounds = (1 to BPE_ROUNDS).map { r =>
+      val top = bpePairCounts(vocab)
+        .orderBy($"pair_count".desc, $"a", $"b").limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      // literal-argument replace (no SQL-string interpolation — a
+      // symbol containing a quote must not become syntax)
+      val pat = lit(s" $a $b ")
+      val rep = lit(s" $a$b ")
+      vocab = vocab.withColumn("syms",
+          replace(replace($"syms", pat, rep), pat, rep))
+        .localCheckpoint()
+      (r, a, b, cnt)
+    }
+    rounds.toDF("round", "a", "b", "pair_count").orderBy($"round")
+  }
+
+  /** DuckDB twin of [[bpeMerges]] — the same rounds chained as CTEs
+    * (the `kmeansConverge` oracle pattern: ONE definition of the
+    * round step, instantiated per round).
+    */
+  lazy val bpeMergesSql: String = {
+    def pairs(v: String, out: String): String =
+      s"""$out AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |        i -> {'a': sy[i], 'b': sy[i + 1]})) AS p
+         |    FROM (SELECT freq, string_split(trim(syms), ' ') AS sy FROM $v))
+         |  GROUP BY 1, 2)""".stripMargin
+    def top(p: String, out: String): String =
+      s"$out AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+    def merge(v: String, m: String, out: String): String =
+      s"""$out AS (
+         |  SELECT w, freq,
+         |    replace(replace(syms, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+         |            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS syms
+         |  FROM $v, $m)""".stripMargin
+    val ctes = (1 to BPE_ROUNDS).flatMap { r =>
+      Seq(pairs(s"v${r - 1}", s"p$r"), top(s"p$r", s"m$r")) ++
+        (if (r < BPE_ROUNDS) Seq(merge(s"v${r - 1}", s"m$r", s"v$r")) else Nil)
+    }.mkString(",\n")
+    val sel = (1 to BPE_ROUNDS).map(r =>
+      if (r == 1) "SELECT 1 AS round, a, b, cnt AS pair_count FROM m1"
+      else s"  UNION ALL SELECT $r, a, b, cnt FROM m$r").mkString("\n")
+    s"""WITH v0 AS (
+       |  SELECT w, COUNT(*) AS freq,
+       |    ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+       |        i -> substr(w, i, 1)), ' ') || ' ' AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1
+       |  GROUP BY w),
+       |$ctes
+       |SELECT * FROM (
+       |  $sel)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Per-source duplication report — the corpus-health panel a
     * pipeline owner reads before deciding which sources to keep:
     * document count, distinct normalized-text count, duplicate count,
@@ -7159,6 +7284,7 @@ object Pipeline {
     "x_chunk_clean"    -> chunkClean _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
+    "x_bpe_merges"     -> bpeMerges _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_session_window" -> sessionWindow _,
@@ -7247,6 +7373,7 @@ object Pipeline {
     "x_chunk_clean"    -> chunkCleanSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
+    "x_bpe_merges"     -> bpeMergesSql,
     "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle

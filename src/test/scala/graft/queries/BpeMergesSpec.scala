@@ -1,0 +1,57 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-derived BPE training rounds: the classic low/lower/lowest
+  * corpus pins argmax + tie-break + merge chaining, and an
+  * abutting-pair corpus pins the two-pass replace rule the operator
+  * declares (one replace pass skips a pair whose leading space the
+  * previous match consumed; the second pass catches exactly those).
+  */
+class BpeMergesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("bpeMerges: low/lower/lowest — count ties break to symbol order, merges chain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe-").toString
+    try {
+      Seq((1L, "low low lower"), (2L, "low lowest"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // vocab: low×3, lower×1, lowest×1
+      // round 1 pairs: (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1, (e,s)=1,
+      //   (s,t)=1 — tie at 5 breaks to 'l' < 'o' → merge (l,o)
+      // round 2: (lo,w)=5 → merge; round 3: (low,e)=2 → merge
+      val got = Pipeline.bpeMerges(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSeq == Seq(
+        (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)),
+        s"merge table must match hand-derived BPE rounds: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("bpeMerges: abutting pairs fuse under the two-pass replace rule") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe-abut-").toString
+    try {
+      Seq((1L, "aaaa aaaa"), (2L, "ab"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Pipeline.bpeMerges(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // round 1: 'aaaa' (freq 2) holds 3 adjacent (a,a) pairs → 6;
+      // ' a a a a ' fuses to ' aa aa ' only because of the second
+      // replace pass (pass 1 alone leaves ' aa a a ')
+      assert(got(0) == ((1, "a", "a", 6L)), s"round 1: ${got.toSeq}")
+      // round 2: (aa,aa)=2 beats (a,b)=1
+      assert(got(1) == ((2, "aa", "aa", 2L)), s"round 2: ${got.toSeq}")
+      // round 3: 'aaaa' is a single symbol now; only (a,b) remains
+      assert(got(2) == ((3, "a", "b", 1L)), s"round 3: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+}
