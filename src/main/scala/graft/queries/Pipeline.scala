@@ -349,6 +349,17 @@ object Pipeline {
     */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bpeTrain(s, dir)._1.toDF("round", "a", "b", "pair_count")
+      .orderBy($"round")
+  }
+
+  /** The shared training loop: the merge-table rows AND the
+    * post-merge vocabulary, so [[bpeMerges]] (the merge table) and
+    * [[bpeSegment]] (its application) run the identical rounds.
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import s.implicits._
     var vocab = bpeVocab(s, dir).localCheckpoint()
     val rounds = (1 to BPE_ROUNDS).map { r =>
       val top = bpePairCounts(vocab)
@@ -363,14 +374,48 @@ object Pipeline {
         .localCheckpoint()
       (r, a, b, cnt)
     }
-    rounds.toDF("round", "a", "b", "pair_count").orderBy($"round")
+    (rounds, vocab)
   }
 
-  /** DuckDB twin of [[bpeMerges]] — the same rounds chained as CTEs
-    * (the `kmeansConverge` oracle pattern: ONE definition of the
-    * round step, instantiated per round).
+  /** Tokenizer-fit audit — [[bpeMerges]]' application, the eval that
+    * ships with the trainer (the repo's standing
+    * classifier-with-its-confusion-matrix discipline): segment every
+    * corpus token with the learned merges and report, per language,
+    * token count, character count, post-merge symbol count, and
+    * `compression_ppm` = symbols per character in integer ppm — the
+    * "how well does this tokenizer fit each language" number a
+    * multilingual pipeline reads before committing to a vocab.
+    * Scale shape: the vocabulary (with per-word symbol counts) is
+    * bounded and broadcasts; the corpus-side explode is map-side into
+    * a lang-keyed (bounded) aggregate — one corpus pass, no
+    * corpus-sized shuffle. The ppm division runs in DECIMAL(38,0):
+    * chars × 1e6 overflows int64 exactly at the corpus sizes this is
+    * designed for.
     */
-  lazy val bpeMergesSql: String = {
+  def bpeSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeTrain(s, dir)._2
+      .select($"w", size(split(trim($"syms"), " ")).cast("long").as("ns"))
+    Tables(s, dir, "documents")
+      .select($"lang", explode(words($"text")).as("w"))
+      .filter(length($"w") >= 1)
+      .join(broadcast(vocab), "w")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length($"w").cast("long")).as("n_chars"),
+        sum($"ns").as("n_syms"))
+      .withColumn("compression_ppm", expr(
+        "(CAST(n_syms AS DECIMAL(38,0)) * 1000000) div CAST(n_chars AS DECIMAL(38,0))")
+        .cast("long"))
+      .orderBy($"lang")
+  }
+
+  /** The BPE oracle's chained-CTE WITH body (the `kmeansConverge`
+    * oracle pattern: ONE definition of the round step, instantiated
+    * per round). `withFinalVocab` also emits the post-round-N merge
+    * (`v$BPE_ROUNDS`) for the segmentation oracle.
+    */
+  private def bpeCtesSql(withFinalVocab: Boolean): String = {
     def pairs(v: String, out: String): String =
       s"""$out AS (
          |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -388,23 +433,44 @@ object Pipeline {
          |  FROM $v, $m)""".stripMargin
     val ctes = (1 to BPE_ROUNDS).flatMap { r =>
       Seq(pairs(s"v${r - 1}", s"p$r"), top(s"p$r", s"m$r")) ++
-        (if (r < BPE_ROUNDS) Seq(merge(s"v${r - 1}", s"m$r", s"v$r")) else Nil)
+        (if (r < BPE_ROUNDS || withFinalVocab)
+          Seq(merge(s"v${r - 1}", s"m$r", s"v$r")) else Nil)
     }.mkString(",\n")
-    val sel = (1 to BPE_ROUNDS).map(r =>
-      if (r == 1) "SELECT 1 AS round, a, b, cnt AS pair_count FROM m1"
-      else s"  UNION ALL SELECT $r, a, b, cnt FROM m$r").mkString("\n")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT w, COUNT(*) AS freq,
        |    ' ' || array_to_string(list_transform(range(1, len(w) + 1),
        |        i -> substr(w, i, 1)), ' ') || ' ' AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) >= 1
        |  GROUP BY w),
-       |$ctes
+       |$ctes""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeMerges]]. */
+  lazy val bpeMergesSql: String = {
+    val sel = (1 to BPE_ROUNDS).map(r =>
+      if (r == 1) "SELECT 1 AS round, a, b, cnt AS pair_count FROM m1"
+      else s"  UNION ALL SELECT $r, a, b, cnt FROM m$r").mkString("\n")
+    s"""WITH ${bpeCtesSql(withFinalVocab = false)}
        |SELECT * FROM (
        |  $sel)
        |ORDER BY round""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeSegment]]. */
+  lazy val bpeSegmentSql: String =
+    s"""WITH ${bpeCtesSql(withFinalVocab = true)},
+       |vs AS (
+       |  SELECT w, CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS ns
+       |  FROM v$BPE_ROUNDS)
+       |SELECT lang, COUNT(*) AS n_tokens,
+       |  CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(ns) AS BIGINT) AS n_syms,
+       |  CAST(SUM(ns) * 1000000 // SUM(len(w)) AS BIGINT) AS compression_ppm
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |JOIN vs USING (w)
+       |WHERE len(w) >= 1
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Per-source duplication report — the corpus-health panel a
     * pipeline owner reads before deciding which sources to keep:
@@ -7285,6 +7351,7 @@ object Pipeline {
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
+    "x_bpe_segment"    -> bpeSegment _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_session_window" -> sessionWindow _,
@@ -7374,6 +7441,7 @@ object Pipeline {
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,
+    "x_bpe_segment"    -> bpeSegmentSql,
     "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle

@@ -35,6 +35,26 @@ class BpeMergesSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("bpeSegment: per-lang symbol/char compression from the same merges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe-seg-").toString
+    try {
+      Seq((1L, "low low lower", "en"), (2L, "low lowest", "de"))
+        .toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // merges (l,o), (lo,w), (low,e) → post-merge symbol counts:
+      //   low = 1, lower = 2 ('lowe', 'r'), lowest = 3 ('lowe','s','t')
+      // en: 3 tokens, 11 chars, 4 syms → 363636 ppm
+      // de: 2 tokens,  9 chars, 4 syms → 444444 ppm
+      val got = Pipeline.bpeSegment(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == Seq(
+        ("de", 2L, 9L, 4L, 444444L), ("en", 3L, 11L, 4L, 363636L)),
+        s"per-lang segmentation stats must match hand values: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("bpeMerges: abutting pairs fuse under the two-pass replace rule") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bpe-abut-").toString
