@@ -357,7 +357,9 @@ object Pipeline {
     * post-merge vocabulary, so [[bpeMerges]] (the merge table) and
     * [[bpeSegment]] (its application) run the identical rounds.
     */
-  private def bpeTrain(s: SparkSession, dir: String)
+  // private[queries]: BpeMergesSpec pins the lossless-merge invariant
+  // over the trained vocabulary directly
+  private[queries] def bpeTrain(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
     var vocab = bpeVocab(s, dir).localCheckpoint()

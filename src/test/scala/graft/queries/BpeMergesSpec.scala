@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -52,6 +53,30 @@ class BpeMergesSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(
         ("de", 2L, 9L, 4L, 444444L), ("en", 3L, 11L, 4L, 363636L)),
         s"per-lang segmentation stats must match hand values: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("bpeTrain: merging is lossless — post-merge symbols reassemble every word, counts shrink") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe-lossless-").toString
+    try {
+      // adversarial shapes: self-overlapping runs, palindromic
+      // alternation, shared prefixes/suffixes, a singleton char
+      Seq((1L, "abab abab baba aabb abba"), (2L, "aaaa aab bba b"),
+          (3L, "banana bandana ananas"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val vocab = Pipeline.bpeTrain(spark, dir)._2
+        .select(col("w"), col("syms")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(vocab.nonEmpty)
+      vocab.foreach { case (w, syms) =>
+        assert(syms.replace(" ", "") == w,
+          s"merges must never corrupt the word: '$w' vs '$syms'")
+        val n = syms.trim.split(" ").length
+        assert(n >= 1 && n <= w.length,
+          s"symbol count must stay within [1, chars]: '$w' → '$syms'")
+      }
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
