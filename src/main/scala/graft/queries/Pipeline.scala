@@ -1291,6 +1291,73 @@ object Pipeline {
     * pre-collapse and cap included (LSH recall is part of the
     * operator's semantics).
     */
+  /** Character-prefix cap of the edit-distance verification: lev is
+    * O(len_a · len_b) PER PAIR, so unbounded document lengths would
+    * make one 100 KB pair cost 10¹⁰ cell updates. The declared
+    * semantics compare the first [[EDIT_PREFIX]] characters — the
+    * standard bounded-cost variant, applied identically in the
+    * oracle.
+    */
+  private val EDIT_PREFIX = 512
+
+  /** Candidate pairs at or under this edit-distance share (ppm of the
+    * longer prefix) verify as duplicates: 20% — the near-dup family's
+    * working band (a rate-4 planted mutation edits ~25% of tokens and
+    * is a designed catch).
+    */
+  private val EDIT_PPM_MAX = 200000L
+
+  /** Exact edit-distance verification of the LSH candidate pairs —
+    * the verify stage a production near-dup pipeline runs after
+    * approximate candidate generation, at the character level (the
+    * shingle-level verifies are [[minhashLsh]]'s exact Jaccard and
+    * [[minhashEst]]'s estimator audit; edit distance catches
+    * transpositions and in-word edits that whole-token shingles
+    * round off). Per banded candidate: Levenshtein distance over the
+    * [[EDIT_PREFIX]]-char prefixes, the longer prefix length, the
+    * distance share in integer ppm, and the verify verdict at
+    * [[EDIT_PPM_MAX]].
+    *
+    * Scale shape: candidates are [[BAND_CAP]]-bounded and BROADCAST;
+    * each text lookup is a map-side probe of the corpus scan (two
+    * scans, zero shuffle of the corpus), and the O(prefix²) kernel
+    * runs once per candidate — never per corpus row. Both engines'
+    * `levenshtein` is the standard unit-cost
+    * insert/delete/substitute distance, so the oracle is exact.
+    */
+  def editVerify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashCandPairs(s, dir, withSig = false)
+      .select($"a_id", $"b_id")
+    val t = Tables(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, EDIT_PREFIX).as("t"))
+    val withA = t.select($"doc_id".as("a_id"), $"t".as("ta"))
+      .join(broadcast(pairs), "a_id")
+    t.select($"doc_id".as("b_id"), $"t".as("tb"))
+      .join(broadcast(withA), "b_id")
+      .select($"a_id", $"b_id",
+        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        greatest(length($"ta"), length($"tb"), lit(1)).cast("long").as("max_len"))
+      .withColumn("edit_ppm", expr("(edit_dist * 1000000) div max_len"))
+      .withColumn("verified", $"edit_ppm" <= EDIT_PPM_MAX)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  lazy val editVerifySql: String =
+    s"""WITH $minhashCandCtesSql,
+       |pr AS (SELECT a_id, b_id FROM inter),
+       |t AS (SELECT doc_id, substr(text, 1, $EDIT_PREFIX) AS t FROM documents)
+       |SELECT p.a_id, p.b_id,
+       |  CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+       |  CAST(greatest(len(ta.t), len(tb.t), 1) AS BIGINT) AS max_len,
+       |  CAST((levenshtein(ta.t, tb.t) * 1000000)
+       |    // greatest(len(ta.t), len(tb.t), 1) AS BIGINT) AS edit_ppm,
+       |  (levenshtein(ta.t, tb.t) * 1000000)
+       |    // greatest(len(ta.t), len(tb.t), 1) <= $EDIT_PPM_MAX AS verified
+       |FROM pr p JOIN t ta ON p.a_id = ta.doc_id
+       |  JOIN t tb ON p.b_id = tb.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Linear pipeline, no self-join (see ngramJaccard note) — the
@@ -7330,6 +7397,7 @@ object Pipeline {
     "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
     "x_minhash_lsh"    -> minhashLsh _,
+    "x_edit_verify"    -> editVerify _,
     "x_simhash"        -> simhash _,
     "x_simhash_pairs"  -> simhashPairs _,
     "x_dedup_clusters" -> dedupClusters _,
@@ -7420,6 +7488,7 @@ object Pipeline {
     "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,
     "x_minhash_lsh"    -> minhashLshSql,
+    "x_edit_verify"    -> editVerifySql,
     "x_simhash"        -> simhashSql,
     "x_simhash_pairs"  -> simhashPairsSql,
     "x_dedup_clusters" -> dedupClustersSql,

@@ -112,4 +112,26 @@ class LshBoundSpec extends AnyFunSuite {
     assert(mh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
       s"expected rep pair (1,2) in minhashLsh output: ${mh.mkString(", ")}")
   }
+
+  test("editVerify: candidate pairs carry exact prefix Levenshtein, verdict at the ppm band") {
+    val base = (1 to 20).map(i => f"t$i%02d").mkString(" ") // 20 words, 79 chars
+    val dir = corpusDir(Seq(
+      1L -> base,
+      2L -> (base + " extra"), // one appended word: lev = 6, len 85
+      3L -> (1 to 20).map(i => f"z$i%02d").mkString(" "))) // disjoint shingles
+    try {
+      val got = Pipeline.editVerify(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      // (1,2) band together (B's shingles ⊃ A's; md5 is fixed, so the
+      // shared min-slots are deterministic) and verify at 6/85
+      assert(got.contains((1L, 2L)),
+        s"near-identical pair must survive banding: ${got.keySet}")
+      assert(got((1L, 2L)) == ((6L, 85L, 6000000L / 85L, true)),
+        s"exact prefix lev + ppm + verdict: ${got((1L, 2L))}")
+      // the disjoint doc shares no shingle, so no band, no pair
+      assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+        s"disjoint doc must not reach the verify stage: ${got.keySet}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
