@@ -301,16 +301,14 @@ object Pipeline {
     * unambiguous boundaries. Empty tokens carry no symbols and are
     * excluded by declared semantics.
     */
-  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
-      .select(explode(words($"text")).as("w"))
-      .filter(length($"w") >= 1)
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
+  private def bpeVocabOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", expr(
         "concat(' ', array_join(transform(sequence(1, length(w)), " +
           "i -> substr(w, i, 1)), ' '), ' ')"))
-  }
 
   /** Frequency of each adjacent symbol pair across the vocabulary,
     * weighted by word frequency — the statistic a BPE round argmaxes.
@@ -360,23 +358,67 @@ object Pipeline {
   // private[queries]: BpeMergesSpec pins the lossless-merge invariant
   // over the trained vocabulary directly
   private[queries] def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainOf(s, Tables(s, dir, "documents"))
+
+  /** The training loop over an arbitrary documents source — shared by
+    * [[bpeMerges]]/[[bpeSegment]] (full corpus) and [[bpeDrift]]
+    * (base slice vs full). A corpus that runs out of adjacent pairs
+    * before the horizon stops early — the merge table is simply
+    * shorter, mirroring the oracle's empty-CTE propagation.
+    */
+  private def bpeTrainOf(s: SparkSession, docs: DataFrame)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
-    var vocab = bpeVocab(s, dir).localCheckpoint()
-    val rounds = (1 to BPE_ROUNDS).map { r =>
-      val top = bpePairCounts(vocab)
-        .orderBy($"pair_count".desc, $"a", $"b").limit(1).collect()(0)
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      // literal-argument replace (no SQL-string interpolation — a
-      // symbol containing a quote must not become syntax)
-      val pat = lit(s" $a $b ")
-      val rep = lit(s" $a$b ")
-      vocab = vocab.withColumn("syms",
-          replace(replace($"syms", pat, rep), pat, rep))
-        .localCheckpoint()
-      (r, a, b, cnt)
+    var vocab = bpeVocabOf(docs).localCheckpoint()
+    val rounds = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    (1 to BPE_ROUNDS).foreach { r =>
+      if (!exhausted) {
+        bpePairCounts(vocab)
+          .orderBy($"pair_count".desc, $"a", $"b").limit(1)
+          .collect().headOption match {
+          case None => exhausted = true
+          case Some(top) =>
+            val (a, b, cnt) =
+              (top.getString(0), top.getString(1), top.getLong(2))
+            // literal-argument replace (no SQL-string interpolation —
+            // a symbol containing a quote must not become syntax)
+            val pat = lit(s" $a $b ")
+            val rep = lit(s" $a$b ")
+            vocab = vocab.withColumn("syms",
+                replace(replace($"syms", pat, rep), pat, rep))
+              .localCheckpoint()
+            rounds += ((r, a, b, cnt))
+        }
+      }
     }
-    (rounds, vocab)
+    (rounds.toList, vocab)
+  }
+
+  /** Tokenizer-staleness monitor — the BPE member of the repo's
+    * stale-stats family (`x_bm25_incr`'s df, `x_ivf_drift`'s
+    * centroids, the fluency gate's bigram table): a tokenizer is
+    * trained once and served while the corpus keeps growing, so the
+    * question a compaction run answers is "would today's corpus still
+    * produce yesterday's merges?". Per round, the merge the BASE
+    * slice produces next to the merge the FULL corpus produces, and
+    * a `drifted` verdict — any flipped round means the served vocab
+    * no longer matches what training would emit (and every later
+    * round inherits the divergence, since merges chain). Costs two
+    * vocab-sized training runs — corpus touched twice, everything
+    * else bounded.
+    */
+  def bpeDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val base = bpeTrainOf(s, docs.filter(!defaultBatchPred))._1
+    val full = bpeTrainOf(s, docs)._1
+    val rows = base.zip(full).map { case ((r, ba, bb, _), (_, fa, fb, _)) =>
+      (r, ba, bb, fa, fb, ba != fa || bb != fb)
+    }
+    rows.toDF("round", "base_a", "base_b", "full_a", "full_b", "drifted")
+      .orderBy($"round")
   }
 
   /** Tokenizer-fit audit — [[bpeMerges]]' application, the eval that
@@ -417,7 +459,8 @@ object Pipeline {
     * per round). `withFinalVocab` also emits the post-round-N merge
     * (`v$BPE_ROUNDS`) for the segmentation oracle.
     */
-  private def bpeCtesSql(withFinalVocab: Boolean): String = {
+  private def bpeCtesSql(withFinalVocab: Boolean, pfx: String = "",
+      docWhere: String = ""): String = {
     def pairs(v: String, out: String): String =
       s"""$out AS (
          |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -434,15 +477,17 @@ object Pipeline {
          |            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS syms
          |  FROM $v, $m)""".stripMargin
     val ctes = (1 to BPE_ROUNDS).flatMap { r =>
-      Seq(pairs(s"v${r - 1}", s"p$r"), top(s"p$r", s"m$r")) ++
+      Seq(pairs(s"${pfx}v${r - 1}", s"${pfx}p$r"),
+          top(s"${pfx}p$r", s"${pfx}m$r")) ++
         (if (r < BPE_ROUNDS || withFinalVocab)
-          Seq(merge(s"v${r - 1}", s"m$r", s"v$r")) else Nil)
+          Seq(merge(s"${pfx}v${r - 1}", s"${pfx}m$r", s"${pfx}v$r")) else Nil)
     }.mkString(",\n")
-    s"""v0 AS (
+    s"""${pfx}v0 AS (
        |  SELECT w, COUNT(*) AS freq,
        |    ' ' || array_to_string(list_transform(range(1, len(w) + 1),
        |        i -> substr(w, i, 1)), ' ') || ' ' AS syms
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents $docWhere)
        |  WHERE len(w) >= 1
        |  GROUP BY w),
        |$ctes""".stripMargin
@@ -454,6 +499,28 @@ object Pipeline {
       if (r == 1) "SELECT 1 AS round, a, b, cnt AS pair_count FROM m1"
       else s"  UNION ALL SELECT $r, a, b, cnt FROM m$r").mkString("\n")
     s"""WITH ${bpeCtesSql(withFinalVocab = false)}
+       |SELECT * FROM (
+       |  $sel)
+       |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeDrift]] — base-slice chain and full-corpus
+    * chain side by side, one row per round both sides produced.
+    */
+  lazy val bpeDriftSql: String = {
+    val sel = (1 to BPE_ROUNDS).map { r =>
+      val row = s"SELECT $r${if (r == 1) " AS round" else ""}, " +
+        s"b.a${if (r == 1) " AS base_a" else ""}, " +
+        s"b.b${if (r == 1) " AS base_b" else ""}, " +
+        s"f.a${if (r == 1) " AS full_a" else ""}, " +
+        s"f.b${if (r == 1) " AS full_b" else ""}, " +
+        s"(b.a <> f.a OR b.b <> f.b)${if (r == 1) " AS drifted" else ""} " +
+        s"FROM bm$r b, fm$r f"
+      if (r == 1) row else s"  UNION ALL $row"
+    }.mkString("\n")
+    s"""WITH ${bpeCtesSql(withFinalVocab = false, pfx = "b",
+          docWhere = s"WHERE NOT ($defaultBatchCondSql)")},
+       |${bpeCtesSql(withFinalVocab = false, pfx = "f")}
        |SELECT * FROM (
        |  $sel)
        |ORDER BY round""".stripMargin
@@ -7422,6 +7489,7 @@ object Pipeline {
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
     "x_bpe_segment"    -> bpeSegment _,
+    "x_bpe_drift"      -> bpeDrift _,
     "x_token_sketch"   -> tokenSketch _,
     "x_sessionize"     -> sessionize _,
     "x_session_window" -> sessionWindow _,
@@ -7513,6 +7581,7 @@ object Pipeline {
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,
     "x_bpe_segment"    -> bpeSegmentSql,
+    "x_bpe_drift"      -> bpeDriftSql,
     "x_token_sketch"   -> tokenSketchSql,
     "x_sessionize"     -> sessionizeSql,
     "x_session_window" -> sessionizeSql, // native op, same semantics & oracle

@@ -80,6 +80,26 @@ class BpeMergesSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("bpeDrift: a batch arrival flips the argmax; exhausted rounds drop from both sides") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe-drift-").toString
+    try {
+      // base (ids ∉ batch): (x,y)=3, (a,b)=1 → merges (x,y) then (a,b)
+      // full (+id 7 "ab ab ab ab"): (a,b)=5 beats (x,y)=3 → merges flip
+      // both sides exhaust after round 2 → 2 rows, not 3
+      Seq((1L, "xy xy xy"), (2L, "ab"), (7L, "ab ab ab ab"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Pipeline.bpeDrift(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getBoolean(5)))
+      assert(got.toSeq == Seq(
+        (1, "x", "y", "a", "b", true),
+        (2, "a", "b", "x", "y", true)),
+        s"planted batch must flip both rounds, third round exhausts: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("bpeMerges: abutting pairs fuse under the two-pass replace rule") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bpe-abut-").toString
