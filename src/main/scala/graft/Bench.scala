@@ -46,6 +46,12 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 12 (3): two more new queries (x_edit_verify 8.62 — the
+    * banded candidate pipeline plus the per-pair Levenshtein kernel,
+    * the x_minhash_lsh cost band; x_bpe_drift 2.22) recorded from two
+    * identical-code quiet full-suite runs (totals 102.3 / 102.4 s;
+    * max of min-of-2, doubled); no existing entries move.
+    *
     * Round 12 (2): the session's two new queries (x_bpe_merges 1.29,
     * x_bpe_segment 1.60) recorded from two identical-code quiet
     * full-suite runs (totals 98.0 / 91.3 s; max of min-of-2,
@@ -207,6 +213,8 @@ object Bench {
     "x_hybrid_rank" -> 1.83,
     "x_bm25_incr" -> 1.85,
     "x_bpe_merges" -> 1.29,
+    "x_bpe_drift" -> 2.22,
+    "x_edit_verify" -> 8.62,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
