@@ -46,6 +46,36 @@ class PlanSpec extends AnyFunSuite {
       "top-k must be TakeOrderedAndProject, not Sort+Limit:\n" + p.take(2000))
   }
 
+  test("x_ann_ivf: learned-cell assignment is a projection — no assignment shuffle joins") {
+    val p = plan("x_ann_ivf")
+    // the per-row cell comes from the collected codebook (a plan
+    // constant), so the only join is the broadcast 1-row query probe —
+    // a SortMergeJoin here means the assignment regressed to a
+    // corpus-keyed join against a cells table
+    assert(p.contains("BroadcastExchange"),
+      "query probe must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "learned-cell assignment must not shuffle the corpus:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject:\n" + p.take(2000))
+  }
+
+  test("x_edit_verify: candidates broadcast into the text probes — no corpus shuffle join") {
+    val p = plan("x_edit_verify")
+    assert(p.contains("BroadcastHashJoin"),
+      "bounded candidate set must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "text lookups must stay map-side probes:\n" + p.take(2000))
+  }
+
+  test("x_bpe_segment: bounded vocab broadcasts into the corpus token pass") {
+    val p = plan("x_bpe_segment")
+    assert(p.contains("BroadcastHashJoin"),
+      "the post-merge vocab must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "segmentation must not shuffle the corpus:\n" + p.take(2000))
+  }
+
   test("x_ann_ivf_pruned: partition pruning reaches the scan") {
     val p = plan("x_ann_ivf_pruned")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
