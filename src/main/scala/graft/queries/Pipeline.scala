@@ -6514,6 +6514,102 @@ object Pipeline {
 
 
 
+  /** Heuristic-quality micro floor selecting the embedding quality
+    * filter's SEED set (≈ the fixture's top quintile). The compare is
+    * on the FLOORED integer micro score, so the threshold boundary
+    * has no cross-engine double hazard.
+    */
+  private val EMBED_QUALITY_SEED_MIN = 400000L
+
+  /** Embedding-based quality scoring seeded from the heuristic
+    * rules — the classifier-free "model-based quality filter" (the
+    * FineWeb-Edu shape with the LLM-labeled classifier replaced by a
+    * deterministic seed): docs whose heuristic score clears
+    * [[EMBED_QUALITY_SEED_MIN]] form the seed set, their floor(mean)
+    * micro-unit embedding centroid is the learned "high-quality
+    * direction", and EVERY doc scores its cosine to it in integer
+    * ppm. Reading `is_seed` against `cos_ppm` shows the agreement
+    * between the lexical and embedding views of quality before
+    * either gates anything — the [[filterAgreement]] discipline
+    * applied across feature spaces.
+    *
+    * Exactness: the centroid is floor(mean) int64 micro-units; each
+    * doc's Σa², and the dot product via the polarization identity
+    * `2·Σab = Σa² + Σc² − Σ(a−c)²` over the codegen'd [[pqDist2]]
+    * kernel, are EXACT integers (identical to the oracle's direct
+    * `SUM(mv·c)`), so the one double step (the 1e6-scaled ratio of
+    * exact ints, floored) is IEEE-identical cross-engine. Scale
+    * shape: one docs↔embeddings id join (the corpus alignment
+    * convention), a dims-keyed centroid aggregate collected as 64
+    * rows of index metadata, then a map-side score pass — no
+    * corpus-sized shuffle beyond the alignment join. Zero-norm
+    * vectors (and an empty-seed corpus) score NULL by contract.
+    */
+  def embedQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id",
+        floor(qualityCol($"text", $"w") * 1000000.0).cast("long").as("qm"))
+    val mv = Tables(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), microVec(s, $"embedding").as("mvec"))
+      .join(q, "doc_id")
+      .withColumn("is_seed", $"qm" >= EMBED_QUALITY_SEED_MIN)
+    val cent = mv.filter($"is_seed")
+      .select(posexplode($"mvec").as(Seq("pos0", "v")))
+      .groupBy($"pos0").agg(sum($"v").as("sm"), count(lit(1)).as("n"))
+      .select($"pos0", floor($"sm".cast("double") / $"n").cast("long").as("c"))
+      .orderBy($"pos0")
+      .collect().map(_.getLong(1))
+    require(cent.nonEmpty, "embedQuality: empty seed set — corpus has " +
+      s"no doc at quality >= $EMBED_QUALITY_SEED_MIN micro")
+    val bb = cent.map(c => c * c).sum
+    val cvec = typedlit(cent.toSeq)
+    val zeros = typedlit(Seq.fill(cent.length)(0L))
+    mv.select($"doc_id", $"qm", $"is_seed",
+        pqDist2(s, $"mvec", zeros).as("aa"),
+        pqDist2(s, $"mvec", cvec).as("l2"))
+      .withColumn("ab", (($"aa" + lit(bb) - $"l2") / lit(2L)).cast("long"))
+      .withColumn("cos_ppm",
+        when($"aa" === 0L || lit(bb) === 0L, lit(null).cast("long"))
+          .otherwise(floor($"ab".cast("double") * 1000000.0 /
+            (sqrt($"aa".cast("double")) * lit(math.sqrt(bb.toDouble))))
+            .cast("long")))
+      .select($"doc_id", $"qm", $"is_seed", $"cos_ppm")
+      .orderBy($"doc_id")
+  }
+
+  lazy val embedQualitySql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(floor((${qualitySql("text")}) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qm
+       |  FROM documents),
+       |emvl AS (
+       |  SELECT vec_id, pos,
+       |    CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mv
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+       |sc AS (
+       |  SELECT v.pos,
+       |    CAST(floor(CAST(CAST(SUM(v.mv) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM emvl v JOIN q ON v.vec_id = q.doc_id
+       |  WHERE q.qm >= $EMBED_QUALITY_SEED_MIN
+       |  GROUP BY v.pos),
+       |nb AS (SELECT CAST(SUM(c * c) AS BIGINT) AS bb FROM sc),
+       |d AS (
+       |  SELECT v.vec_id AS doc_id,
+       |    CAST(SUM(v.mv * s.c) AS BIGINT) AS ab,
+       |    CAST(SUM(v.mv * v.mv) AS BIGINT) AS aa
+       |  FROM emvl v JOIN sc s ON v.pos = s.pos
+       |  GROUP BY v.vec_id)
+       |SELECT q.doc_id, q.qm, q.qm >= $EMBED_QUALITY_SEED_MIN AS is_seed,
+       |  CASE WHEN d.aa = 0 OR nb.bb = 0 THEN NULL
+       |    ELSE CAST(floor(CAST(d.ab AS DOUBLE) * CAST(1000000 AS DOUBLE)
+       |      / (sqrt(CAST(d.aa AS DOUBLE)) * sqrt(CAST(nb.bb AS DOUBLE)))) AS BIGINT)
+       |  END AS cos_ppm
+       |FROM q JOIN d USING (doc_id), nb
+       |ORDER BY doc_id""".stripMargin
+
   /** Full-[[DIM]] cell centroids in micro-units — shared by
     * [[embedOutliers]] and [[annIvfNprobe]] (same floor(mean)
     * integers as the PQ codebook, assembled at full width).
@@ -7502,6 +7598,7 @@ object Pipeline {
     "x_ann_lsh_multiprobe" -> annLshMultiprobe _,
     "x_embed_near_dup" -> embedNearDup _,
     "x_embed_quantize" -> embedQuantize _,
+    "x_embed_quality"  -> embedQuality _,
     "x_tfidf_terms"    -> tfidfTerms _,
     "x_pq_codes"       -> pqCodes _,
     "x_ann_pq"         -> annPq _,
@@ -7594,6 +7691,7 @@ object Pipeline {
     "x_ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "x_embed_near_dup" -> embedNearDupSql,
     "x_embed_quantize" -> embedQuantizeSql,
+    "x_embed_quality"  -> embedQualitySql,
     "x_tfidf_terms"    -> tfidfTermsSql,
     "x_pq_codes"       -> pqCodesSql,
     "x_ann_pq"         -> annPqSql,

@@ -227,6 +227,32 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("embedQuality: seed centroid from heuristic quality; cosine ppm exact incl. sign") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("embed-quality-").toString
+    try {
+      // doc 1: all stopwords → quality 0.625 (qm 625000) → the seed;
+      // docs 2-4: junk "zz yy" → 0.08125 (qm 81250) → scored only
+      Seq((1L, "the the the the"), (2L, "zz yy"), (3L, "zz yy"), (4L, "zz yy"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // seed centroid = doc 1's (1e6, 0); cosines: +1, 0, −1
+      Seq((1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+          (3L, 1, Seq(0.0f, 1.0f)), (4L, 1, Seq(-1.0f, 0.0f)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Pipeline.embedQuality(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      assert(got.toSeq == Seq(
+        (1L, 625000L, true, Some(1000000L)),
+        (2L, 81250L, false, Some(1000000L)),
+        (3L, 81250L, false, Some(0L)),
+        (4L, 81250L, false, Some(-1000000L))),
+        s"seed/qm/cosine must match hand values: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("heuristicFilters: each rule fails independently on its planted boundary doc") {
     import spark.implicits._
     val dir = Files.createTempDirectory("heuristic-filters-").toString
