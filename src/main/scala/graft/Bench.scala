@@ -46,6 +46,10 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 12 (4): x_embed_quality 1.32 from two identical-code quiet
+    * full-suite runs (totals 101.7 / 103.8 s; max of min-of-2,
+    * doubled); no existing entries move.
+    *
     * Round 12 (3): two more new queries (x_edit_verify 8.62 — the
     * banded candidate pipeline plus the per-pair Levenshtein kernel,
     * the x_minhash_lsh cost band; x_bpe_drift 2.22) recorded from two
@@ -187,6 +191,7 @@ object Bench {
     "x_dup_src_matrix" -> 0.73,
     "x_dup_stats" -> 0.43,
     "x_embed_near_dup" -> 1.67,
+    "x_embed_quality" -> 1.32,
     "x_embed_outliers" -> 0.69,
     "x_embed_quantize" -> 0.75,
     "x_exact_dedup" -> 0.44,
