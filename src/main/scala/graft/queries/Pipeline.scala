@@ -6547,37 +6547,83 @@ object Pipeline {
     */
   def embedQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q = Tables(s, dir, "documents")
+    val q = qualityMicroOf(s, dir)
+    val cent = corpusQualityCentroid(s, dir)
+    Tables(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(q, "doc_id")
+      .select($"doc_id", $"qm",
+        ($"qm" >= EMBED_QUALITY_SEED_MIN).as("is_seed"),
+        cosPpmCol(s, $"embedding", cent).as("cos_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, qm) — the floored integer micro heuristic-quality score
+    * per document (the [[keepBestDecision]] statistic, factored for
+    * the embed-quality family).
+    */
+  private def qualityMicroOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
       .select($"doc_id", $"text", words($"text").as("w"))
       .select($"doc_id",
         floor(qualityCol($"text", $"w") * 1000000.0).cast("long").as("qm"))
-    val mv = Tables(s, dir, "embeddings")
+  }
+
+  /** The seed-quality centroid in micro-units over an arbitrary
+    * corpus slice — [[embedQuality]]'s "high-quality direction" as a
+    * collectable artifact for the STREAMING gate
+    * ([[graft.streaming.Streams.qualityDirGate]]): 64 longs, so the
+    * broadcast-budget question the bigram table needed a cap for is
+    * moot here. `pred` excludes the arriving batch for the stale-
+    * artifact contract (pass [[defaultBatchPred]]'s negation or a
+    * deployment's own marker); default is the full corpus (the batch
+    * operator's training slice).
+    */
+  def corpusQualityCentroid(s: SparkSession, dir: String,
+      pred: Column = lit(true)): Array[Long] = {
+    import s.implicits._
+    val q = qualityMicroOf(s, dir)
+    val cent = Tables(s, dir, "embeddings")
       .select($"vec_id".as("doc_id"), microVec(s, $"embedding").as("mvec"))
       .join(q, "doc_id")
-      .withColumn("is_seed", $"qm" >= EMBED_QUALITY_SEED_MIN)
-    val cent = mv.filter($"is_seed")
+      .filter(pred)
+      .filter($"qm" >= EMBED_QUALITY_SEED_MIN)
       .select(posexplode($"mvec").as(Seq("pos0", "v")))
       .groupBy($"pos0").agg(sum($"v").as("sm"), count(lit(1)).as("n"))
       .select($"pos0", floor($"sm".cast("double") / $"n").cast("long").as("c"))
       .orderBy($"pos0")
       .collect().map(_.getLong(1))
-    require(cent.nonEmpty, "embedQuality: empty seed set — corpus has " +
-      s"no doc at quality >= $EMBED_QUALITY_SEED_MIN micro")
-    val bb = cent.map(c => c * c).sum
-    val cvec = typedlit(cent.toSeq)
-    val zeros = typedlit(Seq.fill(cent.length)(0L))
-    mv.select($"doc_id", $"qm", $"is_seed",
-        pqDist2(s, $"mvec", zeros).as("aa"),
-        pqDist2(s, $"mvec", cvec).as("l2"))
-      .withColumn("ab", (($"aa" + lit(bb) - $"l2") / lit(2L)).cast("long"))
-      .withColumn("cos_ppm",
-        when($"aa" === 0L || lit(bb) === 0L, lit(null).cast("long"))
-          .otherwise(floor($"ab".cast("double") * 1000000.0 /
-            (sqrt($"aa".cast("double")) * lit(math.sqrt(bb.toDouble))))
-            .cast("long")))
-      .select($"doc_id", $"qm", $"is_seed", $"cos_ppm")
-      .orderBy($"doc_id")
+    require(cent.nonEmpty, "corpusQualityCentroid: empty seed set — " +
+      s"no doc at quality >= $EMBED_QUALITY_SEED_MIN micro in the slice")
+    cent
   }
+
+  /** Cosine-to-centroid in integer ppm — ONE definition shared by the
+    * batch operator ([[embedQuality]]) and the streaming gate, so the
+    * two cannot drift: exact-integer norms and polarization-identity
+    * dot over the codegen'd [[pqDist2]] kernel, one IEEE-identical
+    * double step, NULL on zero-norm (no direction = no signal).
+    */
+  private[graft] def cosPpmCol(
+      s: SparkSession, emb: Column, cent: Array[Long]): Column = {
+    val bb = cent.map(c => c * c).sum
+    val mvec = microVec(s, emb)
+    val aa = pqDist2(s, mvec, typedlit(Seq.fill(cent.length)(0L)))
+    val l2 = pqDist2(s, mvec, typedlit(cent.toSeq))
+    val ab = ((aa + lit(bb) - l2) / lit(2L)).cast("long")
+    when(aa === 0L || lit(bb) === 0L, lit(null).cast("long"))
+      .otherwise(floor(ab.cast("double") * 1000000.0 /
+        (sqrt(aa.cast("double")) * lit(math.sqrt(bb.toDouble)))).cast("long"))
+  }
+
+  /** Ingest-batch documents whose [[cosPpmCol]] score against the
+    * stale quality centroid falls under this floor are dropped by the
+    * quality-direction gate: ≈ the fixture distribution's 5th
+    * percentile (p5 ≈ −201k, median ≈ 41k) — only documents pointing
+    * measurably AWAY from the high-quality direction fail.
+    */
+  private[graft] val QUALITY_DIR_MIN = -200000L
 
   lazy val embedQualitySql: String =
     s"""WITH q AS (

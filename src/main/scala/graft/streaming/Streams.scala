@@ -284,6 +284,31 @@ object Streams {
       .drop("fluency_ppm")
   }
 
+  /** Streaming QUALITY-DIRECTION gate — the ingestion-side slice of
+    * the batch `x_embed_quality` score, the gate battery's embedding-
+    * space member: drop arriving documents whose embedding cosine to
+    * the STALE seed-quality centroid
+    * ([[graft.queries.Pipeline.corpusQualityCentroid]], refreshed at
+    * compaction cadence, 64 longs — trivially broadcast-bounded)
+    * falls under the floor. Stateless like every gate here: the
+    * centroid rides into the shared
+    * [[graft.queries.Pipeline.cosPpmCol]] scorer as plan constants
+    * (ONE score definition with the batch operator, so gate and
+    * audit cannot drift), exact-integer arithmetic up to one
+    * IEEE-identical double step. Zero-norm embeddings carry no
+    * direction and pass (NULL — the battery's no-evidence rule).
+    */
+  def qualityDirGate(
+      df: DataFrame, centroid: Array[Long],
+      floorPpm: Long = graft.queries.Pipeline.QUALITY_DIR_MIN,
+      embCol: String = "embedding"): DataFrame = {
+    val ppm = graft.queries.Pipeline.cosPpmCol(
+      df.sparkSession, col(embCol), centroid)
+    df.withColumn("qdir_ppm", ppm)
+      .filter(col("qdir_ppm").isNull || col("qdir_ppm") >= floorPpm)
+      .drop("qdir_ppm")
+  }
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

@@ -231,6 +231,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       s"under the capped table every batch doc clears the gate: $streamKept")
   }
 
+  test("qualityDirGate: stale-centroid cosine floor drops opposed docs, zero-norm passes") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // base corpus (ids ∉ batch slice): one seed-quality doc (all
+    // stopwords → qm 625000 ≥ 400000) with embedding (1, 0) — the
+    // stale centroid is exactly (1e6, 0)
+    val dir = tmp.resolve("qdir-corpus").toString
+    Seq((1L, "the the the the"), (2L, "zz yy"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cent = graft.queries.Pipeline.corpusQualityCentroid(
+      spark, dir, !graft.queries.Pipeline.defaultBatchPred)
+    assert(cent.toSeq == Seq(1000000L, 0L),
+      s"stale centroid must be the seed embedding in micro: ${cent.toSeq}")
+
+    // arriving batch: aligned (+1e6 ppm, kept), orthogonal (0, kept —
+    // above the −200000 floor), opposed (−1e6, dropped), zero-norm
+    // (no direction → NULL → passes)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = tmp.resolve("qdir-kept").toString
+    val q = Streams.qualityDirGate(
+        mem.toDF().toDF("doc_id", "embedding"), cent)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-qd").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(
+        (7L, Seq(1.0f, 0.0f)),
+        (17L, Seq(0.0f, 1.0f)),
+        (27L, Seq(-1.0f, 0.0f)),
+        (37L, Seq(0.0f, 0.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamKept == Set(7L, 17L, 37L),
+      s"gate must drop only the opposed doc: $streamKept")
+  }
+
   test("nearDupGate: fingerprint replays dropped, short docs and novel docs pass") {
     val spark0 = spark
     import spark0.implicits._
