@@ -6625,6 +6625,185 @@ object Pipeline {
     */
   private[graft] val QUALITY_DIR_MIN = -200000L
 
+  /** Batch-side audit of the stateless CONTENT gates over the
+    * arriving slice — per gate (quality, novelty, fluency,
+    * quality-direction) the batch size, pass/drop counts, and the
+    * drop rate in integer ppm, plus a `battery` row for documents
+    * clearing ALL four: the attrition report an ingest operator reads
+    * before changing a floor (the [[filterFunnel]] discipline applied
+    * to the gate battery; the dedup/media gates are keyed, not
+    * content-scored, and are audited by their own families). Every
+    * verdict reuses its gate's exact rule — quality ≥
+    * [[QUALITY_MIN]], novelty ppm vs the base shingle universe at
+    * [[NOVELTY_MIN]] (sub-shingle docs pass), mean base-bigram ppm at
+    * [[FLUENCY_MIN]] (sub-bigram or zero-matched docs pass — the
+    * no-evidence rule), cosine vs the base seed-quality centroid at
+    * [[QUALITY_DIR_MIN]] (zero-norm passes) — so the audit cannot
+    * drift from the gates it describes. Output is 5 rows at any
+    * corpus size; cost is one pass per feature family over the
+    * corpus, all aggregates bounded.
+    */
+  def gateBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    // quality: per-row rule on the batch slice
+    val qual = docs.filter(defaultBatchPred)
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id",
+        (qualityCol($"text", $"w") >= QUALITY_MIN).as("p_quality"))
+    // novelty: base-universe ppm; docs with no shingles are absent
+    // from the core and pass
+    val nov = noveltyCore(s, dir, defaultBatchPred)
+      .select($"doc_id", ($"novelty_ppm" >= NOVELTY_MIN).as("pn"))
+    // fluency: STALE-table semantics derived distributively — batch
+    // bigrams left-joined against the BASE slice's cab/ca, misses
+    // scoring 0, zero-matched docs NULL (exactly corpusBigramStats +
+    // BigramFluencyPpm's rule, re-derived as a join so the audit
+    // needs no serialized artifact)
+    val bi = docs
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(expr(
+        "CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b)) " +
+          "ELSE array() END")).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val cabBase = bi.filter(!defaultBatchPred)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val caBase = cabBase.groupBy($"a").agg(sum($"cab").as("ca"))
+    val flu = bi.filter(defaultBatchPred)
+      .join(cabBase, Seq("a", "b"), "left")
+      .join(caBase, Seq("a"), "left")
+      .select($"doc_id", $"cab", coalesce(expr(
+        "(CAST(cab AS DECIMAL(38,0)) * 1000000) div CAST(ca AS DECIMAL(38,0))")
+        .cast("long"), lit(0L)).as("sc"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nb"), count($"cab").as("nm"), sum($"sc").as("ssum"))
+      .select($"doc_id",
+        (($"nm" === 0L) || expr("ssum div nb") >= FLUENCY_MIN).as("pf"))
+    // quality direction: stale centroid from the base slice
+    val cent = corpusQualityCentroid(s, dir, !defaultBatchPred)
+    val qd = Tables(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .filter(defaultBatchPred)
+      .select($"doc_id", cosPpmCol(s, $"embedding", cent).as("cos"))
+      .select($"doc_id",
+        ($"cos".isNull || $"cos" >= QUALITY_DIR_MIN).as("pd"))
+    val v = qual
+      .join(nov, Seq("doc_id"), "left")
+      .join(flu, Seq("doc_id"), "left")
+      .join(qd, Seq("doc_id"), "left")
+      .select($"doc_id", $"p_quality",
+        coalesce($"pn", lit(true)).as("p_novelty"),
+        coalesce($"pf", lit(true)).as("p_fluency"),
+        coalesce($"pd", lit(true)).as("p_qdir"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    v.agg(count(lit(1)).as("n_batch"),
+        cnt($"p_quality").as("c_quality"), cnt($"p_novelty").as("c_novelty"),
+        cnt($"p_fluency").as("c_fluency"), cnt($"p_qdir").as("c_qdir"),
+        cnt($"p_quality" && $"p_novelty" && $"p_fluency" && $"p_qdir")
+          .as("c_all"))
+      .select(expr(
+        "stack(5, 'battery', c_all, 'fluency', c_fluency, " +
+          "'novelty', c_novelty, 'qdir', c_qdir, 'quality', c_quality) " +
+          "AS (gate, n_pass)"), $"n_batch")
+      .select($"gate", $"n_batch", $"n_pass",
+        ($"n_batch" - $"n_pass").as("n_drop"),
+        expr("((n_batch - n_pass) * 1000000) div n_batch").as("drop_ppm"))
+      .orderBy($"gate")
+  }
+
+  lazy val gateBatterySql: String =
+    s"""WITH bq AS (
+       |  SELECT doc_id,
+       |    (${qualitySql("text")}) >= CAST($QUALITY_MIN AS DOUBLE) AS pq
+       |  FROM documents WHERE $defaultBatchCondSql),
+       |gsh AS (${shinglesSqlFrom("documents")}),
+       |gbsh AS (SELECT doc_id, s FROM gsh WHERE $defaultBatchCondSql),
+       |gcsh AS (SELECT DISTINCT s FROM gsh WHERE NOT ($defaultBatchCondSql)),
+       |gnt AS (SELECT doc_id, COUNT(*) AS n FROM gbsh GROUP BY 1),
+       |gnn AS (
+       |  SELECT doc_id, COUNT(*) AS nn FROM gbsh
+       |  WHERE NOT EXISTS (SELECT 1 FROM gcsh WHERE gcsh.s = gbsh.s)
+       |  GROUP BY 1),
+       |gnov AS (
+       |  SELECT t.doc_id,
+       |    (CAST(COALESCE(nn, 0) AS BIGINT) * 1000000) // n >= $NOVELTY_MIN AS pn
+       |  FROM gnt t LEFT JOIN gnn USING (doc_id)),
+       |gd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |gt AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM gd),
+       |gbi AS (
+       |  SELECT x.doc_id, x.tok AS a, y.tok AS b
+       |  FROM gt x JOIN gt y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+       |gcab AS (
+       |  SELECT a, b, COUNT(*) AS cab FROM gbi
+       |  WHERE NOT ($defaultBatchCondSql) GROUP BY a, b),
+       |gca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM gcab GROUP BY a),
+       |gfl AS (
+       |  SELECT gbi.doc_id,
+       |    (COUNT(gcab.cab) = 0 OR
+       |     CAST(SUM(COALESCE(CAST(CAST(gcab.cab AS HUGEINT) * 1000000 // gca.ca AS BIGINT), 0)) AS BIGINT)
+       |       // COUNT(*) >= $FLUENCY_MIN) AS pf
+       |  FROM gbi LEFT JOIN gcab USING (a, b) LEFT JOIN gca USING (a)
+       |  WHERE $defaultBatchCondSql
+       |  GROUP BY gbi.doc_id),
+       |gqm AS (
+       |  SELECT doc_id,
+       |    CAST(floor((${qualitySql("text")}) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qm
+       |  FROM documents),
+       |gmvl AS (
+       |  SELECT vec_id, pos,
+       |    CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mv
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+       |gsc AS (
+       |  SELECT v.pos,
+       |    CAST(floor(CAST(CAST(SUM(v.mv) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM gmvl v JOIN gqm q ON v.vec_id = q.doc_id
+       |  WHERE NOT (q.doc_id % 10 = 7) AND q.qm >= $EMBED_QUALITY_SEED_MIN
+       |  GROUP BY v.pos),
+       |gnb AS (SELECT CAST(SUM(c * c) AS BIGINT) AS bb FROM gsc),
+       |gdot AS (
+       |  SELECT v.vec_id AS doc_id,
+       |    CAST(SUM(v.mv * s.c) AS BIGINT) AS ab,
+       |    CAST(SUM(v.mv * v.mv) AS BIGINT) AS aa
+       |  FROM gmvl v JOIN gsc s ON v.pos = s.pos
+       |  WHERE v.vec_id % 10 = 7
+       |  GROUP BY v.vec_id),
+       |gqd AS (
+       |  SELECT d.doc_id,
+       |    (d.aa = 0 OR nb.bb = 0 OR
+       |     CAST(floor(CAST(d.ab AS DOUBLE) * CAST(1000000 AS DOUBLE)
+       |       / (sqrt(CAST(d.aa AS DOUBLE)) * sqrt(CAST(nb.bb AS DOUBLE)))) AS BIGINT)
+       |       >= $QUALITY_DIR_MIN) AS pd
+       |  FROM gdot d, gnb nb),
+       |gv AS (
+       |  SELECT bq.doc_id, bq.pq,
+       |    COALESCE(gnov.pn, TRUE) AS pn,
+       |    COALESCE(gfl.pf, TRUE) AS pf,
+       |    COALESCE(gqd.pd, TRUE) AS pd
+       |  FROM bq LEFT JOIN gnov USING (doc_id)
+       |    LEFT JOIN gfl USING (doc_id)
+       |    LEFT JOIN gqd USING (doc_id)),
+       |ga AS (
+       |  SELECT COUNT(*) AS n_batch,
+       |    SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS c_quality,
+       |    SUM(CASE WHEN pn THEN 1 ELSE 0 END) AS c_novelty,
+       |    SUM(CASE WHEN pf THEN 1 ELSE 0 END) AS c_fluency,
+       |    SUM(CASE WHEN pd THEN 1 ELSE 0 END) AS c_qdir,
+       |    SUM(CASE WHEN pq AND pn AND pf AND pd THEN 1 ELSE 0 END) AS c_all
+       |  FROM gv)
+       |SELECT gate, CAST(n_batch AS BIGINT) AS n_batch,
+       |  CAST(n_pass AS BIGINT) AS n_pass,
+       |  CAST(n_batch - n_pass AS BIGINT) AS n_drop,
+       |  CAST((n_batch - n_pass) * 1000000 // n_batch AS BIGINT) AS drop_ppm
+       |FROM (
+       |  SELECT 'battery' AS gate, n_batch, c_all AS n_pass FROM ga
+       |  UNION ALL SELECT 'fluency', n_batch, c_fluency FROM ga
+       |  UNION ALL SELECT 'novelty', n_batch, c_novelty FROM ga
+       |  UNION ALL SELECT 'qdir', n_batch, c_qdir FROM ga
+       |  UNION ALL SELECT 'quality', n_batch, c_quality FROM ga)
+       |ORDER BY gate""".stripMargin
+
   lazy val embedQualitySql: String =
     s"""WITH q AS (
        |  SELECT doc_id,
@@ -7645,6 +7824,7 @@ object Pipeline {
     "x_embed_near_dup" -> embedNearDup _,
     "x_embed_quantize" -> embedQuantize _,
     "x_embed_quality"  -> embedQuality _,
+    "x_gate_battery"   -> gateBattery _,
     "x_tfidf_terms"    -> tfidfTerms _,
     "x_pq_codes"       -> pqCodes _,
     "x_ann_pq"         -> annPq _,
@@ -7738,6 +7918,7 @@ object Pipeline {
     "x_embed_near_dup" -> embedNearDupSql,
     "x_embed_quantize" -> embedQuantizeSql,
     "x_embed_quality"  -> embedQualitySql,
+    "x_gate_battery"   -> gateBatterySql,
     "x_tfidf_terms"    -> tfidfTermsSql,
     "x_pq_codes"       -> pqCodesSql,
     "x_ann_pq"         -> annPqSql,

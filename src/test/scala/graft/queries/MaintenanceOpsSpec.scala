@@ -253,6 +253,51 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("gateBattery: each content gate drops exactly its planted doc; one doc clears all") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gate-battery-").toString
+    try {
+      // base (ids ∉ batch): quality seed + shingle/bigram universe.
+      // ca(the) = 44 → P(a|the) = 90909 ppm, P(z0i|the) = 22727 ppm.
+      val zs = (1 to 40).map(i => f"the z$i%02d").mkString(" ")
+      val base = Seq(1L -> "the a the a the a the a", 2L -> zs)
+      // batch docs, one designed failure each:
+      //   7: junk "zz yy" — quality 0.081 < 0.30 (no shingles → novelty
+      //      passes; unseen bigram → zero-matched → fluency passes)
+      //  17: exact copy of base 1 — zero novel shingles (quality 0.6,
+      //      fluency mean 480519 — both pass)
+      //  27: matched-but-rare bigrams — fluency 7905 < 30000 (quality
+      //      0.354, all shingles carry 'aaa' → fully novel)
+      //  37: single token "the" — sub-shingle AND sub-bigram (both
+      //      pass), quality 0.616, but embedding OPPOSES the centroid
+      //  47: fresh shingles + two strong matched bigrams → passes all
+      val batch = Seq(
+        7L -> "zz yy",
+        17L -> "the a the a the a the a",
+        27L -> (1 to 8).map(i => f"the z$i%02d aaa").mkString(" "),
+        37L -> "the",
+        47L -> "the a fresh1 fresh2 the a")
+      (base ++ batch).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq((1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+          (7L, 0, Seq(1.0f, 0.0f)), (17L, 0, Seq(1.0f, 0.0f)),
+          (27L, 0, Seq(1.0f, 0.0f)), (37L, 0, Seq(-1.0f, 0.0f)),
+          (47L, 0, Seq(1.0f, 0.0f)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Pipeline.gateBattery(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == Seq(
+        ("battery", 5L, 1L, 4L, 800000L),
+        ("fluency", 5L, 4L, 1L, 200000L),
+        ("novelty", 5L, 4L, 1L, 200000L),
+        ("qdir", 5L, 4L, 1L, 200000L),
+        ("quality", 5L, 4L, 1L, 200000L)),
+        s"each gate must drop exactly its planted doc: ${got.toSeq}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("heuristicFilters: each rule fails independently on its planted boundary doc") {
     import spark.implicits._
     val dir = Files.createTempDirectory("heuristic-filters-").toString
