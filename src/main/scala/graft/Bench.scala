@@ -46,6 +46,10 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 12 (5): x_gate_battery 3.90 from two identical-code quiet
+    * full-suite runs (totals 102.4 / 102.9 s; max of min-of-2,
+    * doubled); no existing entries move.
+    *
     * Round 12 (4): x_embed_quality 1.32 from two identical-code quiet
     * full-suite runs (totals 101.7 / 103.8 s; max of min-of-2,
     * doubled); no existing entries move.
@@ -192,6 +196,7 @@ object Bench {
     "x_dup_stats" -> 0.43,
     "x_embed_near_dup" -> 1.67,
     "x_embed_quality" -> 1.32,
+    "x_gate_battery" -> 3.90,
     "x_embed_outliers" -> 0.69,
     "x_embed_quantize" -> 0.75,
     "x_exact_dedup" -> 0.44,
