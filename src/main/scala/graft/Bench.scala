@@ -465,10 +465,13 @@ object Bench {
     println(json)
     // also land the JSON in a file: the driver captures a log tail,
     // and one truncated capture already cost a round its per-query
-    // data (BENCH_r05 parsed: null)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // data (BENCH_r05 parsed: null). FULL-surface runs only — a local
+    // subset iteration (the `only` arg) must not clobber the round's
+    // full emission record (a 6-query /tmp-fixture line once did).
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
