@@ -12,10 +12,13 @@ package graft
   * instead of their expressions. Failures are recorded as -1 and named
   * in `failed`, never silently folded into the total. At sf0.1 every
   * query is additionally gated against [[BaselineSec]]: the JSON
-  * carries `baseline_ratio` per query and anything over
-  * [[RegressionFactor]]× its recorded ceiling is listed in `regressed`
-  * and `failed` — the total-only number cannot distinguish one query
-  * regressing 5× from ordinary ±3 s machine noise.
+  * carries `baseline_ratio` per query, anything whose FINAL ratio ends
+  * over 1.0 — above its recorded (already-doubled) ceiling, even after
+  * the retry — is listed in `regressed` (the round-13 advisory: a 1.79×
+  * reading next to an empty `regressed` array misreports a clean run),
+  * and anything over the hard [[RegressionFactor]]×-plus-slack gate is
+  * listed in `failed` — the total-only number cannot distinguish one
+  * query regressing 5× from ordinary ±3 s machine noise.
   */
 object Bench {
   /** Per-query regression baseline at sf0.1, re-recorded IN FULL
@@ -393,9 +396,19 @@ object Bench {
     // so only gate there (a sf0.001 smoke run would trivially "pass",
     // a hypothetical sf1 run would trivially fail)
     val gated = sfDir.stripSuffix("/").endsWith("sf0.1")
+    // the hard gate (→ `failed`): a real plan regression clears both
+    // the factor and the absolute bar
     def exceedsCeiling(name: String, sec: Double): Boolean =
       BaselineSec.get(name)
         .exists(b => sec > RegressionFactor * b && sec > b + AbsoluteSlackSec)
+    // the soft record (→ `regressed`) and the retry trigger: any
+    // reading over the recorded ceiling itself. The ceiling is already
+    // a doubled quiet-machine measurement, so ratio > 1.0 surviving
+    // min-of-2 is information, not jitter — the 0.25 s absolute floor
+    // only mutes sub-noise readings on the shortest queries (a 0.30 s
+    // ceiling measured at 0.33 s says nothing)
+    def overCeiling(name: String, sec: Double): Boolean =
+      BaselineSec.get(name).exists(b => sec > b && sec > b + 0.25)
     def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -434,7 +447,7 @@ object Bench {
       .map { case (name, fn) =>
       val secs = (1 to 2).map(_ => attempt(name, fn))
       var best = if (secs.exists(_ < 0)) -1.0 else secs.min
-      if (gated && best >= 0 && exceedsCeiling(name, best)) {
+      if (gated && best >= 0 && overCeiling(name, best)) {
         retried ::= name
         val third = attempt(name, fn)
         // a crashed retry lands the name in `failed` (attempt() did
@@ -449,6 +462,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val regressed = if (!gated) Nil else results.collect {
+      case (name, sec) if sec >= 0 && overCeiling(name, sec) => name
+    }
+    val hardRegressed = if (!gated) Nil else results.collect {
       case (name, sec) if sec >= 0 && exceedsCeiling(name, sec) => name
     }
     // ratios only where the baseline applies — an sf0.001 time against
@@ -458,7 +474,7 @@ object Bench {
         "\"" + name + "\":" + math.round(sec / BaselineSec(name) * 100) / 100.0
     }).mkString("{", ",", "}")
     val regressedJson = regressed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failedJson = (failed ++ regressed).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = (failed ++ hardRegressed).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"failed":$failedJson,"sf":"$sfDir"}"""

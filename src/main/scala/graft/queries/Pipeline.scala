@@ -1374,6 +1374,24 @@ object Pipeline {
     */
   private val EDIT_PPM_MAX = 200000L
 
+  /** Distance cap for the banded Levenshtein kernel: the verify
+    * verdict only needs `dist ≤ EDIT_PPM_MAX ppm of max_len`, and
+    * `max_len ≤ EDIT_PREFIX`, so any true verdict has
+    * `dist ≤ 0.2 · 512 = 102.4` → a distance above this cap can never
+    * verify. Spark's 3-arg `levenshtein(l, r, threshold)` runs the
+    * thresholded banded algorithm — O(cap · len) cells instead of the
+    * full O(len²) lattice — and returns −1 past the cap. The DECLARED
+    * output semantics are capped distance: `edit_dist =
+    * least(true_dist, cap + 1)` and `edit_ppm` follows from it. The
+    * verdict is unchanged: a capped pair reports
+    * `ppm = (cap+1)·10⁶ div max_len ≥ 103·10⁶/512 > EDIT_PPM_MAX` —
+    * false, exactly as its true distance (> 0.2·512 ≥ 0.2·max_len)
+    * would; an uncapped pair reports its exact distance. The oracle
+    * mirrors with `least(levenshtein(...), cap+1)`.
+    */
+  private val EDIT_DIST_CAP: Int =
+    (EDIT_PPM_MAX * EDIT_PREFIX / 1000000L).toInt // = 102
+
   /** Exact edit-distance verification of the LSH candidate pairs —
     * the verify stage a production near-dup pipeline runs after
     * approximate candidate generation, at the character level (the
@@ -1381,9 +1399,11 @@ object Pipeline {
     * [[minhashEst]]'s estimator audit; edit distance catches
     * transpositions and in-word edits that whole-token shingles
     * round off). Per banded candidate: Levenshtein distance over the
-    * [[EDIT_PREFIX]]-char prefixes, the longer prefix length, the
-    * distance share in integer ppm, and the verify verdict at
-    * [[EDIT_PPM_MAX]].
+    * [[EDIT_PREFIX]]-char prefixes CAPPED at [[EDIT_DIST_CAP]] (the
+    * banded-kernel bound — distances past the cap report `cap + 1`
+    * and cannot verify anyway; see the cap's doc for the proof), the
+    * longer prefix length, the distance share in integer ppm, and the
+    * verify verdict at [[EDIT_PPM_MAX]].
     *
     * Scale shape: candidates are [[BAND_CAP]]-bounded and BROADCAST;
     * each text lookup is a map-side probe of the corpus scan (two
@@ -1400,10 +1420,14 @@ object Pipeline {
       .select($"doc_id", substring($"text", 1, EDIT_PREFIX).as("t"))
     val withA = t.select($"doc_id".as("a_id"), $"t".as("ta"))
       .join(broadcast(pairs), "a_id")
+    // thresholded kernel: O(cap·len) per pair, −1 past the cap → the
+    // declared least(dist, cap+1) output (EDIT_DIST_CAP doc)
+    val lev = levenshtein($"ta", $"tb", EDIT_DIST_CAP)
     t.select($"doc_id".as("b_id"), $"t".as("tb"))
       .join(broadcast(withA), "b_id")
       .select($"a_id", $"b_id",
-        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        when(lev < 0, lit(EDIT_DIST_CAP + 1)).otherwise(lev)
+          .cast("long").as("edit_dist"),
         greatest(length($"ta"), length($"tb"), lit(1)).cast("long").as("max_len"))
       .withColumn("edit_ppm", expr("(edit_dist * 1000000) div max_len"))
       .withColumn("verified", $"edit_ppm" <= EDIT_PPM_MAX)
@@ -1415,11 +1439,11 @@ object Pipeline {
        |pr AS (SELECT a_id, b_id FROM inter),
        |t AS (SELECT doc_id, substr(text, 1, $EDIT_PREFIX) AS t FROM documents)
        |SELECT p.a_id, p.b_id,
-       |  CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+       |  CAST(least(levenshtein(ta.t, tb.t), ${EDIT_DIST_CAP + 1}) AS BIGINT) AS edit_dist,
        |  CAST(greatest(len(ta.t), len(tb.t), 1) AS BIGINT) AS max_len,
-       |  CAST((levenshtein(ta.t, tb.t) * 1000000)
+       |  CAST((least(levenshtein(ta.t, tb.t), ${EDIT_DIST_CAP + 1}) * 1000000)
        |    // greatest(len(ta.t), len(tb.t), 1) AS BIGINT) AS edit_ppm,
-       |  (levenshtein(ta.t, tb.t) * 1000000)
+       |  (least(levenshtein(ta.t, tb.t), ${EDIT_DIST_CAP + 1}) * 1000000)
        |    // greatest(len(ta.t), len(tb.t), 1) <= $EDIT_PPM_MAX AS verified
        |FROM pr p JOIN t ta ON p.a_id = ta.doc_id
        |  JOIN t tb ON p.b_id = tb.doc_id
@@ -6642,8 +6666,21 @@ object Pipeline {
     * drift from the gates it describes. Output is 5 rows at any
     * corpus size; cost is one pass per feature family over the
     * corpus, all aggregates bounded.
+    *
+    * The fluency verdict threads the gate's OWN bigram budget
+    * (`minCount` floor + deterministic top-`maxEntries` cap, same
+    * params and same `(cab DESC, ca DESC, a, b)` ranking as
+    * [[corpusBigramStats]]) — without it the audit would score
+    * against an uncapped table the deployed gate never sees, and a
+    * corpus where the cap binds would show battery ≠ gate
+    * (MaintenanceOpsSpec pins the agreement on exactly such a
+    * corpus). Kept entries still score against the FULL prefix mass;
+    * evicted bigrams fall to the kernel's 0-ppm miss rule and
+    * zero-matched docs to its no-evidence NULL.
     */
-  def gateBattery(s: SparkSession, dir: String): DataFrame = {
+  def gateBattery(s: SparkSession, dir: String,
+      minCount: Long = 1L,
+      maxEntries: Int = BIGRAM_STATS_MAX_ENTRIES): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     // quality: per-row rule on the batch slice
@@ -6670,8 +6707,17 @@ object Pipeline {
     val cabBase = bi.filter(!defaultBatchPred)
       .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
     val caBase = cabBase.groupBy($"a").agg(sum($"cab").as("ca"))
+    // the gate's two-stage budget, re-derived distributively: floor
+    // hapax bigrams, then the deterministic top-K (TakeOrdered — the
+    // same O(maxEntries) bound as the serialized build). ca joins
+    // BEFORE the cap so the ranking ties break on full prefix mass.
+    val cabKept = cabBase.join(caBase, Seq("a"))
+      .filter($"cab" >= minCount)
+      .orderBy($"cab".desc, $"ca".desc, $"a", $"b")
+      .limit(maxEntries)
+      .select($"a", $"b", $"cab")
     val flu = bi.filter(defaultBatchPred)
-      .join(cabBase, Seq("a", "b"), "left")
+      .join(cabKept, Seq("a", "b"), "left")
       .join(caBase, Seq("a"), "left")
       .select($"doc_id", $"cab", coalesce(expr(
         "(CAST(cab AS DECIMAL(38,0)) * 1000000) div CAST(ca AS DECIMAL(38,0))")
@@ -6738,12 +6784,17 @@ object Pipeline {
        |  SELECT a, b, COUNT(*) AS cab FROM gbi
        |  WHERE NOT ($defaultBatchCondSql) GROUP BY a, b),
        |gca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM gcab GROUP BY a),
+       |gkept AS (
+       |  SELECT a, b, cab FROM gcab JOIN gca USING (a)
+       |  WHERE cab >= 1
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    ORDER BY cab DESC, ca DESC, a, b) <= $BIGRAM_STATS_MAX_ENTRIES),
        |gfl AS (
        |  SELECT gbi.doc_id,
-       |    (COUNT(gcab.cab) = 0 OR
-       |     CAST(SUM(COALESCE(CAST(CAST(gcab.cab AS HUGEINT) * 1000000 // gca.ca AS BIGINT), 0)) AS BIGINT)
+       |    (COUNT(gkept.cab) = 0 OR
+       |     CAST(SUM(COALESCE(CAST(CAST(gkept.cab AS HUGEINT) * 1000000 // gca.ca AS BIGINT), 0)) AS BIGINT)
        |       // COUNT(*) >= $FLUENCY_MIN) AS pf
-       |  FROM gbi LEFT JOIN gcab USING (a, b) LEFT JOIN gca USING (a)
+       |  FROM gbi LEFT JOIN gkept USING (a, b) LEFT JOIN gca USING (a)
        |  WHERE $defaultBatchCondSql
        |  GROUP BY gbi.doc_id),
        |gqm AS (
@@ -7824,7 +7875,7 @@ object Pipeline {
     "x_embed_near_dup" -> embedNearDup _,
     "x_embed_quantize" -> embedQuantize _,
     "x_embed_quality"  -> embedQuality _,
-    "x_gate_battery"   -> gateBattery _,
+    "x_gate_battery"   -> ((s: SparkSession, d: String) => gateBattery(s, d)),
     "x_tfidf_terms"    -> tfidfTerms _,
     "x_pq_codes"       -> pqCodes _,
     "x_ann_pq"         -> annPq _,
