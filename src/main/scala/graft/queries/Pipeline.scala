@@ -6758,7 +6758,16 @@ object Pipeline {
       .orderBy($"gate")
   }
 
-  lazy val gateBatterySql: String =
+  /** DuckDB twin of [[gateBattery]], parameterized on the SAME bigram
+    * budget with the SAME defaults — the registered oracle row runs it
+    * at the defaults, and a non-default audit (the binding-cap spec)
+    * stays comparable instead of silently diverging on a hardcoded
+    * `cab >= 1` / max-entries pair.
+    */
+  def gateBatterySql: String =
+    gateBatterySql(1L, BIGRAM_STATS_MAX_ENTRIES)
+
+  def gateBatterySql(minCount: Long, maxEntries: Int): String =
     s"""WITH bq AS (
        |  SELECT doc_id,
        |    (${qualitySql("text")}) >= CAST($QUALITY_MIN AS DOUBLE) AS pq
@@ -6786,9 +6795,9 @@ object Pipeline {
        |gca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM gcab GROUP BY a),
        |gkept AS (
        |  SELECT a, b, cab FROM gcab JOIN gca USING (a)
-       |  WHERE cab >= 1
+       |  WHERE cab >= $minCount
        |  QUALIFY ROW_NUMBER() OVER (
-       |    ORDER BY cab DESC, ca DESC, a, b) <= $BIGRAM_STATS_MAX_ENTRIES),
+       |    ORDER BY cab DESC, ca DESC, a, b) <= $maxEntries),
        |gfl AS (
        |  SELECT gbi.doc_id,
        |    (COUNT(gkept.cab) = 0 OR

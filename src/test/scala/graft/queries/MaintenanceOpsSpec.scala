@@ -298,6 +298,72 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("gateBattery: binding bigram budget — audit ≡ deployed gate at the capped params, ≠ at defaults") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gate-battery-cap-").toString
+    try {
+      // The StreamingSpec binding-cap fluency corpus, plus the quality
+      // seed gateBattery's centroid build requires. Base bigram stats:
+      //   cab: (a,b)=4, (the,the)=3, (b,a)=2, everything else hapax
+      //   ca:  a=4, b=3, q=1, x=40, each yi=1, the=3
+      // minCount=2 floors every hapax; maxEntries=2 keeps (a,b) and
+      // (the,the) — cab 4 and 3 — and EVICTS (b,a) cab=2: the cap
+      // genuinely binds. Kept ppms stay exact: P(b|a)=P(the|the)=1e6.
+      val xy = (1 to 40).map(i => s"x y$i").mkString(" ")
+      val base = Seq(
+        1L -> "a b a b a b",
+        2L -> "a b c",
+        3L -> "q r",
+        4L -> xy,
+        5L -> "the the the the")
+      // arriving batch, scored under the capped vs the default table:
+      //   7:  "a b c"  — capped (1e6+0)/2 = 500000; defaults 666666 — kept both ways
+      //  37:  "q r"    — capped zero-matched → NULL → passes; defaults 1e6 → kept
+      //  57:  "x y1"   — capped NULL → passes; defaults 25000 < 30000 → DROPPED
+      // so the capped and default fluency verdicts DIFFER on doc 57.
+      val batch = Seq(7L -> "a b c", 37L -> "q r", 57L -> "x y1")
+      (base ++ batch).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq((5L, 0, Seq(1.0f, 0.0f)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      def fluencyRow(minCount: Long, maxEntries: Int): (Long, Long) = {
+        val r = Pipeline.gateBattery(spark, dir, minCount, maxEntries)
+          .filter($"gate" === "fluency").collect().head
+        (r.getLong(1), r.getLong(2)) // (n_batch, n_pass)
+      }
+      def gateKept(stats: Array[Byte]): Set[Long] =
+        graft.streaming.Streams.fluencyGate(batch.toDF("doc_id", "text"), stats)
+          .select($"doc_id").as[Long].collect().toSet
+
+      // the DEPLOYED gate at the capped budget: blob is exactly the
+      // 2-entry layout (the cap binds — defaults serialize more)
+      val capped = Pipeline.corpusBigramStats(
+        spark, dir, minCount = 2L, maxEntries = 2)
+      val defaults = Pipeline.corpusBigramStats(spark, dir)
+      assert(capped.length == 4 + 16 * 2 && defaults.length > capped.length,
+        s"cap must bind: capped ${capped.length} B, defaults ${defaults.length} B")
+
+      val keptCapped = gateKept(capped)
+      val keptDefault = gateKept(defaults)
+      assert(keptCapped == Set(7L, 37L, 57L) && keptDefault == Set(7L, 37L),
+        s"hand-planted verdicts: capped=$keptCapped defaults=$keptDefault")
+
+      // battery ≡ gate at BOTH param sets — the audit's threaded budget
+      // reproduces exactly the deployed gate's keep count...
+      assert(fluencyRow(2L, 2) == ((3L, keptCapped.size.toLong)),
+        "capped audit must agree with the capped gate")
+      assert(fluencyRow(1L, Pipeline.BIGRAM_STATS_MAX_ENTRIES) ==
+        ((3L, keptDefault.size.toLong)),
+        "default audit must agree with the default gate")
+      // ...and the two param sets disagree with EACH OTHER here, which
+      // is what an unthreaded budget would silently get wrong
+      assert(keptCapped != keptDefault,
+        "corpus must make the cap observable or the test is vacuous")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("heuristicFilters: each rule fails independently on its planted boundary doc") {
     import spark.implicits._
     val dir = Files.createTempDirectory("heuristic-filters-").toString
