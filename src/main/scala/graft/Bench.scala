@@ -358,6 +358,14 @@ object Bench {
       graft.queries.Pipeline.ensureShingleIndex(spark, sfDir)
       graft.queries.Pipeline.ensureFingerprints(spark, sfDir)
     }
+    if (needed("band_gate")) {
+      // yesterday's banded-MinHash index + stop-shingle set (setup for
+      // x_band_gate — the measured query is the arrival scoring
+      // against the stored stale index, the state a daily-ingest
+      // near-dup service keeps; the band machinery's from-scratch
+      // derivation stays measured as x_minhash_lsh)
+      graft.queries.Pipeline.ensureBandIndex(spark, sfDir)
+    }
     if (needed("compaction_run")) {
       // one-time crossed-corpus plant + its incremental-state artifacts
       // (setup for x_compaction_run — the measured query is the repair

@@ -81,23 +81,31 @@ object Pipeline {
     * materialized once per stage (the scheduler races), which silently
     * multiplies the explode cost.
     */
-  private def keptShinglesOf(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs)
-    // df aggregated on the 64-bit shingle hash, not the raw string
-    // (the round-9 minhash lever applied to the index build — the 30×
-    // edge profile put this family's exchanges at ~2/3 of the build):
-    // the df exchange ships 8 B keys with long compares instead of
-    // ~30 B strings, and the anti probe hashes map-side. Two distinct
-    // shingles colliding in 64 bits is ~n²/2⁶⁵ — the same accepted
-    // budget as [[minhashCandPairs]]' hashed shingle sets, and the
-    // string-keyed oracle agrees absent such a collision.
-    val frequent = sh.groupBy(xxhash64(col("s")).as("hs"))
+  /** The over-cap ("stop") shingle hashes of a corpus slice — the
+    * frequent side of [[keptShinglesOf]]'s anti-join, exposed on its
+    * own so the streaming band gate can ship yesterday's stop set to
+    * the ingest edge ([[corpusStopShingles]]) and filter arriving
+    * docs' shingles with THE SAME set the index build dropped.
+    * df aggregated on the 64-bit shingle hash, not the raw string
+    * (the round-9 minhash lever applied to the index build — the 30×
+    * edge profile put this family's exchanges at ~2/3 of the build):
+    * the df exchange ships 8 B keys with long compares instead of
+    * ~30 B strings, and the anti probe hashes map-side. Two distinct
+    * shingles colliding in 64 bits is ~n²/2⁶⁵ — the same accepted
+    * budget as [[minhashCandPairs]]' hashed shingle sets, and the
+    * string-keyed oracle agrees absent such a collision.
+    */
+  private def overCapShingleHashes(docs: DataFrame): DataFrame =
+    shinglesOf(docs).groupBy(xxhash64(col("s")).as("hs"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > SHINGLE_DF_CAP)
       .select(col("hs"))
-    sh.join(broadcast(frequent), xxhash64(col("s")) === col("hs"), "left_anti")
+
+  private def keptShinglesOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs)
+      .join(broadcast(overCapShingleHashes(docs)),
+        xxhash64(col("s")) === col("hs"), "left_anti")
       .select(col("doc_id"), col("s"))
-  }
 
   private def keptShingles(s: SparkSession, dir: String): DataFrame =
     keptShinglesOf(Tables(s, dir, "documents"))
@@ -1412,7 +1420,20 @@ object Pipeline {
     * `levenshtein` is the standard unit-cost
     * insert/delete/substitute distance, so the oracle is exact.
     */
-  def editVerify(s: SparkSession, dir: String): DataFrame = {
+  def editVerify(s: SparkSession, dir: String): DataFrame =
+    editVerifyKernel(s, dir, banded = true)
+
+  /** [[editVerify]] with the kernel selectable — the A/B instrument
+    * behind the banded-kernel adoption ([[graft.EditVerifyProfile]]):
+    * `banded = true` is the shipped 3-arg thresholded Levenshtein
+    * (O(cap·len) cells per pair); `banded = false` runs the full
+    * O(len²) lattice and applies the SAME `least(dist, cap + 1)`
+    * output cap post-hoc, so both arms produce identical rows and the
+    * measured delta is the kernel alone (candidate generation and the
+    * verify projection are shared).
+    */
+  private[graft] def editVerifyKernel(
+      s: SparkSession, dir: String, banded: Boolean): DataFrame = {
     import s.implicits._
     val pairs = minhashCandPairs(s, dir, withSig = false)
       .select($"a_id", $"b_id")
@@ -1422,7 +1443,9 @@ object Pipeline {
       .join(broadcast(pairs), "a_id")
     // thresholded kernel: O(cap·len) per pair, −1 past the cap → the
     // declared least(dist, cap+1) output (EDIT_DIST_CAP doc)
-    val lev = levenshtein($"ta", $"tb", EDIT_DIST_CAP)
+    val lev =
+      if (banded) levenshtein($"ta", $"tb", EDIT_DIST_CAP)
+      else least(levenshtein($"ta", $"tb"), lit(EDIT_DIST_CAP + 1))
     t.select($"doc_id".as("b_id"), $"t".as("tb"))
       .join(broadcast(withA), "b_id")
       .select($"a_id", $"b_id",
@@ -1661,6 +1684,224 @@ object Pipeline {
        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------- stale band-index gate
+
+  /** A candidate at or above this exact Jaccard (integer ppm) verifies
+    * as a near-duplicate — the gate-side form of [[minhashLsh]]'s
+    * `jaccard >= 0.10` cut. The two are EXACTLY equivalent on the
+    * integer inputs: `(c·10⁶) div u ≥ 10⁵ ⟺ c·10⁶ ≥ 10⁵·u ⟺
+    * c·10 ≥ u` (truncation cannot cross the bound because 10⁶/10⁵ is
+    * itself an integer), so a pair the batch operator links is a pair
+    * the gate drops, with no float in either engine.
+    */
+  private[graft] val JACCARD_DUP_MIN_PPM = 100000L
+
+  /** Yesterday's stop-shingle set (over-cap document frequency,
+    * [[SHINGLE_DF_CAP]]) as collected 64-bit hashes — the arrival-side
+    * half of the stale band index: an arriving doc's shingles are
+    * filtered with THE SAME set the index build dropped, so the
+    * Jaccard verify compares the same feature universe on both sides.
+    * Driver-collected and shipped as a plan constant on the same
+    * boundedness argument [[keptShinglesOf]] makes for its broadcast
+    * anti-join: over-cap shingles are boilerplate, few by construction
+    * (≤ total-occurrences / cap). Sorted for a deterministic constant.
+    */
+  private[graft] def corpusStopShingles(
+      s: SparkSession, docs: DataFrame): Array[Long] =
+    overCapShingleHashes(repDocsOf(docs)).collect().map(_.getLong(0)).sorted
+
+  /** Yesterday's banded-MinHash index — the stale artifact that closes
+    * the ingest loop's lexical near-dup gap (the
+    * [[corpusShingleFilter]]/[[corpusBigramStats]] contract applied to
+    * the `x_minhash_lsh` family): per (band_idx, band) of the BASE
+    * corpus's exact-dedup representatives, the [[BAND_CAP]]-bounded
+    * member list, each member carrying its df-capped shingle-hash set
+    * so the gate's exact-Jaccard verify needs no second lookup. The
+    * signature/band derivation is byte-identical to
+    * [[minhashCandPairs]] (same `min(md5('i|' || s))` slots, same
+    * 4 × 2 banding, same [[capBandGroups]] cut), so a gate drop can be
+    * re-derived exactly by the batch operator over the same slice.
+    *
+    * Scale shape: this is a stored TABLE (refreshed at compaction
+    * cadence), not a driver blob — a 100 TB corpus's band index is
+    * corpus-sized, so unlike the bounded Bloom/bigram artifacts it
+    * ships to the gate as the STATIC side of per-micro-batch
+    * stream-static equi-joins (band value is the key), never as a plan
+    * constant. Member `ss` arrays are sort_array-canonicalized: the
+    * index frame is referenced once per band slot, and a
+    * nondeterministic collect_list order would otherwise make the same
+    * doc's copies differ across joins.
+    */
+  private[graft] def corpusBandIndex(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sigAggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), $"s").cast("binary"))).as(s"mh$i"))
+    val doc = keptShinglesOf(repDocsOf(docs)).groupBy($"doc_id")
+      .agg(sort_array(collect_list(xxhash64($"s"))).as("ss"), sigAggs: _*)
+    val bands = doc.select($"doc_id", $"ss",
+      posexplode(array((0 until 4).map(b =>
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band")))
+    capBandGroups(bands).groupBy($"band_idx", $"band")
+      .agg(collect_list(struct($"doc_id", $"ss")).as("members"))
+  }
+
+  /** One-time build of the stale band index + stop-shingle set over
+    * the BASE slice ([[defaultBatchPred]] excluded — yesterday's
+    * compaction view), persisted with the [[ensureIvfLayout]] stamping
+    * discipline: `bands/` (the index table) and `stop/` (the hash
+    * list) under one stamped root, so the audit query and a bench
+    * setup share one amortized build.
+    */
+  def ensureBandIndex(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-bandidx", dir, "documents",
+        s"|v1|cap$BAND_CAP|df$SHINGLE_DF_CAP") { staging =>
+      import s.implicits._
+      val base = Tables(s, dir, "documents").filter(!defaultBatchPred)
+      corpusBandIndex(s, base)
+        .write.mode("overwrite").parquet(staging.resolve("bands").toString)
+      corpusStopShingles(s, base).toSeq.toDF("hs")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("stop").toString)
+    }
+
+  /** The shared per-row band-gate scorer — ONE definition for the
+    * streaming gate ([[graft.streaming.Streams.bandNearDupGate]]) and
+    * the batch audit ([[bandGateAudit]]), so gate and audit cannot
+    * drift. Adds to `df`: `gate_ss` (the arriving doc's stop-filtered
+    * shingle hashes), `gate_ncand` (distinct base docs sharing ≥ 1
+    * band), `gate_ppm` (max exact Jaccard against those candidates,
+    * integer ppm; NULL when the doc has no shingles or no candidate —
+    * the battery's no-evidence rule).
+    *
+    * Plan shape: the doc's 8 minhash slots and 4 band keys are pure
+    * per-row HOFs over the materialized shingle array; each band slot
+    * LEFT-joins the index on its band value (equi-keyed — broadcast
+    * when the index fits, shuffle-hash otherwise; stream-static and
+    * therefore STATELESS in a streaming plan); the Jaccard verify is a
+    * per-row fold over the ≤ 4 × [[BAND_CAP]] collected members. No
+    * streaming state, no corpus-side shuffle, no all-pairs anywhere.
+    */
+  private[graft] def bandGateScored(
+      s: SparkSession, df: DataFrame, bandIndex: DataFrame,
+      stopShingles: Array[Long], textCol: String = "text"): DataFrame = {
+    val stop = typedLit(stopShingles.toSeq)
+    val kept = df
+      .withColumn("gate_shw", shingleCol(words(col(textCol))))
+      .withColumn("gate_kept",
+        filter(col("gate_shw"), x => !array_contains(stop, xxhash64(x))))
+      .withColumn("gate_ss", transform(col("gate_kept"), x => xxhash64(x)))
+    val mh = (0 until 8).map(i =>
+      array_min(transform(col("gate_kept"), x =>
+        md5(concat(lit(s"$i|"), x).cast("binary")))))
+    var out = kept
+      .withColumn("gate_b0", concat(mh(0), mh(1)))
+      .withColumn("gate_b1", concat(mh(2), mh(3)))
+      .withColumn("gate_b2", concat(mh(4), mh(5)))
+      .withColumn("gate_b3", concat(mh(6), mh(7)))
+      .drop("gate_shw", "gate_kept")
+    (0 until 4).foreach { b =>
+      val idx = bandIndex.filter(col("band_idx") === b)
+        .select(col("band").as(s"gate_bk$b"), col("members").as(s"gate_m$b"))
+      out = out.join(idx, col(s"gate_b$b") === col(s"gate_bk$b"), "left_outer")
+    }
+    val emptyMembers =
+      array().cast("array<struct<doc_id:bigint,ss:array<bigint>>>")
+    out
+      .withColumn("gate_cand", concat((0 until 4).map(b =>
+        coalesce(col(s"gate_m$b"), emptyMembers)): _*))
+      // a base doc sharing k bands appears k times in gate_cand —
+      // harmless to the max, deduped by id for the candidate count
+      .withColumn("gate_ncand", size(expr(
+        "array_distinct(transform(gate_cand, m -> m.doc_id))")).cast("long"))
+      // integral ppm via SQL `div` (mirrors the oracle's `//`); the
+      // intersection count binds once through zip_with's left arm
+      .withColumn("gate_ppm", expr(
+        "array_max(zip_with(" +
+          "transform(gate_cand, m -> CAST(size(array_intersect(gate_ss, m.ss)) AS BIGINT)), " +
+          "gate_cand, " +
+          "(c, m) -> (c * CAST(1000000 AS BIGINT)) div " +
+          "(CAST(size(gate_ss) AS BIGINT) + CAST(size(m.ss) AS BIGINT) - c)))"))
+      .drop((0 until 4).flatMap(b =>
+        Seq(s"gate_b$b", s"gate_bk$b", s"gate_m$b")) :+ "gate_cand": _*)
+  }
+
+  /** Batch audit of the stale band gate (`x_band_gate`) — for every
+    * arriving doc ([[defaultBatchPred]]), its candidate count against
+    * yesterday's index, its max exact Jaccard, and the gate verdict at
+    * [[JACCARD_DUP_MIN_PPM]]. The scoring IS the deployed gate's
+    * ([[bandGateScored]] — shared column builder), so the oracle row
+    * pins the gate's semantics end-to-end: stop-filtering, signature,
+    * banding, caps, and the verify cut.
+    */
+  def bandGateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureBandIndex(s, dir)
+    val idx = s.read.parquet(root.resolve("bands").toString)
+    val stop = s.read.parquet(root.resolve("stop").toString)
+      .as[Long].collect().sorted
+    val arrivals = Tables(s, dir, "documents")
+      .filter(defaultBatchPred).select($"doc_id", $"text")
+    bandGateScored(s, arrivals, idx, stop)
+      .select($"doc_id", $"gate_ncand".as("n_cand"),
+        $"gate_ppm".as("max_jaccard_ppm"),
+        coalesce($"gate_ppm" >= JACCARD_DUP_MIN_PPM, lit(false)).as("dropped"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val bandGateAuditSql: String = {
+    val bandUnion = (0 until 4).map(b =>
+      s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM bsig")
+      .mkString("\n  UNION ALL ")
+    val abandUnion = (0 until 4).map(b =>
+      s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM asig")
+      .mkString("\n  UNION ALL ")
+    val sigAggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($defaultBatchCondSql)),
+       |arr AS (SELECT doc_id, text FROM documents WHERE $defaultBatchCondSql),
+       |bsha AS (${shinglesSqlFrom(repsSqlFrom("base"))}),
+       |stop AS (SELECT s FROM bsha GROUP BY s HAVING COUNT(*) > $SHINGLE_DF_CAP),
+       |bsh AS (SELECT doc_id, s FROM bsha WHERE s NOT IN (SELECT s FROM stop)),
+       |bsig AS (SELECT doc_id, $sigAggs FROM bsh GROUP BY doc_id),
+       |bbands AS (
+       |  SELECT doc_id, band, band_idx FROM (
+       |  $bandUnion)
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY band_idx, band ORDER BY doc_id) <= $BAND_CAP),
+       |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+       |asha AS (${shinglesSqlFrom("arr")}),
+       |ash AS (SELECT doc_id, s FROM asha WHERE s NOT IN (SELECT s FROM stop)),
+       |asig AS (SELECT doc_id, $sigAggs FROM ash GROUP BY doc_id),
+       |abands AS (
+       |  $abandUnion),
+       |asz AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM abands a JOIN bbands b
+       |    ON a.band = b.band AND a.band_idx = b.band_idx),
+       |inter AS (
+       |  SELECT a_id, b_id, COUNT(*) AS c
+       |  FROM cand JOIN ash sa ON a_id = sa.doc_id
+       |            JOIN bsh sb ON b_id = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.a_id, COUNT(*) AS n_cand,
+       |    MAX((COALESCE(i.c, 0) * 1000000) //
+       |        (na.n + nb.n - COALESCE(i.c, 0))) AS maxppm
+       |  FROM cand c
+       |    LEFT JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+       |    JOIN asz na ON c.a_id = na.doc_id
+       |    JOIN bsz nb ON c.b_id = nb.doc_id
+       |  GROUP BY 1)
+       |SELECT a.doc_id, CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(maxppm AS BIGINT) AS max_jaccard_ppm,
+       |  COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE) AS dropped
+       |FROM arr a LEFT JOIN scored sc ON a.doc_id = sc.a_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
 
   /** Minimum-label propagation connected components over an undirected
     * edge list (`a_id`, `b_id`): every node's label converges to the
@@ -6758,11 +6999,23 @@ object Pipeline {
       .orderBy($"gate")
   }
 
+  /** The non-default bigram budget the `x_gate_battery_capped` oracle
+    * row audits under: an aggressively floored + capped table
+    * (hapaxes dropped, two entries kept), so the budget-threading path
+    * — `cab >= minCount`, the deterministic `(cab DESC, ca DESC, a,
+    * b)` top-K, and the evicted-bigram 0-ppm rule — is pinned by the
+    * DRIVER's DuckDB compare on the real corpus, not only by the
+    * hand-planted MaintenanceOpsSpec fixture.
+    */
+  private[graft] val CAPPED_BATTERY_MIN_COUNT = 2L
+  private[graft] val CAPPED_BATTERY_MAX_ENTRIES = 2
+
   /** DuckDB twin of [[gateBattery]], parameterized on the SAME bigram
-    * budget with the SAME defaults — the registered oracle row runs it
-    * at the defaults, and a non-default audit (the binding-cap spec)
-    * stays comparable instead of silently diverging on a hardcoded
-    * `cab >= 1` / max-entries pair.
+    * budget with the SAME defaults. Registered twice: the
+    * `x_gate_battery` row at the defaults, and `x_gate_battery_capped`
+    * at ([[CAPPED_BATTERY_MIN_COUNT]], [[CAPPED_BATTERY_MAX_ENTRIES]])
+    * — a binding budget, so the interpolated `$minCount`/`$maxEntries`
+    * path is itself oracle-checked.
     */
   def gateBatterySql: String =
     gateBatterySql(1L, BIGRAM_STATS_MAX_ENTRIES)
@@ -7845,6 +8098,7 @@ object Pipeline {
     "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
     "x_minhash_lsh"    -> minhashLsh _,
+    "x_band_gate"      -> bandGateAudit _,
     "x_edit_verify"    -> editVerify _,
     "x_simhash"        -> simhash _,
     "x_simhash_pairs"  -> simhashPairs _,
@@ -7885,6 +8139,8 @@ object Pipeline {
     "x_embed_quantize" -> embedQuantize _,
     "x_embed_quality"  -> embedQuality _,
     "x_gate_battery"   -> ((s: SparkSession, d: String) => gateBattery(s, d)),
+    "x_gate_battery_capped" -> ((s: SparkSession, d: String) =>
+      gateBattery(s, d, CAPPED_BATTERY_MIN_COUNT, CAPPED_BATTERY_MAX_ENTRIES)),
     "x_tfidf_terms"    -> tfidfTerms _,
     "x_pq_codes"       -> pqCodes _,
     "x_ann_pq"         -> annPq _,
@@ -7939,6 +8195,7 @@ object Pipeline {
     "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,
     "x_minhash_lsh"    -> minhashLshSql,
+    "x_band_gate"      -> bandGateAuditSql,
     "x_edit_verify"    -> editVerifySql,
     "x_simhash"        -> simhashSql,
     "x_simhash_pairs"  -> simhashPairsSql,
@@ -7979,6 +8236,8 @@ object Pipeline {
     "x_embed_quantize" -> embedQuantizeSql,
     "x_embed_quality"  -> embedQualitySql,
     "x_gate_battery"   -> gateBatterySql,
+    "x_gate_battery_capped" ->
+      gateBatterySql(CAPPED_BATTERY_MIN_COUNT, CAPPED_BATTERY_MAX_ENTRIES),
     "x_tfidf_terms"    -> tfidfTermsSql,
     "x_pq_codes"       -> pqCodesSql,
     "x_ann_pq"         -> annPqSql,

@@ -284,6 +284,49 @@ object Streams {
       .drop("fluency_ppm")
   }
 
+  /** Streaming BANDED near-dup gate — the ingestion-side slice of the
+    * batch `x_minhash_lsh` family, closing the gate battery's measured
+    * lexical-recall gap: the hamming-0 [[nearDupGate]] catches only
+    * byte-identical replays (its pinned curve), and the Bloom
+    * [[noveltyGate]] only catches the lightest mutations (rate 16), so
+    * mid-rate near-dups sailed through the ingest loop until the next
+    * batch compaction. This gate drops an arriving doc whose exact
+    * Jaccard against a STALE banded-MinHash index
+    * ([[graft.queries.Pipeline.ensureBandIndex]], refreshed at
+    * compaction cadence) reaches the batch family's own
+    * `jaccard ≥ 0.10` cut — candidates come from the same 4 × 2
+    * banding, [[graft.queries.Pipeline.capBandGroups]]-capped, and the
+    * verify is exact set intersection over the same df-capped shingle
+    * universe (the stop set rides along as a plan constant), so a gate
+    * drop is a pair the batch operator itself would link against
+    * yesterday's corpus.
+    *
+    * STATELESS like [[noveltyGate]], but through a different
+    * mechanism: the index is corpus-sized (a band per doc per slot),
+    * so it ships as the STATIC side of four per-micro-batch
+    * stream-static equi-joins (band value is the key — broadcast-hash
+    * when the index fits, shuffle-hash otherwise) instead of as a plan
+    * constant; the Jaccard fold then runs per-row over the
+    * ≤ 4 × BAND_CAP collected members. No watermark, no streaming
+    * state at any ingest rate. Staleness contract is [[fluencyGate]]'s:
+    * a doc near-duplicating only OTHER ARRIVALS in the same window is
+    * not caught here (the index predates them) — cross-arrival dups
+    * remain the batch compaction's job, and the batch recompute is the
+    * exact authority. No-evidence docs pass (< 3 tokens → no shingles
+    * → NULL, the battery rule). Scoring is the SHARED
+    * [[graft.queries.Pipeline.bandGateScored]] column builder — the
+    * batch audit `x_band_gate` projects the same columns, so gate and
+    * audit cannot drift.
+    */
+  def bandNearDupGate(
+      df: DataFrame, bandIndex: DataFrame, stopShingles: Array[Long],
+      maxJaccardPpm: Long = graft.queries.Pipeline.JACCARD_DUP_MIN_PPM,
+      textCol: String = "text"): DataFrame =
+    graft.queries.Pipeline.bandGateScored(
+        df.sparkSession, df, bandIndex, stopShingles, textCol)
+      .filter(col("gate_ppm").isNull || col("gate_ppm") < maxJaccardPpm)
+      .drop("gate_ss", "gate_ncand", "gate_ppm")
+
   /** Streaming QUALITY-DIRECTION gate — the ingestion-side slice of
     * the batch `x_embed_quality` score, the gate battery's embedding-
     * space member: drop arriving documents whose embedding cosine to

@@ -952,6 +952,87 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       s"the novelty gate must catch most rate-16 near-dups: $ppm")
   }
 
+  test("bandNearDupGate: per-rate catch curve + stream ≡ batch-audit parity on the planted corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // The banded-MinHash streaming gate closes the mid-rate lexical
+    // gap the two tests above measure: hamming-0 catches only
+    // byte-identical replays, the novelty Bloom only rate-16, while
+    // the batch minhash family holds 120000/800000/750000 ppm at
+    // rates 4/8/16 (the x_dedup_recall row on this corpus). The gate
+    // is that family's base-restricted slice, so its curve must land
+    // in the same band.
+    val adir = graft.queries.Pipeline.ensurePlantedCorpus(spark, dir).toString
+    val docs = spark.read.parquet(s"$adir/documents.parquet")
+    val baseDocs = docs.filter($"doc_id" < 1000000L).select($"doc_id", $"text")
+    // yesterday's artifacts, materialized the way a deployment stores
+    // them: the stream-static join re-reads the STATIC side per
+    // micro-batch, so it rides a parquet table, not a recomputed plan
+    val idxPath = tmp.resolve("band-index").toString
+    graft.queries.Pipeline.corpusBandIndex(spark, baseDocs)
+      .write.mode("overwrite").parquet(idxPath)
+    val idx = spark.read.parquet(idxPath)
+    val stop = graft.queries.Pipeline.corpusStopShingles(spark, baseDocs)
+
+    val variants = docs.filter($"doc_id" >= 1000000L)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(variants.nonEmpty)
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("band-gate").toString
+    val q = Streams.bandNearDupGate(
+        mem.toDF().toDF("doc_id", "text"), idx, stop)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-bg").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(variants.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+
+    // parity: the stream's keep set IS the batch audit's keep verdict
+    // over the same arrivals and the same stale artifacts — shared
+    // scorer, independent execution paths (per-micro-batch
+    // stream-static joins vs one batch plan)
+    val batchKept = graft.queries.Pipeline.bandGateScored(
+        spark, docs.filter($"doc_id" >= 1000000L).select($"doc_id", $"text"),
+        idx, stop)
+      .filter($"gate_ppm".isNull ||
+        $"gate_ppm" < graft.queries.Pipeline.JACCARD_DUP_MIN_PPM)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == batchKept, "stream and batch-audit keep sets must agree")
+
+    // rate class by source id, the plantRate convention (src % 4:
+    // 0→2, 1→4, 2→8, 3→16 — every rate-th token replaced)
+    def rateOf(vid: Long): Long = ((vid - 1000000L) % 4) match {
+      case 0 => 2L; case 1 => 4L; case 2 => 8L; case _ => 16L
+    }
+    val byRate = variants.groupBy(v => rateOf(v._1)).map { case (r, vs) =>
+      val caught = vs.count(v => !kept.contains(v._1))
+      r -> ((vs.length, caught, caught.toLong * 1000000L / vs.length))
+    }
+    byRate.toSeq.sortBy(_._1).foreach { case (r, (n, c, p)) =>
+      info(s"rate $r: planted $n, caught $c, catch_ppm $p")
+    }
+    val ppm = byRate.view.mapValues(_._3).toMap
+    // recorded curve (deterministic corpus, md5 banding): pinned so a
+    // semantics drift in the shared scorer shows up as a moved curve
+    assert(ppm == Map(2L -> 0L, 4L -> 120000L, 8L -> 800000L, 16L -> 750000L),
+      s"recorded catch curve moved: $ppm")
+    // the round-12 done-condition: the ingest loop's lexical net now
+    // catches MID-RATE near-dups (> 0 at rate 4), where the pinned
+    // hamming-0 and novelty curves both read 0
+    assert(ppm(4L) > 0L, s"rate-4 catch must be non-zero: $ppm")
+    assert(ppm(8L) > 500000L, s"rate-8 catch must be majority: $ppm")
+    // heavily-mutated rate-2 variants are genuinely novel and pass
+    assert(ppm(2L) == 0L, s"rate-2 variants are designed novelty: $ppm")
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
