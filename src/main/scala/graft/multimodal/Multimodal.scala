@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -49,15 +49,22 @@ object Multimodal {
   /** Deterministic asset table over `documents`: binary payload with a
     * sniffable magic header, kind by `doc_id % 3`.
     */
-  def assets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val kind = element_at(lit(Array("image", "audio", "video")), ($"doc_id" % 3).cast("int") + 1)
-    Tables(s, dir, "documents")
-      .select($"doc_id".as("asset_id"), kind.as("kind"), $"text")
+  def assets(s: SparkSession, dir: String): DataFrame =
+    assetsOf(Tables(s, dir, "documents"))
+
+  /** The asset derivation over an arbitrary documents-shaped slice —
+    * the streaming prefix gate builds yesterday's ladder index from a
+    * BASE slice, so the view is factored off its `Tables` wrapper.
+    */
+  private[graft] def assetsOf(docs: DataFrame): DataFrame = {
+    val kind = element_at(lit(Array("image", "audio", "video")),
+      (col("doc_id") % 3).cast("int") + 1)
+    docs
+      .select(col("doc_id").as("asset_id"), kind.as("kind"), col("text"))
       .withColumn("magic",
-        element_at(map(Magic.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), $"kind"))
-      .select($"asset_id", $"kind",
-        concat($"magic", $"text").cast("binary").as("payload"))
+        element_at(map(Magic.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("kind")))
+      .select(col("asset_id"), col("kind"),
+        concat(col("magic"), col("text")).cast("binary").as("payload"))
   }
 
   /** `kind` CASE + payload prefix in the oracle's VARCHAR domain
@@ -275,13 +282,15 @@ object Multimodal {
     * non-minimal id per payload hash) — shared by the window and
     * sub-window feature stages.
     */
-  private def nonRepAssets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashed = assets(s, dir).select($"asset_id", md5($"payload").as("h"))
+  private def nonRepAssets(s: SparkSession, dir: String): DataFrame =
+    nonRepAssetsOf(assets(s, dir))
+
+  private def nonRepAssetsOf(a: DataFrame): DataFrame = {
+    val hashed = a.select(col("asset_id"), md5(col("payload")).as("h"))
     hashed
-      .join(hashed.groupBy($"h").agg(min($"asset_id").as("keep_id")), Seq("h"))
-      .filter($"asset_id" =!= $"keep_id")
-      .select($"asset_id")
+      .join(hashed.groupBy(col("h")).agg(min(col("asset_id")).as("keep_id")), Seq("h"))
+      .filter(col("asset_id") =!= col("keep_id"))
+      .select(col("asset_id"))
   }
 
   private def keptFrames(s: SparkSession, dir: String): DataFrame = {
@@ -378,6 +387,57 @@ object Multimodal {
         greatest($"asset_id", $"c_id").as("b_id"),
         ($"l".cast("double") / $"slen").as("jaccard"),
         lit(1.0).as("containment"))
+  }
+
+  // ------------------------------------------- stale prefix-ladder gate
+
+  /** The largest power-of-two ≥ [[WIN_BYTES]] that fits in `len`
+    * bytes, NULL below [[WIN_BYTES]] — the probe length shared by the
+    * ladder-index build and the streaming gate (ONE definition, so a
+    * stored hash and an arrival probe can never disagree on the
+    * length). A descending integer CASE chain, not `log2` floats — a
+    * float at an exact power-of-two boundary is a wrong bucket.
+    */
+  private[graft] def ladderLenCol(len: Column): Column =
+    coalesce((30 to 6 by -1).map(k =>
+      when(len >= (1L << k), lit(1L << k))): _*)
+
+  /** Yesterday's prefix-ladder index — the stale artifact that gives
+    * the ingest loop a NEAR-dup net for media (the band-gate pattern
+    * applied to [[mediaNearDup]]'s byte-prefix evidence): per stored
+    * video rep, the md5 of its payload prefix at every ladder length
+    * ([[ladderLenCol]]'s powers of two ≥ [[WIN_BYTES]]) that fits —
+    * O(log len) fixed-width rows per asset, payloads never leaving
+    * the scan (the window stage's contract). Boilerplate prefixes (a
+    * shared container header is EVERY video's prefix) are cut by the
+    * [[FRAME_DF_CAP]] discipline before the index is stored, so a
+    * ubiquitous header can never blanket-drop arrivals. Because a
+    * truncation (or shared-prefix variant) preserves every prefix of
+    * its source, an arriving variant's ladder probe at its own l*
+    * matches the source's stored hash at the same l* — the catch the
+    * whole-payload [[graft.streaming.Streams.mediaDedupGate]] key
+    * structurally cannot make. Conservative by construction: a match
+    * certifies ≥ l* > len/2 shared leading bytes (md5 collisions
+    * aside); a variant sharing slightly less than its l* passes and
+    * stays the batch compaction's catch, the staleness contract every
+    * gate here carries.
+    */
+  private[graft] def prefixLadderIndex(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val a = assetsOf(docs)
+    val vids = a.filter($"kind" === "video")
+      .join(nonRepAssetsOf(a), Seq("asset_id"), "left_anti")
+      .select($"asset_id", $"payload")
+    val entries = vids
+      .select($"asset_id", $"payload", explode(expr(
+        "filter(transform(sequence(6, 30), k -> shiftleft(cast(1 as bigint), k)), " +
+          "l -> l <= length(payload))")).as("l"))
+      .select($"l", md5($"payload".substr(lit(1), $"l".cast("int"))).as("ph"))
+    val boilerplate = entries.groupBy($"l", $"ph").agg(count(lit(1)).as("df"))
+      .filter($"df" > FRAME_DF_CAP).select($"l", $"ph")
+    entries.join(broadcast(boilerplate), Seq("l", "ph"), "left_anti")
+      .distinct()
   }
 
   def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -644,7 +704,7 @@ object Multimodal {
     * so a video source's variant (`doc_id % 3 = 2`) is still sliced
     * as a video by the unchanged [[assets]] kind convention.
     */
-  private val MEDIA_OFF = 999999L
+  private[graft] val MEDIA_OFF = 999999L
 
   /** Bump when the media planting semantics change. */
   private val MEDIA_PLANT_FMT_VERSION = 1

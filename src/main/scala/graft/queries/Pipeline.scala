@@ -376,12 +376,33 @@ object Pipeline {
     * shorter, mirroring the oracle's empty-CTE propagation.
     */
   private def bpeTrainOf(s: SparkSession, docs: DataFrame)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainRounds(s, bpeVocabOf(docs).localCheckpoint(), BPE_ROUNDS)
+
+  /** The vocab-state build (the ONE corpus pass), exposed for the
+    * horizon probe ([[graft.BpeProbe]]) so the corpus-touch cost and
+    * the per-round vocab-only cost are measurable separately.
+    */
+  private[graft] def bpeVocabState(docs: DataFrame): DataFrame =
+    bpeVocabOf(docs).localCheckpoint()
+
+  /** The merge loop from an already-checkpointed vocab state, horizon
+    * parameterized — `bpeMerges`/`bpeSegment`/`bpeDrift` run it at
+    * [[BPE_ROUNDS]] (the oracle horizon, unchanged); the probe runs
+    * deeper horizons over the SAME starting state to measure the
+    * rounds × O(vocab) driver-loop cost model with the corpus
+    * untouched after pass 1 (each round: one vocab-keyed pair
+    * aggregate + a 1-row TakeOrdered + a map-side replace over the
+    * vocab — nothing corpus-sized).
+    */
+  private[graft] def bpeTrainRounds(
+      s: SparkSession, vocab0: DataFrame, horizon: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
-    var vocab = bpeVocabOf(docs).localCheckpoint()
+    var vocab = vocab0
     val rounds = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
-    (1 to BPE_ROUNDS).foreach { r =>
+    (1 to horizon).foreach { r =>
       if (!exhausted) {
         bpePairCounts(vocab)
           .orderBy($"pair_count".desc, $"a", $"b").limit(1)

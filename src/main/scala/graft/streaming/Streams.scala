@@ -352,6 +352,47 @@ object Streams {
       .drop("qdir_ppm")
   }
 
+  /** Streaming MEDIA NEAR-dup gate — the prefix slice of the batch
+    * `x_media_neardup` family, the multimodal twin of
+    * [[bandNearDupGate]]: drop an arriving VIDEO asset whose
+    * prefix-ladder probe matches yesterday's stored ladder index
+    * ([[graft.multimodal.Multimodal.prefixLadderIndex]], refreshed at
+    * compaction cadence). A truncation or shared-prefix variant
+    * preserves every byte prefix of its source, so its md5 at its own
+    * ladder length l* (the largest power-of-two ≥ 64 that fits —
+    * [[graft.multimodal.Multimodal.ladderLenCol]], ONE definition
+    * with the index build) equals the source's stored hash at l*: the
+    * catch [[mediaDedupGate]]'s whole-payload key structurally cannot
+    * make. STATELESS like [[bandNearDupGate]] and through the same
+    * mechanism — ONE fixed probe key per row, a single stream-static
+    * equi-join on (l, ph), no watermark, no streaming state; payloads
+    * are hashed map-side and never enter any exchange or state store.
+    * A match certifies > len/2 shared leading bytes (md5 collision
+    * aside); a variant sharing slightly less than its l* passes, and
+    * assets under 64 bytes carry no ladder and pass (the batch
+    * family's own sub-window granularity floor) — both stay the batch
+    * compaction's catch, the staleness contract every gate here
+    * carries. Non-video kinds pass untouched (the frame family is
+    * video-scoped; images/audio are [[mediaDedupGate]]'s domain).
+    */
+  def framePrefixGate(
+      df: DataFrame, ladderIndex: DataFrame,
+      kindCol: String = "kind", payloadCol: String = "payload"): DataFrame = {
+    val lstar = graft.multimodal.Multimodal.ladderLenCol(length(col(payloadCol)))
+    val keyed = df
+      .withColumn("gate_pl", when(col(kindCol) === "video", lstar))
+      .withColumn("gate_pph",
+        when(col("gate_pl").isNotNull,
+          md5(col(payloadCol).substr(lit(1), col("gate_pl").cast("int")))))
+    val idx = ladderIndex.select(col("l").as("gate_il"),
+      col("ph").as("gate_iph"), lit(true).as("gate_hit"))
+    keyed
+      .join(idx, col("gate_pl") === col("gate_il") &&
+        col("gate_pph") === col("gate_iph"), "left_outer")
+      .filter(col("gate_hit").isNull)
+      .drop("gate_pl", "gate_pph", "gate_il", "gate_iph", "gate_hit")
+  }
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

@@ -1033,6 +1033,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ppm(2L) == 0L, s"rate-2 variants are designed novelty: $ppm")
   }
 
+  test("framePrefixGate: planted-truncation catch with zero state; every drop is a batch-linked pair") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    val dir = "/root/testdata/sf0.001"
+
+    // The media twin of the band-gate test above: mediaDedupGate's
+    // whole-payload key cannot catch a truncated download (pinned
+    // contract in its doc), so until now a truncation re-arriving
+    // under a fresh id sailed through ingest. The prefix-ladder gate
+    // must catch exactly the variants whose ladder probe (largest
+    // 2^k ≥ 64 that fits) lands inside their shared prefix — and
+    // NEVER drop an asset the batch near-dup family would not link.
+    val mdir = Multimodal.ensureMediaPlanted(spark, dir).toString
+    val docs = spark.read.parquet(s"$mdir/documents.parquet")
+    val ladderPath = tmp.resolve("prefix-ladder").toString
+    Multimodal.prefixLadderIndex(
+        spark, docs.filter($"doc_id" < Multimodal.MEDIA_OFF))
+      .write.mode("overwrite").parquet(ladderPath)
+    val ladder = spark.read.parquet(ladderPath)
+
+    val variants = Multimodal.assetsOf(
+        docs.filter($"doc_id" >= Multimodal.MEDIA_OFF))
+      .as[(Long, String, Array[Byte])].collect()
+    assert(variants.nonEmpty)
+
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val out = tmp.resolve("frame-prefix-gate").toString
+    val q = Streams.framePrefixGate(
+        mem.toDF().toDF("asset_id", "kind", "payload"), ladder)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-fpg").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(variants.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select($"asset_id").as[Long].collect().toSet
+    val dropped = variants.map(_._1).filterNot(kept).toSet
+
+    // the catch: planted truncations whose ladder probe fits their
+    // shared prefix are dropped
+    assert(dropped.nonEmpty, "the gate must catch planted truncations")
+    // the granularity floor, mirrored from the batch family: an
+    // arrival under WIN_BYTES carries no ladder and always passes
+    val short = variants.filter(_._3.length < 64).map(_._1).toSet
+    assert(short.forall(kept), "sub-64-byte arrivals carry no evidence and pass")
+    // pinned on the deterministic plant: the gate catches EVERY
+    // variant above the floor — 131 of 166, the other 35 being
+    // exactly the sub-64-byte class (a ladder probe at l* > len/2
+    // always lands inside a ≥ 50%-truncation's shared prefix, and the
+    // plant truncates at quarters)
+    assert(dropped.size == 131 && short.size == 35 &&
+      dropped == variants.map(_._1).toSet.diff(short),
+      s"recorded catch moved: dropped ${dropped.size}, floor ${short.size}")
+    // conservative direction: every drop is a pair the batch family
+    // itself links on the planted corpus (variant ids are the b side)
+    val linked = Multimodal.mediaNearDup(spark, mdir)
+      .filter($"b_id" >= Multimodal.MEDIA_OFF)
+      .select($"b_id").as[Long].collect().toSet
+    assert(dropped.subsetOf(linked),
+      s"gate drops must be batch-linked: extra = ${dropped.diff(linked)}")
+    info(s"planted ${variants.length}, dropped ${dropped.size}, " +
+      s"short-floor ${short.size}, batch-linked ${linked.size}")
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
