@@ -53,6 +53,15 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16: the two new queries (x_band_gate 3.06,
+    * x_gate_battery_capped 2.92) recorded, and x_edit_verify
+    * re-recorded 8.62 -> 6.49 (-25% — the round-14 banded kernel,
+    * measured 1.52x whole-query in the same-JVM 30x A/B this round;
+    * the old ceiling was recorded on the unbanded kernel and was
+    * 2.5x loose against shipped code), all from two identical-code
+    * quiet full-suite runs (totals 98.6 / 96.2 s; max of min-of-2,
+    * doubled); no other entries move.
+    *
     * Round 12 (5): x_gate_battery 3.90 from two identical-code quiet
     * full-suite runs (totals 102.4 / 102.9 s; max of min-of-2,
     * doubled); no existing entries move.
@@ -231,7 +240,9 @@ object Bench {
     "x_bm25_incr" -> 1.85,
     "x_bpe_merges" -> 1.29,
     "x_bpe_drift" -> 2.22,
-    "x_edit_verify" -> 8.62,
+    "x_edit_verify" -> 6.49, // round-16 re-record (banded kernel)
+    "x_band_gate"    -> 3.06,
+    "x_gate_battery_capped" -> 2.92,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
