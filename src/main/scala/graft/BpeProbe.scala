@@ -39,9 +39,11 @@ object BpeProbe {
 
     // deep horizons from the SAME starting state: slope = per-round
     // vocab-only cost; the corpus is never re-read (the fixture dir
-    // could be deleted here and the loop would still run)
+    // could be deleted here and the loop would still run). NO
+    // isolateQueries between arms — it unpersists ALL blocks,
+    // including the shared checkpointed vocab state the arms exist to
+    // reuse (a local checkpoint cannot recompute once freed)
     val horizons = Seq(8, 16, 32).map { h =>
-      Sessions.isolateQueries(spark)
       t = System.nanoTime()
       val (rounds, _) = queries.Pipeline.bpeTrainRounds(spark, vocab, h)
       val sec = secs(t)
