@@ -440,6 +440,107 @@ object Multimodal {
       .distinct()
   }
 
+  /** The shared per-row prefix-gate scorer — ONE definition for the
+    * streaming gate ([[graft.streaming.Streams.framePrefixGate]]) and
+    * the batch audit ([[prefixGateAudit]]), the
+    * `bandGateScored` discipline applied to media. Adds to `df`:
+    * `gate_pl` (the ladder probe length — NULL for non-video or
+    * sub-64-byte arrivals, the no-evidence pass) and `gate_hit` (true
+    * when the probe hash matches a stored ladder entry; NULL
+    * otherwise). One probe key per row, a single (l, ph)-keyed LEFT
+    * equi-join against the stored index — stateless in a streaming
+    * plan, payloads hashed map-side.
+    */
+  private[graft] def prefixGateScored(
+      df: DataFrame, ladderIndex: DataFrame,
+      kindCol: String = "kind", payloadCol: String = "payload"): DataFrame = {
+    val lstar = ladderLenCol(length(col(payloadCol)))
+    val keyed = df
+      .withColumn("gate_pl", when(col(kindCol) === "video", lstar))
+      .withColumn("gate_pph",
+        when(col("gate_pl").isNotNull,
+          md5(col(payloadCol).substr(lit(1), col("gate_pl").cast("int")))))
+    val idx = ladderIndex.select(col("l").as("gate_il"),
+      col("ph").as("gate_iph"), lit(true).as("gate_hit"))
+    keyed
+      .join(idx, col("gate_pl") === col("gate_il") &&
+        col("gate_pph") === col("gate_iph"), "left_outer")
+      .drop("gate_pph", "gate_il", "gate_iph")
+  }
+
+  /** Batch audit of the stale prefix-ladder gate (`x_prefix_gate`) —
+    * the media twin of `x_band_gate`: both engines derive the planted
+    * truncation corpus ([[ensureMediaPlanted]]'s plant, the
+    * `x_media_recall` discipline), build yesterday's ladder index
+    * from the BASE slice, and score every arriving variant with the
+    * deployed gate's own probe ([[prefixGateScored]] — shared column
+    * builder, so gate and audit cannot drift). Output per variant:
+    * its byte length, its ladder probe length (NULL under the
+    * 64-byte granularity floor), and the gate verdict — the
+    * hash-matched oracle row pins the ladder derivation, the df-cap,
+    * the probe-length CASE chain, and the drop decision end-to-end
+    * cross-engine.
+    */
+  def prefixGateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adir = ensureMediaPlanted(s, dir).toString
+    val docs = Tables(s, adir, "documents")
+    val ladder = prefixLadderIndex(s, docs.filter($"doc_id" < MEDIA_OFF))
+    val arrivals = assetsOf(docs.filter($"doc_id" >= MEDIA_OFF))
+    prefixGateScored(arrivals, ladder)
+      .select($"asset_id", length($"payload").cast("long").as("n_bytes"),
+        $"gate_pl".as("probe_len"),
+        coalesce($"gate_hit", lit(false)).as("dropped"))
+      .orderBy($"asset_id")
+  }
+
+  lazy val prefixGateAuditSql: String = {
+    val ladderLens = (6 to 30).map(1L << _)
+    // the probe-length CASE chain, generated from the SAME range as
+    // [[ladderLenCol]] — descending integer compares, no log2 floats
+    val probeCase = ladderLens.reverse
+      .map(l => s"WHEN length(p) >= $l THEN CAST($l AS BIGINT)")
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH plant AS (
+       |  SELECT doc_id, text, (doc_id // 3) % 3 + 1 AS trunc_q
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= 8
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |bnonrep AS (
+       |  SELECT asset_id FROM (
+       |    SELECT doc_id AS asset_id,
+       |      MIN(doc_id) OVER (PARTITION BY md5($payloadSql)) AS keep_id
+       |    FROM documents)
+       |  WHERE asset_id <> keep_id),
+       |bvids AS (
+       |  SELECT doc_id AS asset_id, $payloadSql AS p FROM documents
+       |  WHERE doc_id % 3 = 2
+       |    AND doc_id NOT IN (SELECT asset_id FROM bnonrep)),
+       |lad AS (
+       |  SELECT ll.l, md5(substr(p, 1, CAST(ll.l AS BIGINT))) AS ph
+       |  FROM bvids, (SELECT unnest([${ladderLens.mkString(", ")}]) AS l) ll
+       |  WHERE length(p) >= ll.l),
+       |klad AS (
+       |  SELECT DISTINCT lad.l, lad.ph FROM lad
+       |  JOIN (SELECT l, ph FROM lad GROUP BY l, ph
+       |        HAVING COUNT(*) <= $FRAME_DF_CAP) ok USING (l, ph)),
+       |arr AS (
+       |  SELECT p.doc_id + $MEDIA_OFF AS asset_id,
+       |    'MPEG4' || substr(p.text, 1,
+       |      CAST((length(p.text) * p.trunc_q) // 4 AS BIGINT)) AS p
+       |  FROM plant p),
+       |probe AS (
+       |  SELECT asset_id, CAST(length(p) AS BIGINT) AS n_bytes,
+       |    $probeCase AS probe_len, p
+       |  FROM arr)
+       |SELECT pr.asset_id, pr.n_bytes, pr.probe_len,
+       |  (k.ph IS NOT NULL) AS dropped
+       |FROM probe pr
+       |  LEFT JOIN klad k ON pr.probe_len = k.l
+       |    AND md5(substr(pr.p, 1, pr.probe_len)) = k.ph
+       |ORDER BY pr.asset_id""".stripMargin
+  }
+
   def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val kept = keptFrames(s, dir)
@@ -834,7 +935,8 @@ object Multimodal {
     "x_media_dedup"   -> mediaDedup _,
     "x_media_neardup" -> mediaNearDup _,
     "x_incr_media"    -> incrMedia _,
-    "x_media_recall"  -> mediaRecall _)
+    "x_media_recall"  -> mediaRecall _,
+    "x_prefix_gate"   -> prefixGateAudit _)
 
   val oracle: Map[String, String] = Map(
     "x_media_meta"    -> mediaMetaSql,
@@ -843,5 +945,6 @@ object Multimodal {
     "x_media_dedup"   -> mediaDedupSql,
     "x_media_neardup" -> mediaNearDupSql,
     "x_incr_media"    -> incrMediaSql,
-    "x_media_recall"  -> mediaRecallSql)
+    "x_media_recall"  -> mediaRecallSql,
+    "x_prefix_gate"   -> prefixGateAuditSql)
 }

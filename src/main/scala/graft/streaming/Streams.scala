@@ -377,21 +377,11 @@ object Streams {
     */
   def framePrefixGate(
       df: DataFrame, ladderIndex: DataFrame,
-      kindCol: String = "kind", payloadCol: String = "payload"): DataFrame = {
-    val lstar = graft.multimodal.Multimodal.ladderLenCol(length(col(payloadCol)))
-    val keyed = df
-      .withColumn("gate_pl", when(col(kindCol) === "video", lstar))
-      .withColumn("gate_pph",
-        when(col("gate_pl").isNotNull,
-          md5(col(payloadCol).substr(lit(1), col("gate_pl").cast("int")))))
-    val idx = ladderIndex.select(col("l").as("gate_il"),
-      col("ph").as("gate_iph"), lit(true).as("gate_hit"))
-    keyed
-      .join(idx, col("gate_pl") === col("gate_il") &&
-        col("gate_pph") === col("gate_iph"), "left_outer")
+      kindCol: String = "kind", payloadCol: String = "payload"): DataFrame =
+    graft.multimodal.Multimodal.prefixGateScored(
+        df, ladderIndex, kindCol, payloadCol)
       .filter(col("gate_hit").isNull)
-      .drop("gate_pl", "gate_pph", "gate_il", "gate_iph", "gate_hit")
-  }
+      .drop("gate_pl", "gate_hit")
 
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
