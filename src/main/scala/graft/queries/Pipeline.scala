@@ -1872,7 +1872,14 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  lazy val bandGateAuditSql: String = {
+  /** The band-gate CTE chain `bsha … scored` over arbitrary base /
+    * arrival sources (both need `doc_id, text`) — shared by
+    * [[bandGateAuditSql]] (raw batch split) and [[bandGateRecallSql]]
+    * (planted variants vs the full base corpus), so the oracle's
+    * index-build, stop-filter, banding, cap, and verify derivations
+    * are written exactly once.
+    */
+  private def bandGateCtesSql(baseSrc: String, arrSrc: String): String = {
     val bandUnion = (0 until 4).map(b =>
       s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM bsig")
       .mkString("\n  UNION ALL ")
@@ -1880,10 +1887,7 @@ object Pipeline {
       s"SELECT doc_id, mh${2 * b} || mh${2 * b + 1} AS band, $b AS band_idx FROM asig")
       .mkString("\n  UNION ALL ")
     val sigAggs = (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    s"""WITH base AS (
-       |  SELECT doc_id, text FROM documents WHERE NOT ($defaultBatchCondSql)),
-       |arr AS (SELECT doc_id, text FROM documents WHERE $defaultBatchCondSql),
-       |bsha AS (${shinglesSqlFrom(repsSqlFrom("base"))}),
+    s"""bsha AS (${shinglesSqlFrom(repsSqlFrom(baseSrc))}),
        |stop AS (SELECT s FROM bsha GROUP BY s HAVING COUNT(*) > $SHINGLE_DF_CAP),
        |bsh AS (SELECT doc_id, s FROM bsha WHERE s NOT IN (SELECT s FROM stop)),
        |bsig AS (SELECT doc_id, $sigAggs FROM bsh GROUP BY doc_id),
@@ -1893,7 +1897,7 @@ object Pipeline {
        |  QUALIFY ROW_NUMBER() OVER (
        |    PARTITION BY band_idx, band ORDER BY doc_id) <= $BAND_CAP),
        |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
-       |asha AS (${shinglesSqlFrom("arr")}),
+       |asha AS (${shinglesSqlFrom(arrSrc)}),
        |ash AS (SELECT doc_id, s FROM asha WHERE s NOT IN (SELECT s FROM stop)),
        |asig AS (SELECT doc_id, $sigAggs FROM ash GROUP BY doc_id),
        |abands AS (
@@ -1916,13 +1920,79 @@ object Pipeline {
        |    LEFT JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
        |    JOIN asz na ON c.a_id = na.doc_id
        |    JOIN bsz nb ON c.b_id = nb.doc_id
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  lazy val bandGateAuditSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($defaultBatchCondSql)),
+       |arr AS (SELECT doc_id, text FROM documents WHERE $defaultBatchCondSql),
+       |${bandGateCtesSql("base", "arr")}
        |SELECT a.doc_id, CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
        |  CAST(maxppm AS BIGINT) AS max_jaccard_ppm,
        |  COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE) AS dropped
        |FROM arr a LEFT JOIN scored sc ON a.doc_id = sc.a_id
        |ORDER BY a.doc_id""".stripMargin
+
+  /** Per-rate catch curve of the stale band gate over the planted
+    * mutation corpus (`x_band_gate_recall`) — the gate-side twin of
+    * [[dedupRecall]], and the cross-engine pin of the curve
+    * StreamingSpec records: both engines derive the planted variants,
+    * build yesterday's band index from the FULL base corpus, score
+    * every variant with the gate's own verify, and report per rate
+    * class (n_planted, n_caught, catch_ppm). The rate-2 zero and the
+    * rate-4 nonzero are the gate's DECLARED sensitivity envelope —
+    * heavy mutations are designed novelty, mid-rate near-dups must
+    * not sail through — so a drift in either direction fails the
+    * hash compare, not just a Spark-side spec.
+    */
+  def bandGateRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adir = ensurePlantedCorpus(s, dir).toString
+    val docs = Tables(s, adir, "documents")
+    val base = docs.filter($"doc_id" < PLANT_OFF)
+    // the index frame is referenced once per band slot by the scorer's
+    // joins — checkpoint so the reps+shingles+signature build runs
+    // once, the stored-artifact shape the deployed gate reads
+    val idx = corpusBandIndex(s, base).localCheckpoint()
+    val variants = docs.filter($"doc_id" >= PLANT_OFF)
+      .select($"doc_id", $"text")
+    bandGateScored(s, variants, idx, corpusStopShingles(s, base))
+      .select($"doc_id",
+        coalesce($"gate_ppm" >= JACCARD_DUP_MIN_PPM, lit(false)).as("dropped"),
+        plantRate($"doc_id" - lit(PLANT_OFF)).as("rate"))
+      .groupBy($"rate")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("catch_ppm", expr("(n_caught * 1000000) div n_planted"))
+      .orderBy($"rate")
   }
+
+  lazy val bandGateRecallSql: String =
+    s"""WITH plant AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS w,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |      CAST($plantRateSqlCase AS BIGINT) AS rate
+       |    FROM ${repsSqlFrom("documents")} r
+       |    WHERE doc_id % 5 = 2)
+       |  WHERE n >= 8 AND (rate - doc_id % rate) % rate < n),
+       |arr AS (
+       |  SELECT doc_id + $PLANT_OFF AS doc_id, rate,
+       |    array_to_string(list_transform(range(n), i ->
+       |      CASE WHEN (i + doc_id) % rate = 0
+       |           THEN 'zq' || doc_id || 'x' || i
+       |           ELSE w[i + 1] END), ' ') AS text
+       |  FROM plant),
+       |${bandGateCtesSql("documents", "arr")}
+       |SELECT a.rate, COUNT(*) AS n_planted,
+       |  CAST(SUM(CASE WHEN COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       |  (SUM(CASE WHEN COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE)
+       |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS catch_ppm
+       |FROM arr a LEFT JOIN scored sc ON a.doc_id = sc.a_id
+       |GROUP BY a.rate
+       |ORDER BY a.rate""".stripMargin
 
   /** Minimum-label propagation connected components over an undirected
     * edge list (`a_id`, `b_id`): every node's label converges to the
@@ -8120,6 +8190,7 @@ object Pipeline {
     "x_ngram_jaccard"  -> ngramJaccard _,
     "x_minhash_lsh"    -> minhashLsh _,
     "x_band_gate"      -> bandGateAudit _,
+    "x_band_gate_recall" -> bandGateRecall _,
     "x_edit_verify"    -> editVerify _,
     "x_simhash"        -> simhash _,
     "x_simhash_pairs"  -> simhashPairs _,
@@ -8217,6 +8288,7 @@ object Pipeline {
     "x_ngram_jaccard"  -> ngramJaccardSql,
     "x_minhash_lsh"    -> minhashLshSql,
     "x_band_gate"      -> bandGateAuditSql,
+    "x_band_gate_recall" -> bandGateRecallSql,
     "x_edit_verify"    -> editVerifySql,
     "x_simhash"        -> simhashSql,
     "x_simhash_pairs"  -> simhashPairsSql,
