@@ -486,10 +486,14 @@ object Multimodal {
     val adir = ensureMediaPlanted(s, dir).toString
     val docs = Tables(s, adir, "documents")
     val ladder = prefixLadderIndex(s, docs.filter($"doc_id" < MEDIA_OFF))
+    // n_bytes derived BEFORE the scorer: selecting length(payload)
+    // after the index join would force the binary payload through the
+    // join (and any exchange under it); derived first, Catalyst prunes
+    // the payload right after the map-side probe-hash projection
     val arrivals = assetsOf(docs.filter($"doc_id" >= MEDIA_OFF))
+      .withColumn("n_bytes", length($"payload").cast("long"))
     prefixGateScored(arrivals, ladder)
-      .select($"asset_id", length($"payload").cast("long").as("n_bytes"),
-        $"gate_pl".as("probe_len"),
+      .select($"asset_id", $"n_bytes", $"gate_pl".as("probe_len"),
         coalesce($"gate_hit", lit(false)).as("dropped"))
       .orderBy($"asset_id")
   }

@@ -513,4 +513,39 @@ class PlanSpec extends AnyFunSuite {
     assert(offending.isEmpty,
       "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
   }
+
+  test("x_band_gate: no exchange carries the document text") {
+    // both sides of the gate audit reduce text to hashes map-side
+    // (shingle/signature projections on the arrival side, the
+    // stored-index build on the base side) — a text attribute crossing
+    // any exchange would re-ship the corpus per band slot
+    val fmt = graft.SparkEntry.queries("x_band_gate")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
+  }
+
+  test("x_prefix_gate: no exchange carries a binary payload") {
+    // the ladder probe hashes the payload map-side (n_bytes is derived
+    // BEFORE the index join for exactly this reason) — only
+    // fixed-width (l, ph) rows and the verdict columns may shuffle
+    val fmt = graft.SparkEntry.queries("x_prefix_gate")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\bpayload#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships a binary payload:\n" + offending.mkString("\n\n"))
+  }
 }
