@@ -227,6 +227,19 @@ object ScaleProbe {
     require(nRecluster > 0, "recluster repair returned no rows")
     require(nHeuristic == nDocs && nFluency == nDocs && nKeepBest == nDocs,
       s"per-doc screens must cover the corpus ($nHeuristic/$nFluency/$nKeepBest vs $nDocs)")
+
+    // the round-16 CDC family: chunking is per-row map-side work, so
+    // the dedup accounting's growth must track corpus chars (one hash
+    // exchange), and the resync audit — which chunks every doc TWICE
+    // and intersects per row — must grow the same way with zero added
+    // shuffle. Salted copies decorrelate cross-copy chunk spaces, so
+    // the hash groupBy's key cardinality grows linearly too.
+    val tCdcDedup = drive("x_cdc_dedup")
+    val tCdcResync = drive("x_cdc_resync")
+    val nCdcDedup = SparkEntry.queries("x_cdc_dedup")(spark, dir).count()
+    val nCdcResync = SparkEntry.queries("x_cdc_resync")(spark, dir).count()
+    require(nCdcDedup > 0 && nCdcDedup == nCdcResync,
+      s"CDC probes must cover every source ($nCdcDedup/$nCdcResync)")
     isolate()
 
     // stdout contract mirrors Bench: one greppable JSON line per factor
@@ -246,7 +259,8 @@ object ScaleProbe {
       s""""keep_best_sec":$tKeepBest,"keep_best_incr_sec":$tKeepBestIncr,""" +
       s""""repair_state_sec":$tRepairState,"compaction_run_sec":$tCompactionRun,""" +
       s""""media_state_sec":$tMediaState,"incr_media_sec":$tIncrMedia,""" +
-      s""""media_rebuild_sec":$tMediaRebuild}""")
+      s""""media_rebuild_sec":$tMediaRebuild,""" +
+      s""""cdc_dedup_sec":$tCdcDedup,"cdc_resync_sec":$tCdcResync}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),

@@ -5027,6 +5027,270 @@ object Pipeline {
        |GROUP BY doc_id, orig_len
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ content-defined chunks
+
+  /** Boundary window (chars) and boundary mask for content-defined
+    * chunking: a chunk boundary sits at every position whose
+    * [[CDC_W]]-char window hashes to `0 mod [[CDC_MOD]]`, so the
+    * expected chunk length is [[CDC_MOD]] chars and boundaries depend
+    * only on LOCAL content — an edit moves the boundaries near it and
+    * the chunking resynchronizes at the next surviving boundary
+    * (pinned cross-engine by [[cdcResync]]). This is the data-level
+    * analog of the reference's `use_content_defined_chunking` writer
+    * flag (README.md:102 — PyArrow-side CDC data pages, adjudicated
+    * unportable to parquet-mr in SURVEY §7.4): the property that flag
+    * buys at the page level (shifted data re-aligns to identical
+    * chunks → dedups) is provided here at the corpus level, where a
+    * Spark pipeline can actually use it for storage-level dedup.
+    *
+    * The boundary predicate is the repo's engine-agnostic md5-window
+    * idiom (first 4 hex digits → integer, exact in both engines), the
+    * oracle-matchable stand-in for a gear/Rabin rolling hash: same
+    * O(chars) work per row up to the constant, same chunk statistics,
+    * and the plan shape — per-row map-side chunking, first exchange
+    * only on `chunk_hash` — is identical to what the rolling-hash
+    * kernel would ship at 100 TB.
+    */
+  private val CDC_W = 16
+  private val CDC_MOD = 64
+
+  /** Fixed-size comparison arm of [[cdcResync]] (chars per block). */
+  private val CDC_FIX = 64
+
+  /** 1-based chunk-start positions: 1 plus every in-range boundary.
+    * Candidate positions are `[2, n-CDC_W+1]` (a window must fit;
+    * position 1 is already a start), so texts shorter than CDC_W+1
+    * chars are a single chunk.
+    */
+  private def cdcStarts(t: Column): Column = {
+    val n = length(t)
+    val cand = when(n >= CDC_W + 1, sequence(lit(2), n - lit(CDC_W - 1)))
+      .otherwise(array().cast("array<integer>"))
+    val bnds = filter(cand, p =>
+      conv(substring(md5(t.substr(p, lit(CDC_W)).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % CDC_MOD === 0)
+    concat(array(lit(1)), bnds)
+  }
+
+  /** The unsorted CDC chunk stream — shared core of [[cdcChunks]],
+    * [[cdcDedup]]. Entirely map-side: starts, lengths, and hashes are
+    * per-row expressions; nothing shuffles until a consumer groups on
+    * `chunk_hash`, and the `text` payload never reaches any exchange.
+    */
+  private def cdcChunksOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"text", length($"text").as("n"))
+      .withColumn("starts", cdcStarts($"text"))
+      .select($"doc_id", $"source", $"text", $"n", $"starts",
+        posexplode($"starts").as(Seq("i", "start")))
+      // next start, or n+1 past the last chunk; the `when` guard keeps
+      // element_at in bounds (ANSI-safe)
+      .withColumn("nxt",
+        when($"i" + 2 <= size($"starts"),
+          element_at($"starts", ($"i" + 2).cast("int")))
+          .otherwise($"n" + 1))
+      .select($"doc_id", $"source", $"i".cast("long").as("chunk_id"),
+        $"start".cast("long").as("start"),
+        ($"nxt" - $"start").cast("long").as("n_chars"),
+        md5($"text".substr($"start", $"nxt" - $"start").cast("binary"))
+          .as("chunk_hash"))
+  }
+
+  /** Oracle twin of [[cdcChunksOf]] over `$textExpr` — the whole CDC
+    * derivation (candidate range, boundary mask, start list, chunk
+    * substrings, hashes) written once and shared by every x_cdc_*
+    * oracle, so the SQL side cannot drift per query.
+    */
+  private def cdcChunkRowsSql(textExpr: String): String =
+    s"""SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS chunk_id,
+       |  CAST(starts[CAST(i AS INT)] AS BIGINT) AS start,
+       |  CAST(coalesce(starts[CAST(i AS INT) + 1], n + 1)
+       |       - starts[CAST(i AS INT)] AS BIGINT) AS n_chars,
+       |  md5(substr(t, CAST(starts[CAST(i AS INT)] AS INT),
+       |      CAST(coalesce(starts[CAST(i AS INT) + 1], n + 1)
+       |           - starts[CAST(i AS INT)] AS INT))) AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, source, t, n, starts,
+       |    unnest(range(1, len(starts) + 1)) AS i
+       |  FROM (
+       |    SELECT doc_id, source, t, n,
+       |      list_prepend(1, list_filter(range(2, n - ${CDC_W - 2}),
+       |        p -> ('0x' || substr(md5(substr(t, CAST(p AS INT), $CDC_W)), 1, 4))::BIGINT
+       |             % $CDC_MOD = 0)) AS starts
+       |    FROM (SELECT doc_id, source, $textExpr AS t,
+       |            length($textExpr) AS n FROM documents)))""".stripMargin
+
+  /** Content-defined chunking of every document: (chunk_id, start,
+    * n_chars, chunk_hash) per chunk. The chunk inventory downstream
+    * storage dedup ([[cdcDedup]]) works from.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cdcChunksOf(s, dir)
+      .select($"doc_id", $"chunk_id", $"start", $"n_chars", $"chunk_hash")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val cdcChunksSql: String =
+    s"""SELECT doc_id, chunk_id, start, n_chars, chunk_hash
+       |FROM (${cdcChunkRowsSql("text")})
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Storage-level dedup accounting over the CDC chunks — the number
+    * the reference's CDC writer flag exists to improve: per source,
+    * how many chunk instances (and chars) are exact repeats of a
+    * chunk already seen anywhere in the corpus (first occurrence =
+    * smallest (doc_id, chunk_id), [[chunkDedup]]'s rule). Same scale
+    * shape as [[chunkDedup]]: groupBy-min on the hash with map-side
+    * partial aggregation, join back on the hash (AQE-skew-splittable),
+    * never a window sort over the hot hash — and only 5 narrow
+    * columns cross the exchanges.
+    */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = cdcChunksOf(s, dir)
+      .select($"doc_id", $"source", $"chunk_id", $"n_chars", $"chunk_hash")
+    val keep = c.groupBy($"chunk_hash")
+      .agg(min(struct($"doc_id", $"chunk_id")).as("k"))
+      .select($"chunk_hash", $"k.doc_id".as("k_doc"), $"k.chunk_id".as("k_chunk"))
+    c.join(keep, Seq("chunk_hash"))
+      .select($"source", $"n_chars",
+        (!($"doc_id" === $"k_doc" && $"chunk_id" === $"k_chunk")).as("is_dup"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"n_chars").as("total_chars"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when($"is_dup", $"n_chars").otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_ppm",
+        expr("(dup_chars * 1000000) div nullif(total_chars, 0)"))
+      .orderBy($"source")
+  }
+
+  val cdcDedupSql: String =
+    s"""WITH c AS (${cdcChunkRowsSql("text")}),
+       |r AS (
+       |  SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS rn
+       |  FROM c)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_chunks,
+       |  CAST(COALESCE(SUM(n_chars) FILTER (WHERE rn > 1), 0) AS BIGINT)
+       |    AS dup_chars,
+       |  CAST(COALESCE(SUM(n_chars) FILTER (WHERE rn > 1), 0) * 1000000
+       |       // NULLIF(SUM(n_chars), 0) AS BIGINT) AS dup_ppm
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Distinct chunk hashes of `t` given its staged start list — staged
+    * as a real column by the caller so the boundary scan runs once per
+    * row, not once per chunk.
+    */
+  private def cdcHashesOf(t: Column, starts: Column): Column = {
+    val n = length(t)
+    array_distinct(transform(starts, (st, i) => {
+      val nxt = when(i + 2 <= size(starts), element_at(starts, (i + 2).cast("int")))
+        .otherwise(n + 1)
+      md5(t.substr(st, nxt - st).cast("binary"))
+    }))
+  }
+
+  /** Distinct fixed-[[CDC_FIX]]-char block hashes of `t` — the
+    * alignment-fragile chunking [[cdcResync]] contrasts against.
+    */
+  private def fixHashesOf(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t), lit(1)), lit(CDC_FIX)),
+      st => md5(t.substr(st, lit(CDC_FIX)).cast("binary"))))
+
+  /** THE content-defined-chunking property, pinned cross-engine: every
+    * document is re-chunked after a 1-char front insertion (the worst
+    * case for any alignment-based scheme — every byte shifts), and per
+    * source we report how many distinct chunk hashes survive under CDC
+    * vs under fixed-size blocks of the same average size. CDC
+    * boundaries depend only on local windows, so every chunk after the
+    * first surviving boundary re-aligns (shared ≈ (k-1)/k); fixed
+    * blocks all shift (shared ≈ 0). An exact-integer ppm per arm makes
+    * a regression in either direction a hash mismatch, not a vibe.
+    * Entirely map-side per doc (both chunkings are per-row arrays, the
+    * intersection an array op); the only shuffle is the final
+    * per-source aggregation of five counters.
+    */
+  def cdcResync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"text",
+        concat(lit("#"), $"text").as("mtext"))
+      .withColumn("bs", cdcStarts($"text"))
+      .withColumn("ms", cdcStarts($"mtext"))
+      .select($"source",
+        cdcHashesOf($"text", $"bs").as("bh"),
+        cdcHashesOf($"mtext", $"ms").as("mh"),
+        fixHashesOf($"text").as("fbh"),
+        fixHashesOf($"mtext").as("fmh"))
+      .select($"source",
+        size($"bh").as("nb"), size(array_intersect($"bh", $"mh")).as("sh"),
+        size($"fbh").as("fnb"), size(array_intersect($"fbh", $"fmh")).as("fsh"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("cdc_chunks"), sum($"sh").as("cdc_shared"),
+        sum($"fnb").as("fix_chunks"), sum($"fsh").as("fix_shared"))
+      .withColumn("cdc_shared_ppm",
+        expr("(cdc_shared * 1000000) div nullif(cdc_chunks, 0)"))
+      .withColumn("fix_shared_ppm",
+        expr("(fix_shared * 1000000) div nullif(fix_chunks, 0)"))
+      .orderBy($"source")
+  }
+
+  /** Fixed-block oracle rows over `$textExpr` ([[fixHashesOf]] twin). */
+  private def fixChunkRowsSql(textExpr: String): String =
+    s"""SELECT doc_id, source,
+       |  md5(substr(t, CAST(st AS INT), $CDC_FIX)) AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, source, t,
+       |    unnest(range(1, greatest(length(t), 1) + 1, $CDC_FIX)) AS st
+       |  FROM (SELECT doc_id, source, $textExpr AS t FROM documents))""".stripMargin
+
+  val cdcResyncSql: String =
+    s"""WITH bset AS (
+       |  SELECT DISTINCT doc_id, source, chunk_hash
+       |  FROM (${cdcChunkRowsSql("text")})),
+       |mset AS (
+       |  SELECT DISTINCT doc_id, chunk_hash
+       |  FROM (${cdcChunkRowsSql("'#' || text")})),
+       |fbset AS (
+       |  SELECT DISTINCT doc_id, source, chunk_hash
+       |  FROM (${fixChunkRowsSql("text")})),
+       |fmset AS (
+       |  SELECT DISTINCT doc_id, chunk_hash
+       |  FROM (${fixChunkRowsSql("'#' || text")})),
+       |pd AS (
+       |  SELECT b.doc_id, any_value(b.source) AS source, COUNT(*) AS nb,
+       |    COUNT(*) FILTER (WHERE m.chunk_hash IS NOT NULL) AS sh
+       |  FROM bset b LEFT JOIN mset m
+       |    ON b.doc_id = m.doc_id AND b.chunk_hash = m.chunk_hash
+       |  GROUP BY b.doc_id),
+       |fpd AS (
+       |  SELECT b.doc_id, COUNT(*) AS fnb,
+       |    COUNT(*) FILTER (WHERE m.chunk_hash IS NOT NULL) AS fsh
+       |  FROM fbset b LEFT JOIN fmset m
+       |    ON b.doc_id = m.doc_id AND b.chunk_hash = m.chunk_hash
+       |  GROUP BY b.doc_id)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nb) AS BIGINT) AS cdc_chunks,
+       |  CAST(SUM(sh) AS BIGINT) AS cdc_shared,
+       |  CAST(SUM(fnb) AS BIGINT) AS fix_chunks,
+       |  CAST(SUM(fsh) AS BIGINT) AS fix_shared,
+       |  CAST(SUM(sh) * 1000000 // NULLIF(SUM(nb), 0) AS BIGINT)
+       |    AS cdc_shared_ppm,
+       |  CAST(SUM(fsh) * 1000000 // NULLIF(SUM(fnb), 0) AS BIGINT)
+       |    AS fix_shared_ppm
+       |FROM pd JOIN fpd USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Cross-source content-overlap matrix — the "is source B (partly)
     * a mirror of source A?" diagnostic a curation pipeline runs
     * before deciding crawl priorities: per source pair, how many
@@ -8212,6 +8476,9 @@ object Pipeline {
     "x_chunk_windows"  -> chunkWindows _,
     "x_chunk_dedup"    -> chunkDedup _,
     "x_chunk_clean"    -> chunkClean _,
+    "x_cdc_chunks"     -> cdcChunks _,
+    "x_cdc_dedup"      -> cdcDedup _,
+    "x_cdc_resync"     -> cdcResync _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -8310,6 +8577,9 @@ object Pipeline {
     "x_chunk_windows"  -> chunkWindowsSql,
     "x_chunk_dedup"    -> chunkDedupSql,
     "x_chunk_clean"    -> chunkCleanSql,
+    "x_cdc_chunks"     -> cdcChunksSql,
+    "x_cdc_dedup"      -> cdcDedupSql,
+    "x_cdc_resync"     -> cdcResyncSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,

@@ -143,6 +143,28 @@ class PlanSpec extends AnyFunSuite {
       "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
   }
 
+  test("x_cdc_dedup: no exchange carries the document text, keep-first is not a window") {
+    // CDC chunking is per-row map-side work; only (doc_id, source,
+    // chunk_id, n_chars, chunk_hash) may reach the hash groupBy/join —
+    // text crossing an exchange would ship n_chunks copies of every
+    // document. And keep-first must stay groupBy-min + join (the
+    // chunkDedup rationale: a window over chunk_hash sorts every copy
+    // of a billion-repeat boilerplate chunk in one task).
+    val fmt = graft.SparkEntry.queries("x_cdc_dedup")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
+    assert(!plan("x_cdc_dedup").contains("Window"),
+      "CDC keep-first must not be a window over chunk_hash")
+  }
+
   test("x_kmeans_converge: every round is a broadcast E-step, never a corpus sort-merge") {
     val p = plan("x_kmeans_converge")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
