@@ -53,6 +53,14 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (2): x_prefix_gate 1.34 and x_band_gate_recall 8.87
+    * recorded from two identical-code quiet full-suite runs (totals
+    * 133.2 / 128.9 s — the round-16 CDC trio present but deliberately
+    * NOT yet gated: its boundary kernel was being replaced the same
+    * session, and a ceiling recorded on the superseded kernel would
+    * be loose by construction; its entries land with the kernel
+    * change's own quiet pair); no existing entries move.
+    *
     * Round 16: the two new queries (x_band_gate 3.06,
     * x_gate_battery_capped 2.92) recorded, and x_edit_verify
     * re-recorded 8.62 -> 6.49 (-25% — the round-14 banded kernel,
@@ -243,6 +251,8 @@ object Bench {
     "x_edit_verify" -> 6.49, // round-16 re-record (banded kernel)
     "x_band_gate"    -> 3.06,
     "x_gate_battery_capped" -> 2.92,
+    "x_prefix_gate"  -> 1.34,
+    "x_band_gate_recall" -> 8.87,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
