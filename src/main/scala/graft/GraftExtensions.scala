@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * the extension is a convenience, not a requirement.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorFunctions.injections.foreach(ext.injectFunction)
+    graft.functions.CdcFunctions.injections.foreach(ext.injectFunction)
+  }
 }

@@ -805,6 +805,68 @@ object Pipeline {
        |FROM spine LEFT JOIN h ON spine.bucket = h.bucket
        |ORDER BY spine.bucket""".stripMargin
 
+  /** Min source-set size for a containment verdict: a doc with a
+    * handful of shingles is "contained" everywhere by accident; ten
+    * distinct kept shingles (~12 words of non-boilerplate text) is the
+    * family's min-evidence floor.
+    */
+  private val CONTAIN_MIN_SHINGLES = 10L
+
+  /** Directional containment — the asymmetric near-dup relation the
+    * symmetric Jaccard family structurally misses: a short document
+    * quoted or embedded inside a much larger one has
+    * `|A∩B| / |A| ≈ 1` while `|A∩B| / |A∪B| ≈ |A|/|B| ≈ 0`, so no
+    * Jaccard threshold catches it without drowning in noise. Emits
+    * (src, dst) where at least a QUARTER of src's kept shingles occur
+    * in dst (`4c ≥ n_src`, exact integers — a recall-leaning queue
+    * cut: the exact containment ppm rides along for stricter
+    * consumers) but the pair is NOT already a [[ngramJaccard]]
+    * near-dup (`10c < |A∪B|`) — precisely the pairs document-level
+    * dedup leaves in the corpus, surfaced for the span-cleaning stage
+    * ([[spanStrip]]) to consume.
+    *
+    * Cost: one extra map-side projection over [[ngramPairCounts]]'s
+    * pair aggregate — the candidate recall is the posting join's (any
+    * pair sharing ≥1 kept shingle is counted), NOT a banded sketch's,
+    * so containment pairs cannot be missed by band collision
+    * probability; the df cap bounds the fan-in exactly as everywhere
+    * else. Both directions derive from ONE pass via a 2-element
+    * explode (no union-driven plan diamond re-running the pair
+    * pipeline).
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramPairCounts(s, dir)
+      .select(explode(array(
+        struct($"a_id".as("src_id"), $"b_id".as("dst_id"),
+          $"na".as("n_src"), $"nb".as("n_dst"), $"c"),
+        struct($"b_id".as("src_id"), $"a_id".as("dst_id"),
+          $"nb".as("n_src"), $"na".as("n_dst"), $"c"))).as("d"))
+      .select($"d.*")
+      .filter($"n_src" >= CONTAIN_MIN_SHINGLES &&
+        $"c" * 4 >= $"n_src" && $"c" * 10 < $"n_src" + $"n_dst" - $"c")
+      .select($"src_id", $"dst_id", $"n_src", $"c".as("n_shared"),
+        expr("(c * 1000000) div n_src").as("containment_ppm"),
+        expr("(c * 1000000) div (n_src + n_dst - c)").as("jaccard_ppm"))
+      .orderBy($"src_id", $"dst_id")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $ngramPairCountsCtesSql,
+       |dirp AS (
+       |  SELECT a_id AS src_id, b_id AS dst_id, na AS n_src, nb AS n_dst, c
+       |  FROM pc
+       |  UNION ALL
+       |  SELECT b_id, a_id, nb, na, c FROM pc)
+       |SELECT src_id, dst_id, CAST(n_src AS BIGINT) AS n_src,
+       |  CAST(c AS BIGINT) AS n_shared,
+       |  CAST(c * 1000000 // n_src AS BIGINT) AS containment_ppm,
+       |  CAST(c * 1000000 // (n_src + n_dst - c) AS BIGINT) AS jaccard_ppm
+       |FROM dirp
+       |WHERE n_src >= $CONTAIN_MIN_SHINGLES
+       |  AND c * 4 >= n_src AND c * 10 < n_src + n_dst - c
+       |ORDER BY src_id, dst_id""".stripMargin
+
   /** Distinct word 5-gram spans of a materialized token array — the
     * substring-granularity feature for [[dupSpans]]. Longer than the
     * 3-gram shingle on purpose: a 5-word span repeating across
@@ -5051,8 +5113,8 @@ object Pipeline {
     * only on `chunk_hash` — is identical to what the rolling-hash
     * kernel would ship at 100 TB.
     */
-  private val CDC_W = 16
-  private val CDC_MOD = 64
+  private val CDC_W = graft.functions.CdcStarts.W
+  private val CDC_MOD = graft.functions.CdcStarts.MOD
 
   /** Fixed-size comparison arm of [[cdcResync]] (chars per block). */
   private val CDC_FIX = 64
@@ -5060,9 +5122,21 @@ object Pipeline {
   /** 1-based chunk-start positions: 1 plus every in-range boundary.
     * Candidate positions are `[2, n-CDC_W+1]` (a window must fit;
     * position 1 is already a start), so texts shorter than CDC_W+1
-    * chars are a single chunk.
+    * chars are a single chunk. Evaluated by the native
+    * [[graft.functions.CdcStarts]] kernel — one pass per row with a
+    * reused digest, replacing the interpreted per-position HOF lambda
+    * (measured ~5× on the sf0.1 chunk inventory); [[cdcStartsRef]] is
+    * the composed-builtins reference the kernel is parity-pinned
+    * against (CdcSpec).
     */
-  private def cdcStarts(t: Column): Column = {
+  private def cdcStarts(s: SparkSession, t: Column): Column =
+    graft.functions.CdcFunctions.cdcStarts(s, t)
+
+  /** Composed-builtins reference implementation of [[cdcStarts]] —
+    * kept as the parity oracle for the native kernel, never on a hot
+    * path.
+    */
+  private[graft] def cdcStartsRef(t: Column): Column = {
     val n = length(t)
     val cand = when(n >= CDC_W + 1, sequence(lit(2), n - lit(CDC_W - 1)))
       .otherwise(array().cast("array<integer>"))
@@ -5081,7 +5155,7 @@ object Pipeline {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", $"source", $"text", length($"text").as("n"))
-      .withColumn("starts", cdcStarts($"text"))
+      .withColumn("starts", cdcStarts(s, $"text"))
       .select($"doc_id", $"source", $"text", $"n", $"starts",
         posexplode($"starts").as(Seq("i", "start")))
       // next start, or n+1 past the last chunk; the `when` guard keeps
@@ -5141,27 +5215,39 @@ object Pipeline {
     * the reference's CDC writer flag exists to improve: per source,
     * how many chunk instances (and chars) are exact repeats of a
     * chunk already seen anywhere in the corpus (first occurrence =
-    * smallest (doc_id, chunk_id), [[chunkDedup]]'s rule). Same scale
-    * shape as [[chunkDedup]]: groupBy-min on the hash with map-side
-    * partial aggregation, join back on the hash (AQE-skew-splittable),
-    * never a window sort over the hot hash — and only 5 narrow
-    * columns cross the exchanges.
+    * smallest (doc_id, chunk_id), [[chunkDedup]]'s rule). ONE pass
+    * over the chunk stream: instances collapse map-side into the
+    * (chunk_hash, source) aggregate — counts, chars, the group's min
+    * (doc_id, chunk_id), and the shared chunk length (instances of a
+    * hash are the same content, hence the same length) — then the
+    * global canonical resolves as a window min over that AGGREGATE,
+    * whose partitions are bounded by the SOURCE DOMAIN, not by
+    * instance multiplicity (a billion-repeat boilerplate chunk is one
+    * row per source here — the skew [[chunkDedup]]'s no-window rule
+    * guards against cannot occur on this input). The join-back of the
+    * earlier formulation would recompute the whole chunk derivation
+    * per side (column pruning differentiates the subtrees, so
+    * exchange reuse never fires — measured 2× on the sf0.1 bench).
     */
   def cdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val c = cdcChunksOf(s, dir)
-      .select($"doc_id", $"source", $"chunk_id", $"n_chars", $"chunk_hash")
-    val keep = c.groupBy($"chunk_hash")
-      .agg(min(struct($"doc_id", $"chunk_id")).as("k"))
-      .select($"chunk_hash", $"k.doc_id".as("k_doc"), $"k.chunk_id".as("k_chunk"))
-    c.join(keep, Seq("chunk_hash"))
-      .select($"source", $"n_chars",
-        (!($"doc_id" === $"k_doc" && $"chunk_id" === $"k_chunk")).as("is_dup"))
+    val per = cdcChunksOf(s, dir)
+      .groupBy($"chunk_hash", $"source")
+      .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("chars"),
+        min(struct($"doc_id", $"chunk_id")).as("kls"),
+        max($"n_chars").as("clen"))
+    per
+      .withColumn("k", min($"kls").over(Window.partitionBy($"chunk_hash")))
+      // the canonical instance contributes its single copy to exactly
+      // one (hash, source) group; everything else in the group is dup
+      .select($"source", $"cnt", $"chars", $"clen",
+        ($"kls" === $"k").cast("long").as("is_can"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum($"n_chars").as("total_chars"),
-        sum(when($"is_dup", 1L).otherwise(0L)).as("dup_chunks"),
-        sum(when($"is_dup", $"n_chars").otherwise(0L)).as("dup_chars"))
+      .agg(sum($"cnt").as("n_chunks"),
+        sum($"chars").as("total_chars"),
+        sum($"cnt" - $"is_can").as("dup_chunks"),
+        sum($"chars" - $"is_can" * $"clen").as("dup_chars"))
       .withColumn("dup_ppm",
         expr("(dup_chars * 1000000) div nullif(total_chars, 0)"))
       .orderBy($"source")
@@ -5223,8 +5309,8 @@ object Pipeline {
     Tables(s, dir, "documents")
       .select($"doc_id", $"source", $"text",
         concat(lit("#"), $"text").as("mtext"))
-      .withColumn("bs", cdcStarts($"text"))
-      .withColumn("ms", cdcStarts($"mtext"))
+      .withColumn("bs", cdcStarts(s, $"text"))
+      .withColumn("ms", cdcStarts(s, $"mtext"))
       .select($"source",
         cdcHashesOf($"text", $"bs").as("bh"),
         cdcHashesOf($"mtext", $"ms").as("mh"),
@@ -8452,6 +8538,7 @@ object Pipeline {
     "x_dedup_docs"     -> dedupDocs _,
     "x_contamination"  -> contamination _,
     "x_ngram_jaccard"  -> ngramJaccard _,
+    "x_containment"    -> containmentPairs _,
     "x_minhash_lsh"    -> minhashLsh _,
     "x_band_gate"      -> bandGateAudit _,
     "x_band_gate_recall" -> bandGateRecall _,
@@ -8553,6 +8640,7 @@ object Pipeline {
     "x_dedup_docs"     -> dedupDocsSql,
     "x_contamination"  -> contaminationSql,
     "x_ngram_jaccard"  -> ngramJaccardSql,
+    "x_containment"    -> containmentPairsSql,
     "x_minhash_lsh"    -> minhashLshSql,
     "x_band_gate"      -> bandGateAuditSql,
     "x_band_gate_recall" -> bandGateRecallSql,

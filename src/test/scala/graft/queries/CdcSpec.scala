@@ -91,6 +91,30 @@ class CdcSpec extends AnyFunSuite {
       s"duplicate doc must dedup chunk-for-chunk: $b vs $a")
   }
 
+  test("CdcStarts kernel ≡ composed builtins (multibyte, empty, short, corpus text)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // hand cases exercise the codepoint accounting (2-, 3-, 4-byte
+    // UTF-8), the single-chunk floor, and the empty text; the corpus
+    // rows exercise real boundary density
+    val hand = Seq("", "tiny", "héllo wörld çafé ünïcode strîng hère okay",
+      "日本語のテキストで境界条件を確認する十分に長い文字列です",
+      "emoji 😀 inside 🚀 a long enough string to cross the window size",
+      ptext(300, 42))
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq
+    val df = (hand ++ corpus).toDF("t")
+    val both = df.select(
+      graft.functions.CdcFunctions.cdcStarts(spark, col("t")).as("k"),
+      Pipeline.cdcStartsRef(col("t")).as("r"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1),
+        s"kernel/builtins divergence: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+  }
+
   test("cdcResync: boundaries resynchronize after a 1-char insertion; fixed blocks do not") {
     val dir = writeDocs((1L to 6L).map(i => (i, ptext(400 + 13 * i.toInt, i.toInt), "a")))
     val r = Pipeline.cdcResync(spark, dir).collect().head

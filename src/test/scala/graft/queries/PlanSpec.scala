@@ -143,13 +143,14 @@ class PlanSpec extends AnyFunSuite {
       "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
   }
 
-  test("x_cdc_dedup: no exchange carries the document text, keep-first is not a window") {
+  test("x_cdc_dedup: no exchange carries the document text; window runs on the aggregate") {
     // CDC chunking is per-row map-side work; only (doc_id, source,
-    // chunk_id, n_chars, chunk_hash) may reach the hash groupBy/join —
+    // chunk_id, n_chars, chunk_hash) may reach the hash groupBy —
     // text crossing an exchange would ship n_chunks copies of every
-    // document. And keep-first must stay groupBy-min + join (the
-    // chunkDedup rationale: a window over chunk_hash sorts every copy
-    // of a billion-repeat boilerplate chunk in one task).
+    // document. The canonical-instance window must consume the
+    // (chunk_hash, source) AGGREGATE (partitions bounded by the source
+    // domain), never raw chunk instances — a billion-repeat
+    // boilerplate chunk must collapse map-side before any window sort.
     val fmt = graft.SparkEntry.queries("x_cdc_dedup")(spark, dir)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -161,8 +162,12 @@ class PlanSpec extends AnyFunSuite {
         l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
     assert(offending.isEmpty,
       "an exchange ships the full document text:\n" + offending.mkString("\n\n"))
-    assert(!plan("x_cdc_dedup").contains("Window"),
-      "CDC keep-first must not be a window over chunk_hash")
+    val windows = sections.filter(_.matches("(?s).*\\(\\d+\\) Window\\b.*"))
+    assert(windows.nonEmpty, "expected the canonical-instance Window in:\n" + fmt.take(2000))
+    assert(windows.forall(sec => sec.linesIterator.exists(l =>
+      l.startsWith("Input") && "\\bcnt#".r.findFirstIn(l).isDefined)),
+      "the window must run on the (chunk_hash, source) aggregate, not instances:\n" +
+        windows.mkString("\n\n"))
   }
 
   test("x_kmeans_converge: every round is a broadcast E-step, never a corpus sort-merge") {
