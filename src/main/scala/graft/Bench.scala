@@ -53,6 +53,16 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (3): the CDC trio (x_cdc_chunks 3.15, x_cdc_dedup 2.17,
+    * x_cdc_resync 1.73) and x_containment 3.61 recorded from two
+    * identical-code quiet full-suite runs (totals 112.6 / 114.6 s) on
+    * the NATIVE CdcStarts kernel + single-pass dedup plan — the trio
+    * was deliberately left ungated through the prior pair while the
+    * interpreted kernel it shipped with was being replaced (measured
+    * there at 9.7-10.1 / 9.7-10.1 / 5.0-5.1 s; the kernel + plan cut
+    * 6-10×, which is why recording before the swap would have frozen
+    * a ceiling 6× loose). No existing entries move.
+    *
     * Round 16 (2): x_prefix_gate 1.34 and x_band_gate_recall 8.87
     * recorded from two identical-code quiet full-suite runs (totals
     * 133.2 / 128.9 s — the round-16 CDC trio present but deliberately
@@ -253,6 +263,10 @@ object Bench {
     "x_gate_battery_capped" -> 2.92,
     "x_prefix_gate"  -> 1.34,
     "x_band_gate_recall" -> 8.87,
+    "x_cdc_chunks"   -> 3.15,
+    "x_cdc_dedup"    -> 2.17,
+    "x_cdc_resync"   -> 1.73,
+    "x_containment"  -> 3.61,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
     "x_incr_clusters" -> 9.41, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)

@@ -5151,9 +5151,15 @@ object Pipeline {
     * per-row expressions; nothing shuffles until a consumer groups on
     * `chunk_hash`, and the `text` payload never reaches any exchange.
     */
-  private def cdcChunksOf(s: SparkSession, dir: String): DataFrame = {
+  private def cdcChunksOf(s: SparkSession, dir: String): DataFrame =
+    cdcChunkRowsOf(s, Tables(s, dir, "documents"))
+
+  /** [[cdcChunksOf]] over an arbitrary documents frame (needs doc_id,
+    * source, text) — the chunk-store build reuses it on the base
+    * slice. */
+  private def cdcChunkRowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    docs
       .select($"doc_id", $"source", $"text", length($"text").as("n"))
       .withColumn("starts", cdcStarts(s, $"text"))
       .select($"doc_id", $"source", $"text", $"n", $"starts",
@@ -5176,7 +5182,7 @@ object Pipeline {
     * substrings, hashes) written once and shared by every x_cdc_*
     * oracle, so the SQL side cannot drift per query.
     */
-  private def cdcChunkRowsSql(textExpr: String): String =
+  private def cdcChunkRowsSql(textExpr: String, src: String = "documents"): String =
     s"""SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS chunk_id,
        |  CAST(starts[CAST(i AS INT)] AS BIGINT) AS start,
        |  CAST(coalesce(starts[CAST(i AS INT) + 1], n + 1)
@@ -5193,7 +5199,7 @@ object Pipeline {
        |        p -> ('0x' || substr(md5(substr(t, CAST(p AS INT), $CDC_W)), 1, 4))::BIGINT
        |             % $CDC_MOD = 0)) AS starts
        |    FROM (SELECT doc_id, source, $textExpr AS t,
-       |            length($textExpr) AS n FROM documents)))""".stripMargin
+       |            length($textExpr) AS n FROM $src)))""".stripMargin
 
   /** Content-defined chunking of every document: (chunk_id, start,
     * n_chars, chunk_hash) per chunk. The chunk inventory downstream
@@ -5376,6 +5382,120 @@ object Pipeline {
        |    AS fix_shared_ppm
        |FROM pd JOIN fpd USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Gate probe width: the BOTTOM-[[CDC_PROBE_K]] of a doc's distinct
+    * chunk hashes — a fixed-slot bottom-k sketch (order statistics of
+    * a uniform hash are a content-keyed uniform sample of the chunk
+    * set), so the streaming gate stays [[CDC_PROBE_K]] row-preserving
+    * stream-static joins instead of an explode + stateful
+    * re-aggregation.
+    */
+  private val CDC_PROBE_K = 4
+
+  /** Yesterday's chunk-hash store — the CDC family's stale artifact:
+    * the distinct chunk hashes of the base slice, stored as a TABLE
+    * (corpus-sized, the [[corpusBandIndex]] contract: static side of
+    * per-micro-batch stream-static equi-joins, never a plan
+    * constant). */
+  private[graft] def corpusCdcStore(s: SparkSession, docs: DataFrame): DataFrame =
+    cdcChunkRowsOf(s, docs).select(col("chunk_hash")).distinct()
+
+  /** One-time build of the stale chunk store over the BASE slice
+    * ([[defaultBatchPred]] excluded), [[ensureBandIndex]]'s stamping
+    * discipline. */
+  def ensureCdcStore(s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-cdcstore", dir, "documents",
+        s"|v1|w$CDC_W|m$CDC_MOD") { staging =>
+      val base = Tables(s, dir, "documents").filter(!defaultBatchPred)
+      corpusCdcStore(s, base)
+        .write.mode("overwrite").parquet(staging.resolve("chunks").toString)
+    }
+
+  /** The shared per-row CDC-gate scorer — ONE definition for the
+    * streaming gate ([[graft.streaming.Streams.cdcChunkGate]]) and the
+    * batch audit ([[cdcGateAudit]]), so gate and audit cannot drift.
+    * Adds to `df`: `gate_np` (probed slots, ≤ [[CDC_PROBE_K]] —
+    * every doc has ≥ 1 chunk, so ≥ 1), `gate_known` (probed chunks
+    * found in the store), `gate_ppm` (known fraction of the probes in
+    * integer ppm).
+    *
+    * Plan shape: chunk starts via the native [[cdcStarts]] kernel and
+    * the chunk-hash array per row (map-side); the probes are the first
+    * [[CDC_PROBE_K]] of the SORTED distinct hashes (bottom-k), each
+    * riding ONE equi-keyed LEFT join against the stored table —
+    * row-preserving, stateless in a streaming plan, text never on any
+    * exchange. */
+  private[graft] def cdcGateScored(
+      s: SparkSession, df: DataFrame, store: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    var out = df
+      .withColumn("gate_cs", cdcStarts(s, t))
+      .withColumn("gate_ch", array_sort(cdcHashesOf(t, col("gate_cs"))))
+      .withColumn("gate_np",
+        least(size(col("gate_ch")), lit(CDC_PROBE_K)).cast("long"))
+      .drop("gate_cs")
+    (0 until CDC_PROBE_K).foreach { i =>
+      val probed = out.withColumn(s"gate_p$i",
+        when(size(col("gate_ch")) >= i + 1, element_at(col("gate_ch"), i + 1)))
+      val st = store.select(col("chunk_hash").as(s"gate_k$i"))
+      out = probed.join(st, col(s"gate_p$i") === col(s"gate_k$i"), "left_outer")
+    }
+    out
+      .withColumn("gate_known",
+        (0 until CDC_PROBE_K).map(i =>
+          when(col(s"gate_k$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("gate_ppm",
+        when(col("gate_np") > 0, expr("(gate_known * 1000000) div gate_np")))
+      .drop((0 until CDC_PROBE_K).flatMap(i =>
+        Seq(s"gate_p$i", s"gate_k$i")) :+ "gate_ch": _*)
+  }
+
+  /** Batch audit of the stale CDC chunk gate (`x_cdc_gate`) — for
+    * every arriving doc ([[defaultBatchPred]]), its probe count, how
+    * many probed chunks yesterday's store already holds, the known
+    * fraction in exact ppm, and the gate verdict (≥ half the probed
+    * slots known → the doc is assembled from already-stored content —
+    * [[cdcDedup]]'s signal applied at ingest time). The scoring IS the
+    * deployed gate's ([[cdcGateScored]] — shared column builder). */
+  def cdcGateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureCdcStore(s, dir)
+    val store = s.read.parquet(root.resolve("chunks").toString)
+    val arrivals = Tables(s, dir, "documents")
+      .filter(defaultBatchPred).select($"doc_id", $"text")
+    cdcGateScored(s, arrivals, store)
+      .select($"doc_id", $"gate_np".as("n_probes"),
+        $"gate_known".as("n_known"), $"gate_ppm".as("known_ppm"),
+        ($"gate_known" * 2 >= $"gate_np").as("dropped"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val cdcGateSql: String =
+    s"""WITH cbase AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE NOT ($defaultBatchCondSql)),
+       |carr AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE $defaultBatchCondSql),
+       |cstore AS (
+       |  SELECT DISTINCT chunk_hash FROM (${cdcChunkRowsSql("text", "cbase")})),
+       |ach AS (
+       |  SELECT DISTINCT doc_id, chunk_hash
+       |  FROM (${cdcChunkRowsSql("text", "carr")})),
+       |probes AS (
+       |  SELECT doc_id, chunk_hash FROM ach
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY chunk_hash) <= $CDC_PROBE_K),
+       |sc AS (
+       |  SELECT p.doc_id, COUNT(*) AS np, COUNT(cs.chunk_hash) AS known
+       |  FROM probes p LEFT JOIN cstore cs ON p.chunk_hash = cs.chunk_hash
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(np AS BIGINT) AS n_probes,
+       |  CAST(known AS BIGINT) AS n_known,
+       |  CAST(known * 1000000 // np AS BIGINT) AS known_ppm,
+       |  known * 2 >= np AS dropped
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Cross-source content-overlap matrix — the "is source B (partly)
     * a mirror of source A?" diagnostic a curation pipeline runs
@@ -8566,6 +8686,7 @@ object Pipeline {
     "x_cdc_chunks"     -> cdcChunks _,
     "x_cdc_dedup"      -> cdcDedup _,
     "x_cdc_resync"     -> cdcResync _,
+    "x_cdc_gate"       -> cdcGateAudit _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -8668,6 +8789,7 @@ object Pipeline {
     "x_cdc_chunks"     -> cdcChunksSql,
     "x_cdc_dedup"      -> cdcDedupSql,
     "x_cdc_resync"     -> cdcResyncSql,
+    "x_cdc_gate"       -> cdcGateSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,

@@ -327,6 +327,38 @@ object Streams {
       .filter(col("gate_ppm").isNull || col("gate_ppm") < maxJaccardPpm)
       .drop("gate_ss", "gate_ncand", "gate_ppm")
 
+  /** Streaming CDC CHUNK gate — the ingestion-side slice of the batch
+    * `x_cdc_dedup` signal, the sub-document member of the gate family:
+    * drop an arriving doc at least HALF of whose probed content-defined
+    * chunks already sit in yesterday's chunk store
+    * ([[graft.queries.Pipeline.ensureCdcStore]], refreshed at
+    * compaction cadence) — a doc assembled from already-stored
+    * passages, which document-level keys structurally miss (stitched
+    * text hashes fresh at whole-doc granularity) and which the banded
+    * gate only catches when overall Jaccard clears its cut. Probes are
+    * the BOTTOM-[[graft.queries.Pipeline.CDC_PROBE_K]] of the doc's
+    * distinct chunk hashes (a content-keyed uniform sample — order
+    * statistics of a uniform hash), so the gate is k row-preserving
+    * stream-static equi-joins: STATELESS like [[bandNearDupGate]] and
+    * through the same mechanism — the store is corpus-sized, so it
+    * rides as the STATIC join side, never a plan constant; chunking
+    * runs map-side via the native kernel; no watermark, no streaming
+    * state, text never on any exchange. Staleness contract is
+    * [[fluencyGate]]'s: chunks shared only with other same-window
+    * arrivals are not in the store — cross-arrival assembly remains
+    * the batch compaction's job. Scoring is the SHARED
+    * [[graft.queries.Pipeline.cdcGateScored]] column builder — the
+    * batch audit `x_cdc_gate` projects the same columns, so gate and
+    * audit cannot drift.
+    */
+  def cdcChunkGate(
+      df: DataFrame, chunkStore: DataFrame,
+      textCol: String = "text"): DataFrame =
+    graft.queries.Pipeline.cdcGateScored(
+        df.sparkSession, df, chunkStore, textCol)
+      .filter(col("gate_known") * 2 < col("gate_np"))
+      .drop("gate_np", "gate_known", "gate_ppm")
+
   /** Streaming QUALITY-DIRECTION gate — the ingestion-side slice of
     * the batch `x_embed_quality` score, the gate battery's embedding-
     * space member: drop arriving documents whose embedding cosine to
