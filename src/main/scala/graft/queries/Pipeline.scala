@@ -2050,8 +2050,8 @@ object Pipeline {
        |SELECT a.rate, COUNT(*) AS n_planted,
        |  CAST(SUM(CASE WHEN COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
-       |  (SUM(CASE WHEN COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE)
-       |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS catch_ppm
+       |  CAST((SUM(CASE WHEN COALESCE(maxppm >= $JACCARD_DUP_MIN_PPM, FALSE)
+       |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS catch_ppm
        |FROM arr a LEFT JOIN scored sc ON a.doc_id = sc.a_id
        |GROUP BY a.rate
        |ORDER BY a.rate""".stripMargin
