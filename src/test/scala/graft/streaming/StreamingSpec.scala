@@ -1033,6 +1033,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ppm(2L) == 0L, s"rate-2 variants are designed novelty: $ppm")
   }
 
+  test("cdcChunkGate: stitched-from-stored arrivals dropped, novel kept; stream ≡ batch-audit parity") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // deterministic pseudo-random text (LCG): distinct seeds share no
+    // 16-char window, so cross-doc chunk-hash collisions cannot occur
+    def ptext(n: Int, seed: Int): String = {
+      var x = seed.toLong * 2654435761L + 1013904223L
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((x >>> 33) % 26).toInt).toChar
+      }
+      sb.toString
+    }
+    val baseTexts = (1 to 8).map(i => i.toLong -> ptext(400 + 13 * i, i))
+    val base = baseTexts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'synthetic' AS source")
+
+    // yesterday's chunk store, materialized as a stored TABLE (the
+    // stream-static join re-reads the static side per micro-batch)
+    val storePath = tmp.resolve("cdc-store").toString
+    graft.queries.Pipeline.corpusCdcStore(spark, base)
+      .write.mode("overwrite").parquet(storePath)
+    val store = spark.read.parquet(storePath)
+
+    // arrivals: an exact replay, a doc STITCHED from two stored docs
+    // (fresh at whole-doc granularity — the document-level keys all
+    // miss it; only the junction chunk is novel, so ≥ half its probed
+    // chunks are known), and two genuinely novel docs
+    val arrivals = Seq(
+      101L -> baseTexts(0)._2,
+      102L -> (baseTexts(1)._2 + baseTexts(2)._2),
+      103L -> ptext(450, 99),
+      104L -> "tiny novel doc")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("cdc-gate").toString
+    val q = Streams.cdcChunkGate(mem.toDF().toDF("doc_id", "text"), store)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-cdc").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(103L, 104L),
+      s"replay + stitched must drop, novel must pass: kept $kept")
+
+    // parity: the stream's keep set IS the batch audit's keep verdict
+    // over the same arrivals and the same stale store (shared scorer,
+    // independent execution paths)
+    val batchKept = graft.queries.Pipeline.cdcGateScored(
+        spark, arrivals.toDF("doc_id", "text"), store)
+      .filter($"gate_known" * 2 < $"gate_np")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == batchKept, "stream and batch-audit keep sets must agree")
+  }
+
   test("framePrefixGate: planted-truncation catch with zero state; every drop is a batch-linked pair") {
     val spark0 = spark
     import spark0.implicits._
