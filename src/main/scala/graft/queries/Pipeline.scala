@@ -5429,17 +5429,24 @@ object Pipeline {
       s: SparkSession, df: DataFrame, store: DataFrame,
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    // derive ALL probe slots map-side and drop the hash array BEFORE
+    // the first join: at corpus scale the store side is too big to
+    // broadcast, and the ~(doc_len/2)-byte sorted-hash array riding
+    // k-1 shuffle joins would amplify the exchange payload back to
+    // text order — exactly what chunking map-side bought back
     var out = df
       .withColumn("gate_cs", cdcStarts(s, t))
       .withColumn("gate_ch", array_sort(cdcHashesOf(t, col("gate_cs"))))
       .withColumn("gate_np",
         least(size(col("gate_ch")), lit(CDC_PROBE_K)).cast("long"))
-      .drop("gate_cs")
+      .withColumns(scala.collection.immutable.ListMap(
+        (0 until CDC_PROBE_K).map(i => s"gate_p$i" ->
+          when(size(col("gate_ch")) >= i + 1,
+            element_at(col("gate_ch"), i + 1))): _*))
+      .drop("gate_cs", "gate_ch")
     (0 until CDC_PROBE_K).foreach { i =>
-      val probed = out.withColumn(s"gate_p$i",
-        when(size(col("gate_ch")) >= i + 1, element_at(col("gate_ch"), i + 1)))
       val st = store.select(col("chunk_hash").as(s"gate_k$i"))
-      out = probed.join(st, col(s"gate_p$i") === col(s"gate_k$i"), "left_outer")
+      out = out.join(st, col(s"gate_p$i") === col(s"gate_k$i"), "left_outer")
     }
     out
       .withColumn("gate_known",
@@ -5448,7 +5455,7 @@ object Pipeline {
       .withColumn("gate_ppm",
         when(col("gate_np") > 0, expr("(gate_known * 1000000) div gate_np")))
       .drop((0 until CDC_PROBE_K).flatMap(i =>
-        Seq(s"gate_p$i", s"gate_k$i")) :+ "gate_ch": _*)
+        Seq(s"gate_p$i", s"gate_k$i")): _*)
   }
 
   /** Batch audit of the stale CDC chunk gate (`x_cdc_gate`) — for
@@ -5496,6 +5503,98 @@ object Pipeline {
        |  CAST(known * 1000000 // np AS BIGINT) AS known_ppm,
        |  known * 2 >= np AS dropped
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Per-class catch curve of the stale CDC chunk gate over planted
+    * reuse variants (`x_cdc_gate_recall`) — the gate-side twin of
+    * [[bandGateRecall]] at SUB-document granularity, and the
+    * cross-engine pin of the envelope StreamingSpec demonstrates on
+    * one stitched doc. From a disjoint 10% base slice (`doc_id % 10
+    * = 3` — stored content, never arrivals) both engines derive five
+    * variants per doc, each a reuse mode a curation pipeline actually
+    * meets: `replay` (exact copy), `wrap` (novel header/footer around
+    * a stored body — the spam-wrap that defeats whole-doc hashing),
+    * `excerpt` (the middle half, arbitrary offset — catching it is
+    * THE content-defined re-alignment property [[cdcResync]] pins;
+    * fixed blocks share ≈0 here), `stitch` (the doc concatenated
+    * with itself — assembled entirely from stored passages, fresh at
+    * whole-doc granularity), and `novel` (the reversed text — the
+    * false-positive floor). Every variant is scored by the DEPLOYED
+    * gate's own [[cdcGateScored]] against the same stale store the
+    * ingest gate reads ([[ensureCdcStore]]); output = per class
+    * (n_planted, n_caught, catch_ppm), so a drift in EITHER
+    * direction — a reuse mode starting to sail through, or novelty
+    * starting to be eaten — fails the hash compare, not just a
+    * Spark-side spec.
+    *
+    * Scale shape: variant derivation is five per-row string
+    * expressions under one explode (no pairing join, no window —
+    * nothing leaves the row until the 5-counter per-class agg);
+    * chunking + probe scoring are [[cdcGateScored]]'s map-side
+    * kernel + k row-preserving equi-joins.
+    */
+  def cdcGateRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureCdcStore(s, dir)
+    val store = s.read.parquet(root.resolve("chunks").toString)
+    val planted = Tables(s, dir, "documents")
+      .filter($"doc_id" % 10 === 3)
+      .select($"doc_id", $"text", length($"text").cast("long").as("n"))
+    val variants = planted
+      .select($"doc_id", explode(array(
+        struct(lit("replay").as("cls"), $"text".as("vtext")),
+        struct(lit("wrap").as("cls"),
+          concat(lit("zq novel header "), $"text", lit(" zq tail")).as("vtext")),
+        struct(lit("excerpt").as("cls"),
+          expr("substring(text, cast(n div 4 as int) + 1, cast(n div 2 as int))")
+            .as("vtext")),
+        struct(lit("stitch").as("cls"), concat($"text", $"text").as("vtext")),
+        struct(lit("novel").as("cls"), reverse($"text").as("vtext"))
+      )).as("v"))
+      .select($"doc_id", $"v.cls".as("cls"), $"v.vtext".as("vtext"))
+    cdcGateScored(s, variants, store, "vtext")
+      .select($"cls", ($"gate_known" * 2 >= $"gate_np").as("dropped"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_caught"))
+      .select($"cls".as("class"), $"n_planted", $"n_caught",
+        expr("(n_caught * 1000000) div n_planted").as("catch_ppm"))
+      .orderBy($"class")
+  }
+
+  lazy val cdcGateRecallSql: String =
+    s"""WITH cbase AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE NOT ($defaultBatchCondSql)),
+       |cstore AS (
+       |  SELECT DISTINCT chunk_hash FROM (${cdcChunkRowsSql("text", "cbase")})),
+       |plant AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 10 = 3),
+       |vars AS (
+       |  SELECT doc_id, 'replay' AS source, text FROM plant
+       |  UNION ALL SELECT doc_id, 'wrap',
+       |    'zq novel header ' || text || ' zq tail' FROM plant
+       |  UNION ALL SELECT doc_id, 'excerpt',
+       |    substr(text, CAST(n // 4 + 1 AS INT), CAST(n // 2 AS INT)) FROM plant
+       |  UNION ALL SELECT doc_id, 'stitch', text || text FROM plant
+       |  UNION ALL SELECT doc_id, 'novel', reverse(text) FROM plant),
+       |vch AS (
+       |  SELECT DISTINCT doc_id, source AS cls, chunk_hash
+       |  FROM (${cdcChunkRowsSql("text", "vars")})),
+       |probes AS (
+       |  SELECT doc_id, cls, chunk_hash FROM vch
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id, cls ORDER BY chunk_hash) <= $CDC_PROBE_K),
+       |sc AS (
+       |  SELECT p.doc_id, p.cls, COUNT(*) AS np, COUNT(cs.chunk_hash) AS known
+       |  FROM probes p LEFT JOIN cstore cs ON p.chunk_hash = cs.chunk_hash
+       |  GROUP BY 1, 2)
+       |SELECT cls AS class, COUNT(*) AS n_planted,
+       |  CAST(SUM(CASE WHEN known * 2 >= np THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_caught,
+       |  CAST((SUM(CASE WHEN known * 2 >= np THEN 1 ELSE 0 END) * 1000000)
+       |    // COUNT(*) AS BIGINT) AS catch_ppm
+       |FROM sc GROUP BY cls ORDER BY cls""".stripMargin
 
   /** Cross-source content-overlap matrix — the "is source B (partly)
     * a mirror of source A?" diagnostic a curation pipeline runs
@@ -8687,6 +8786,7 @@ object Pipeline {
     "x_cdc_dedup"      -> cdcDedup _,
     "x_cdc_resync"     -> cdcResync _,
     "x_cdc_gate"       -> cdcGateAudit _,
+    "x_cdc_gate_recall" -> cdcGateRecall _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -8790,6 +8890,7 @@ object Pipeline {
     "x_cdc_dedup"      -> cdcDedupSql,
     "x_cdc_resync"     -> cdcResyncSql,
     "x_cdc_gate"       -> cdcGateSql,
+    "x_cdc_gate_recall" -> cdcGateRecallSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,

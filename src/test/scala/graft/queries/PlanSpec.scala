@@ -575,4 +575,26 @@ class PlanSpec extends AnyFunSuite {
     assert(offending.isEmpty,
       "an exchange ships a binary payload:\n" + offending.mkString("\n\n"))
   }
+
+  test("x_cdc_gate_recall: no exchange carries text or the chunk-hash array") {
+    // variant texts (incl. the doubled `stitch` string) and the
+    // sorted chunk-hash array exist only map-side: the probe slots
+    // are derived and the array dropped BEFORE the first store join,
+    // so at corpus scale — where the store side is too big to
+    // broadcast and the probes shuffle — only fixed-width
+    // (doc_id, cls, np, p0..p3) rows cross any exchange
+    val fmt = graft.SparkEntry.queries("x_cdc_gate_recall")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") &&
+          ("\\b(text|vtext|gate_ch)#".r.findFirstIn(l).isDefined)))
+    assert(offending.isEmpty,
+      "an exchange ships a variant text or the hash array:\n" +
+        offending.mkString("\n\n"))
+  }
 }
