@@ -53,6 +53,16 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (4): the CDC gate pair (x_cdc_gate 0.48,
+    * x_cdc_gate_recall 0.63) recorded from two identical-code quiet
+    * full-suite runs (totals 118.8 / 124.8 s) — max of the two runs'
+    * per-query readings, the same session the queries landed. Both
+    * ride the shared cdcGateScored probe plan (map-side kernel
+    * chunking + k row-preserving store joins), which is why they sit
+    * an order of magnitude under the chunk-inventory trio. No
+    * existing entries move (largest inter-run drift elsewhere was
+    * q_date_funcs 0.40/0.68, inside its 0.77 ceiling).
+    *
     * Round 16 (3): the CDC trio (x_cdc_chunks 3.15, x_cdc_dedup 2.17,
     * x_cdc_resync 1.73) and x_containment 3.61 recorded from two
     * identical-code quiet full-suite runs (totals 112.6 / 114.6 s) on
@@ -266,6 +276,8 @@ object Bench {
     "x_cdc_chunks"   -> 3.15,
     "x_cdc_dedup"    -> 2.17,
     "x_cdc_resync"   -> 1.73,
+    "x_cdc_gate"     -> 0.48,
+    "x_cdc_gate_recall" -> 0.63,
     "x_containment"  -> 3.61,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
