@@ -5596,6 +5596,58 @@ object Pipeline {
        |    // COUNT(*) AS BIGINT) AS catch_ppm
        |FROM sc GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** Chunk-store maintenance accounting (`x_cdc_novelty`) — the
+    * compaction-side view that closes the CDC family's loop: when the
+    * arrival window folds into yesterday's store ([[ensureCdcStore]]),
+    * how much does the store actually grow, per source? For each
+    * arriving source: its distinct chunk hashes, how many are NOT yet
+    * in the store (the store's growth contribution), and the novel
+    * fraction in exact ppm — [[shingleNovelty]]'s question at the
+    * storage-dedup granularity the CDC writer flag targets, and the
+    * corpus-level aggregate of what [[cdcGateAudit]] scores per doc.
+    *
+    * Scale shape: chunking is the map-side kernel; the per-source
+    * DISTINCT collapses boilerplate chunks map-side before its
+    * exchange; the store probe is one hash-keyed LEFT join of two
+    * hash-only projections (no text, no arrays on any exchange); the
+    * final agg is bounded by the source domain.
+    */
+  def cdcNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureCdcStore(s, dir)
+    val store = s.read.parquet(root.resolve("chunks").toString)
+      .select($"chunk_hash", lit(1).as("in_store"))
+    val arrivals = Tables(s, dir, "documents").filter(defaultBatchPred)
+    cdcChunkRowsOf(s, arrivals)
+      .select($"source", $"chunk_hash").distinct()
+      .join(store, Seq("chunk_hash"), "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"in_store".isNull, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_ppm", expr("(n_new * 1000000) div n_chunks"))
+      .orderBy($"source")
+  }
+
+  lazy val cdcNoveltySql: String =
+    s"""WITH cbase AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE NOT ($defaultBatchCondSql)),
+       |carr AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE $defaultBatchCondSql),
+       |cstore AS (
+       |  SELECT DISTINCT chunk_hash FROM (${cdcChunkRowsSql("text", "cbase")})),
+       |ach AS (
+       |  SELECT DISTINCT source, chunk_hash
+       |  FROM (${cdcChunkRowsSql("text", "carr")}))
+       |SELECT a.source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN cs.chunk_hash IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_new,
+       |  CAST((SUM(CASE WHEN cs.chunk_hash IS NULL THEN 1 ELSE 0 END)
+       |    * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+       |FROM ach a LEFT JOIN cstore cs ON a.chunk_hash = cs.chunk_hash
+       |GROUP BY a.source ORDER BY a.source""".stripMargin
+
   /** Cross-source content-overlap matrix — the "is source B (partly)
     * a mirror of source A?" diagnostic a curation pipeline runs
     * before deciding crawl priorities: per source pair, how many
@@ -8787,6 +8839,7 @@ object Pipeline {
     "x_cdc_resync"     -> cdcResync _,
     "x_cdc_gate"       -> cdcGateAudit _,
     "x_cdc_gate_recall" -> cdcGateRecall _,
+    "x_cdc_novelty"    -> cdcNovelty _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -8891,6 +8944,7 @@ object Pipeline {
     "x_cdc_resync"     -> cdcResyncSql,
     "x_cdc_gate"       -> cdcGateSql,
     "x_cdc_gate_recall" -> cdcGateRecallSql,
+    "x_cdc_novelty"    -> cdcNoveltySql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,

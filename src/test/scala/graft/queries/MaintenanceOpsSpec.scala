@@ -629,4 +629,35 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         s"mid-rank agreement must beat single-arm tops: ${got.toSeq}")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("cdcNovelty: replayed chunks don't grow the store, novel ones do, duplicate arrivals collapse") {
+    import spark.implicits._
+    // every text is < 17 chars (one window can't fit), so each doc is
+    // exactly ONE chunk whose hash is md5(text) — chunk membership
+    // reduces to text membership and the counts are hand-computable
+    val dir = Files.createTempDirectory("cdc-novelty-").toString
+    try {
+      val docs = Seq(
+        // base slice (doc_id % 10 != 7) = yesterday's store
+        (1L, "sA", "alpha base one"),
+        (2L, "sB", "beta base two"),
+        // arrivals (doc_id % 10 == 7)
+        (7L, "sA", "alpha base one"),   // replay: already stored
+        (17L, "sA", "fresh text sA"),   // novel
+        (27L, "sB", "beta base two"),   // replay
+        (37L, "sB", "brand new sB"),    // novel
+        (47L, "sB", "brand new sB"),    // duplicate arrival: collapses
+        (57L, "sB", "another sB nov"))  // second novel
+      docs.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Pipeline.cdcNovelty(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got("sA") == ((2L, 1L, 500000L)),
+        s"sA: one replay + one novel of 2 distinct: ${got("sA")}")
+      assert(got("sB") == ((3L, 2L, 666666L)),
+        s"sB: 4 arrivals, 3 distinct chunks, 2 novel: ${got("sB")}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
