@@ -53,6 +53,14 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (5): x_cdc_novelty 0.38 recorded from two further
+    * identical-code quiet full-suite runs (totals 114.0 / 115.5 s;
+    * readings 0.359 / 0.372) — one hash-only DISTINCT + left join
+    * over the gate family's shared chunking, hence the smallest
+    * entry in the family. The same pair re-measured the gate pair
+    * inside their fresh ceilings (0.39-0.46 / 0.54-0.64). No
+    * existing entries move.
+    *
     * Round 16 (4): the CDC gate pair (x_cdc_gate 0.48,
     * x_cdc_gate_recall 0.63) recorded from two identical-code quiet
     * full-suite runs (totals 118.8 / 124.8 s) — max of the two runs'
@@ -278,6 +286,7 @@ object Bench {
     "x_cdc_resync"   -> 1.73,
     "x_cdc_gate"     -> 0.48,
     "x_cdc_gate_recall" -> 0.63,
+    "x_cdc_novelty"  -> 0.38,
     "x_containment"  -> 3.61,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
