@@ -2387,6 +2387,81 @@ object Pipeline {
        |SELECT id AS doc_id, MIN(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Train/eval split-leakage audit (`x_split_leakage`) — the check a
+    * curation pipeline runs BEFORE publishing a held-out set: assign
+    * every doc its split by the corpus's own content-independent
+    * hash-bucket rule ([[hashSample]]'s md5-of-doc_id idiom; buckets
+    * 0-7 train, 8 val, 9 test), then ask, for each eval split, how
+    * many of its docs share a near-dup cluster (the FULL lexical ∪
+    * semantic graph — [[dedupClusters]]'s components) with at least
+    * one train doc. Those docs are leaked eval signal: a naive
+    * uniform hash split scatters every near-dup cluster across
+    * splits, so memorizing a train doc scores on its eval twin —
+    * the within-corpus form of the train/test overlap
+    * [[contamination]] measures cross-corpus. Output per eval split:
+    * n_docs, n_clustered (in any near-dup cluster — the upper bound
+    * a cluster-aware split assignment could fix), n_leaked, exact
+    * leak_ppm.
+    *
+    * Scale shape: split assignment is a per-row expression; labels
+    * come off the stored edge graph's propagation loop (pair-set
+    * sized, never the corpus); the doc→label join is doc_id-keyed;
+    * the train-cluster set is a DISTINCT over clustered train docs —
+    * bounded by the cluster count — and broadcast into a semi-probe;
+    * the final agg is 2 rows.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = componentsOverSym(
+        symEdgesOf(s, dir).select($"src", $"dst"), freeSym = false)
+      .select($"id".as("doc_id"), $"label")
+    val sp = conv(substring(
+        md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 10
+    val dl = Tables(s, dir, "documents")
+      .select($"doc_id", sp.as("sp"))
+      .join(labels, Seq("doc_id"), "left_outer")
+    val trainClusters = dl
+      .filter($"label".isNotNull && $"sp" <= 7)
+      .select($"label").distinct()
+      .withColumn("tr", lit(1))
+    dl.filter($"sp" >= 8)
+      .join(broadcast(trainClusters), Seq("label"), "left_outer")
+      .groupBy($"sp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"label".isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when($"tr".isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .select(
+        when($"sp" === 8, "val").otherwise("test").as("split"),
+        $"n_docs", $"n_clustered", $"n_leaked",
+        expr("(n_leaked * 1000000) div n_docs").as("leak_ppm"))
+      .orderBy($"split")
+  }
+
+  lazy val splitLeakageSql: String =
+    s"""WITH RECURSIVE
+       |$dedupClusterCtesSql,
+       |labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+       |dl AS (
+       |  SELECT d.doc_id,
+       |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % 10 AS sp,
+       |    l.label
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+       |tc AS (
+       |  SELECT DISTINCT label FROM dl WHERE label IS NOT NULL AND sp <= 7)
+       |SELECT CASE WHEN sp = 8 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dl.label IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_clustered,
+       |  CAST(SUM(CASE WHEN tc.label IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_leaked,
+       |  CAST(SUM(CASE WHEN tc.label IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm
+       |FROM dl LEFT JOIN tc ON dl.label = tc.label
+       |WHERE sp >= 8
+       |GROUP BY sp ORDER BY 1""".stripMargin
+
   /** Semantic-dedup audit — the marginal contribution of the embedding
     * stage over the lexical pipeline: one row per semantic near-dup
     * pair ([[embedNearDup]]), `new_link` = true iff the two documents
@@ -8840,6 +8915,7 @@ object Pipeline {
     "x_cdc_gate"       -> cdcGateAudit _,
     "x_cdc_gate_recall" -> cdcGateRecall _,
     "x_cdc_novelty"    -> cdcNovelty _,
+    "x_split_leakage"  -> splitLeakage _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -8945,6 +9021,7 @@ object Pipeline {
     "x_cdc_gate"       -> cdcGateSql,
     "x_cdc_gate_recall" -> cdcGateRecallSql,
     "x_cdc_novelty"    -> cdcNoveltySql,
+    "x_split_leakage"  -> splitLeakageSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,

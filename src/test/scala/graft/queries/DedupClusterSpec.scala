@@ -139,4 +139,53 @@ class DedupClusterSpec extends AnyFunSuite {
     // docs 3 and 4 have no near-dup edge → absent from the output
     assert(got === Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("splitLeakage: train-touching clusters leak, eval-only clusters don't, singletons can't") {
+    import spark.implicits._
+    // third-engine split oracle: the same md5-of-decimal-doc_id rule,
+    // computed with java.security directly — independent of both
+    // Spark's and DuckDB's expression stacks
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 10).toLong
+    }
+    // derive the fixture FROM the hash: pick ids so every category
+    // exists by construction — a (train,val) and a (train,test) pair
+    // (each leaks exactly its eval member), a (val,test) pair
+    // (clustered but train-free: must NOT leak), plus one unclustered
+    // singleton per split (a singleton cannot leak whatever its split)
+    val used = scala.collection.mutable.Set.empty[Long]
+    def pick(b: Long): Long = {
+      val id = (1L to 2000L).find(i => !used(i) && bucket(i) == b).get
+      used += id; id
+    }
+    val pairs = Seq(pick(0L) -> pick(8L), pick(1L) -> pick(9L),
+      pick(8L) -> pick(9L))
+    val singles = Seq(pick(2L), pick(8L), pick(9L))
+    val docs =
+      pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+        val t = s"zq${k}a zq${k}b zq${k}c zq${k}d zq${k}e"
+        Seq((a, t), (b, t))
+      } ++ singles.zipWithIndex.map { case (id, k) =>
+        (id, s"zs${k}a zs${k}b zs${k}c zs${k}d zs${k}e")
+      }
+    val dir = Files.createTempDirectory("split-leak-").toString
+    try {
+      docs.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'synthetic' AS source",
+          "length(text) AS n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Pipeline.splitLeakage(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // val: members from the (train,val) and (val,test) pairs + the
+      // singleton = 3 docs, 2 clustered, ONLY the train-paired one
+      // leaks; test mirrors it via the (train,test) pair
+      assert(got("val") == ((3L, 2L, 1L, 333333L)),
+        s"val: (val,test) pair must not leak, singleton can't: ${got("val")}")
+      assert(got("test") == ((3L, 2L, 1L, 333333L)),
+        s"test: only the (train,test) member leaks: ${got("test")}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
