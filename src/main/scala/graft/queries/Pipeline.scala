@@ -2438,6 +2438,88 @@ object Pipeline {
       .orderBy($"split")
   }
 
+  /** Cluster-aware split repair (`x_split_repair`) — the transform
+    * [[splitLeakage]] drives (the `x_dup_spans` → `x_span_strip`
+    * audit/transform pairing): reassign every clustered doc to the
+    * split of its cluster's MIN member (the same md5 bucket rule
+    * applied to the cluster label instead of the doc id), so each
+    * near-dup cluster lands whole in ONE split and post-repair
+    * leakage is zero BY CONSTRUCTION — the anchor (min) member's
+    * bucket equals its own, so it never moves, and singletons keep
+    * their hash split. Output per split: population before and
+    * after, docs moved out, docs moved in — the size drift a
+    * pipeline owner weighs against the leak the audit measured.
+    *
+    * Scale shape: both assignments are per-row expressions over the
+    * doc→label join [[splitLeakage]] already pays; the before/after
+    * flows are two 3-row aggregates joined on the split name.
+    */
+  def splitRepair(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = componentsOverSym(
+        symEdgesOf(s, dir).select($"src", $"dst"), freeSym = false)
+      .select($"id".as("doc_id"), $"label")
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+    def name(b: Column): Column =
+      when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+    val perDoc = Tables(s, dir, "documents")
+      .select($"doc_id")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(
+        name(bucket($"doc_id")).as("nb"),
+        name(bucket(coalesce($"label", $"doc_id"))).as("na"))
+    val outFlow = perDoc.groupBy($"nb".as("split"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when($"nb" =!= $"na", 1L).otherwise(0L)).as("n_moved_out"))
+    val inFlow = perDoc.groupBy($"na".as("split"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when($"nb" =!= $"na", 1L).otherwise(0L)).as("n_moved_in"))
+    outFlow.join(inFlow, Seq("split"), "full_outer")
+      .select($"split",
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"n_moved_out", lit(0L)).as("n_moved_out"),
+        coalesce($"n_moved_in", lit(0L)).as("n_moved_in"))
+      .orderBy($"split")
+  }
+
+  lazy val splitRepairSql: String =
+    s"""WITH RECURSIVE
+       |$dedupClusterCtesSql,
+       |labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+       |pd AS (
+       |  SELECT
+       |    CASE WHEN bb <= 7 THEN 'train' WHEN bb = 8 THEN 'val'
+       |      ELSE 'test' END AS nb,
+       |    CASE WHEN ba <= 7 THEN 'train' WHEN ba = 8 THEN 'val'
+       |      ELSE 'test' END AS na
+       |  FROM (
+       |    SELECT
+       |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |        % 10 AS bb,
+       |      ('0x' || substr(md5(CAST(coalesce(l.label, d.doc_id)
+       |        AS VARCHAR)), 1, 4))::BIGINT % 10 AS ba
+       |    FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)),
+       |outf AS (
+       |  SELECT nb AS split, COUNT(*) AS n_before,
+       |    CAST(SUM(CASE WHEN nb <> na THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved_out
+       |  FROM pd GROUP BY nb),
+       |inf AS (
+       |  SELECT na AS split, COUNT(*) AS n_after,
+       |    CAST(SUM(CASE WHEN nb <> na THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved_in
+       |  FROM pd GROUP BY na)
+       |SELECT split,
+       |  COALESCE(n_before, 0) AS n_before,
+       |  COALESCE(n_after, 0) AS n_after,
+       |  COALESCE(n_moved_out, 0) AS n_moved_out,
+       |  COALESCE(n_moved_in, 0) AS n_moved_in
+       |FROM outf FULL OUTER JOIN inf USING (split)
+       |ORDER BY split""".stripMargin
+
   lazy val splitLeakageSql: String =
     s"""WITH RECURSIVE
        |$dedupClusterCtesSql,
@@ -8916,6 +8998,7 @@ object Pipeline {
     "x_cdc_gate_recall" -> cdcGateRecall _,
     "x_cdc_novelty"    -> cdcNovelty _,
     "x_split_leakage"  -> splitLeakage _,
+    "x_split_repair"   -> splitRepair _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -9022,6 +9105,7 @@ object Pipeline {
     "x_cdc_gate_recall" -> cdcGateRecallSql,
     "x_cdc_novelty"    -> cdcNoveltySql,
     "x_split_leakage"  -> splitLeakageSql,
+    "x_split_repair"   -> splitRepairSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,
