@@ -53,6 +53,13 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (6): the split pair (x_split_leakage 1.22,
+    * x_split_repair 1.21) recorded from two further identical-code
+    * quiet full-suite runs (totals 112.3 / 116.2 s) — both pay one
+    * propagation-loop pass over the stored edge graph plus the
+    * doc→label join, so they sit just above x_dedup_clusters
+    * (0.83-0.97 in the same pair). No existing entries move.
+    *
     * Round 16 (5): x_cdc_novelty 0.38 recorded from two further
     * identical-code quiet full-suite runs (totals 114.0 / 115.5 s;
     * readings 0.359 / 0.372) — one hash-only DISTINCT + left join
@@ -287,6 +294,8 @@ object Bench {
     "x_cdc_gate"     -> 0.48,
     "x_cdc_gate_recall" -> 0.63,
     "x_cdc_novelty"  -> 0.38,
+    "x_split_leakage" -> 1.22,
+    "x_split_repair" -> 1.21,
     "x_containment"  -> 3.61,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
