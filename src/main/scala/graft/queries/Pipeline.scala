@@ -2008,18 +2008,42 @@ object Pipeline {
     * not sail through — so a drift in either direction fails the
     * hash compare, not just a Spark-side spec.
     */
+  /** One-time build of the recall curve's stale index: the band index
+    * + stop-shingle set over the planted corpus's FULL original base
+    * (`doc_id < PLANT_OFF` — "yesterday" for the catch-curve scenario
+    * is the whole corpus, unlike the audit's batch-excluded
+    * [[ensureBandIndex]]), persisted with the same stamping
+    * discipline. The deployed gate reads a STORED index, so the
+    * recall query reads one too — a per-run rebuild was paying the
+    * reps+shingles+signature pass on every invocation for an
+    * artifact the scenario defines as compaction-cadence state.
+    */
+  def ensurePlantedBandIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    val adir = ensurePlantedCorpus(s, dir).toString
+    ensureArtifact("graft-bandidx-fullbase", adir, "documents",
+        s"|v1|cap$BAND_CAP|df$SHINGLE_DF_CAP") { staging =>
+      import s.implicits._
+      val base = Tables(s, adir, "documents")
+        .filter($"doc_id" < PLANT_OFF)
+      corpusBandIndex(s, base)
+        .write.mode("overwrite").parquet(staging.resolve("bands").toString)
+      corpusStopShingles(s, base).toSeq.toDF("hs")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("stop").toString)
+    }
+  }
+
   def bandGateRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val adir = ensurePlantedCorpus(s, dir).toString
-    val docs = Tables(s, adir, "documents")
-    val base = docs.filter($"doc_id" < PLANT_OFF)
-    // the index frame is referenced once per band slot by the scorer's
-    // joins — checkpoint so the reps+shingles+signature build runs
-    // once, the stored-artifact shape the deployed gate reads
-    val idx = corpusBandIndex(s, base).localCheckpoint()
-    val variants = docs.filter($"doc_id" >= PLANT_OFF)
+    val root = ensurePlantedBandIndex(s, dir)
+    val idx = s.read.parquet(root.resolve("bands").toString)
+    val stop = s.read.parquet(root.resolve("stop").toString)
+      .as[Long].collect().sorted
+    val variants = Tables(s, adir, "documents")
+      .filter($"doc_id" >= PLANT_OFF)
       .select($"doc_id", $"text")
-    bandGateScored(s, variants, idx, corpusStopShingles(s, base))
+    bandGateScored(s, variants, idx, stop)
       .select($"doc_id",
         coalesce($"gate_ppm" >= JACCARD_DUP_MIN_PPM, lit(false)).as("dropped"),
         plantRate($"doc_id" - lit(PLANT_OFF)).as("rate"))
