@@ -53,6 +53,15 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (7): x_band_gate_recall re-recorded 8.87 → 1.18 (an
+    * 87% move, named per protocol) after the query switched from a
+    * per-run corpusBandIndex rebuild to the stored
+    * ensurePlantedBandIndex artifact — the same stored-index shape
+    * the deployed gate and the audit already read. Two
+    * identical-code quiet full-suite runs (totals 115.2 / 113.9 s;
+    * readings 1.18 / 1.00). Oracle re-verified hash-equal at both
+    * scales after the change. No other entries move.
+    *
     * Round 16 (6): the split pair (x_split_leakage 1.22,
     * x_split_repair 1.21) recorded from two further identical-code
     * quiet full-suite runs (totals 112.3 / 116.2 s) — both pay one
@@ -287,7 +296,7 @@ object Bench {
     "x_band_gate"    -> 3.06,
     "x_gate_battery_capped" -> 2.92,
     "x_prefix_gate"  -> 1.34,
-    "x_band_gate_recall" -> 8.87,
+    "x_band_gate_recall" -> 1.18, // round-16 re-record (stored index)
     "x_cdc_chunks"   -> 3.15,
     "x_cdc_dedup"    -> 2.17,
     "x_cdc_resync"   -> 1.73,
