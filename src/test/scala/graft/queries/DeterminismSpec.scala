@@ -36,7 +36,12 @@ class DeterminismSpec extends AnyFunSuite {
     "x_dedup_recall",
     // media twin: binary slicing + frame-index Jaccard over a derived
     // corpus
-    "x_media_recall")
+    "x_media_recall",
+    // round-16 classes: per-row variant explode + native-kernel
+    // chunking + k fixed-slot probe joins against a stored table
+    // (the CDC gate family), and component labels driving per-row
+    // hash reassignment folded through two joined flows (split repair)
+    "x_cdc_gate_recall", "x_split_repair")
 
   test("results are invariant under shuffle-partition count (32 → 3 → 64)") {
     val conf = spark.conf
