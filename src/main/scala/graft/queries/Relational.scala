@@ -179,6 +179,58 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Weekly cohort-retention matrix over the event stream — the
+    * classic product-analytics capstone: each cohort = the ISO week of a
+    * user's FIRST event, each cell = distinct cohort users active
+    * `week_offset` weeks later, with exact integer retention ppm
+    * against the cohort's own offset-0 size (every cohort member is
+    * active at offset 0 by construction, so the base is the cell
+    * itself).
+    *
+    * Scale shape: the first-event pass and the (user, week) activity
+    * dedup are each ONE user-keyed exchange over the stream; the join
+    * back is user-keyed (AQE reuses the groupBy partitioning); the
+    * retention window runs over the cohort×offset AGGREGATE — weeks²
+    * rows, never events.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+    val firsts = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val active = ev
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
+      .distinct()
+    active.join(firsts, Seq("user_id"))
+      .groupBy($"cohort_week",
+        expr("datediff(week, cohort_week) div 7").cast("long").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .withColumn("cohort_size",
+        max(when($"week_offset" === 0, $"n_users"))
+          .over(Window.partitionBy($"cohort_week")))
+      .select($"cohort_week", $"week_offset", $"n_users",
+        expr("(n_users * 1000000) div cohort_size").as("retained_ppm"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      |  FROM events),
+      |g AS (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+      |    COUNT(DISTINCT a.user_id) AS n_users
+      |  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_users,
+      |  CAST(n_users * 1000000 // MAX(CASE WHEN week_offset = 0 THEN n_users END)
+      |    OVER (PARTITION BY cohort_week) AS BIGINT) AS retained_ppm
+      |FROM g ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Scalar string/math function battery over part. */
   def scalarFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -734,6 +786,7 @@ object Relational {
     "q_window_rank"     -> windowRank _,
     "q_setops"          -> setOps _,
     "q_events_tumbling" -> eventsTumbling _,
+    "q_retention_cohorts" -> retentionCohorts _,
     "q_scalar_funcs"    -> scalarFuncs _,
     "q_date_funcs"      -> dateFuncs _,
     "q_rollup"          -> rollupOrders _,
@@ -759,6 +812,7 @@ object Relational {
     "q_window_rank"     -> windowRankSql,
     "q_setops"          -> setOpsSql,
     "q_events_tumbling" -> eventsTumblingSql,
+    "q_retention_cohorts" -> retentionCohortsSql,
     "q_scalar_funcs"    -> scalarFuncsSql,
     "q_date_funcs"      -> dateFuncsSql,
     "q_rollup"          -> rollupOrdersSql,
