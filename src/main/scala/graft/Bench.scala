@@ -53,6 +53,11 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (8): q_retention_cohorts 0.56 recorded from two further
+    * identical-code quiet full-suite runs (totals 109.7 / 112.0 s;
+    * readings 0.558 / 0.471) — two user-keyed exchanges + a window
+    * over the cohort×offset aggregate. No existing entries move.
+    *
     * Round 16 (7): x_band_gate_recall re-recorded 8.87 → 1.18 (an
     * 87% move, named per protocol) after the query switched from a
     * per-run corpusBandIndex rebuild to the stored
@@ -209,6 +214,7 @@ object Bench {
   private val BaselineSec: Map[String, Double] = Map(
     "q_cube" -> 0.96,
     "q_date_funcs" -> 0.77,
+    "q_retention_cohorts" -> 0.56,
     "q_event_funnel" -> 2.07,
     "q_events_tumbling" -> 1.07,
     "q_grouping_sets" -> 1.02,
