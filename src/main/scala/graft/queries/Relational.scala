@@ -506,6 +506,49 @@ object Relational {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
+  /** Correlated AGGREGATE subquery in a predicate — TPC-H Q17's
+    * planner shape, the decorrelation path `q_scalar_subquery`
+    * (uncorrelated) and `q_lateral_topn` (correlated LIMIT) don't
+    * exercise: per brand, the lineitems ordering LESS than 20% of
+    * their part's average quantity (the small-order fringe Q17 prices
+    * out), written with two correlated scalar aggregates that Catalyst
+    * decorrelates into per-part aggregates + joins. The 20%-of-average
+    * cut is expressed EXACTLY as `qty·5·cnt(part) < sum(part)` — all
+    * decimal/integer arithmetic, algebraically identical to
+    * `qty < 0.2·avg` — so the predicate boundary never rides a
+    * double and both engines agree on every edge row.
+    */
+  def correlatedAgg(s: SparkSession, dir: String): DataFrame = {
+    val tag = viewSeq.incrementAndGet()
+    val (lv, pv) = (s"graft_lineitem_$tag", s"graft_part_$tag")
+    Tables(s, dir, "lineitem").createOrReplaceTempView(lv)
+    Tables(s, dir, "part").createOrReplaceTempView(pv)
+    try s.sql(
+      s"""SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS small_revenue
+        |FROM $lv l JOIN $pv ON p_partkey = l_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 *
+        |    (SELECT COUNT(*) FROM $lv l2 WHERE l2.l_partkey = l.l_partkey) <
+        |  (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,4))) FROM $lv l3
+        |   WHERE l3.l_partkey = l.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+    finally { s.catalog.dropTempView(lv); s.catalog.dropTempView(pv) }
+  }
+
+  val correlatedAggSql: String =
+    """SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS small_revenue
+      |FROM lineitem l JOIN part ON p_partkey = l_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 *
+      |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) <
+      |  (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,4))) FROM lineitem l3
+      |   WHERE l3.l_partkey = l.l_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** Explicit GROUPING SETS — the general form `rollup`/`cube`
     * specialize: an arbitrary, non-hierarchical set list ((status,
     * priority), (priority), ()) that neither of those can express.
@@ -792,6 +835,7 @@ object Relational {
     "q_rollup"          -> rollupOrders _,
     "q_topk"            -> topK _,
     "q_lateral_topn"    -> lateralTopN _,
+    "q_correlated_agg"  -> correlatedAgg _,
     "q_grouping_sets"   -> groupingSets _,
     "q_unpivot"         -> unpivotMetrics _,
     "q_range_join"      -> rangeJoin _,
@@ -818,6 +862,7 @@ object Relational {
     "q_rollup"          -> rollupOrdersSql,
     "q_topk"            -> topKSql,
     "q_lateral_topn"    -> lateralTopNSql,
+    "q_correlated_agg"  -> correlatedAggSql,
     "q_grouping_sets"   -> groupingSetsSql,
     "q_unpivot"         -> unpivotMetricsSql,
     "q_range_join"      -> rangeJoinSql,
