@@ -53,6 +53,12 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 16 (9): q_correlated_agg 1.36 recorded from two further
+    * identical-code quiet full-suite runs (totals 106.3 / 105.8 s;
+    * readings 1.25 / 1.36) — three narrow lineitem passes (main +
+    * the two decorrelated per-part aggregates). No existing entries
+    * move.
+    *
     * Round 16 (8): q_retention_cohorts 0.56 recorded from two further
     * identical-code quiet full-suite runs (totals 109.7 / 112.0 s;
     * readings 0.558 / 0.471) — two user-keyed exchanges + a window
@@ -215,6 +221,7 @@ object Bench {
     "q_cube" -> 0.96,
     "q_date_funcs" -> 0.77,
     "q_retention_cohorts" -> 0.56,
+    "q_correlated_agg" -> 1.36,
     "q_event_funnel" -> 2.07,
     "q_events_tumbling" -> 1.07,
     "q_grouping_sets" -> 1.02,
