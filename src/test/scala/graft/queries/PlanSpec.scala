@@ -576,6 +576,33 @@ class PlanSpec extends AnyFunSuite {
       "an exchange ships a binary payload:\n" + offending.mkString("\n\n"))
   }
 
+  test("q_retention_cohorts: retention window runs over the aggregate, never events") {
+    // the only Window in the plan must sit ABOVE the cohort×offset
+    // aggregate (weeks² rows); a window partitioned over raw events
+    // would serialize the stream through per-cohort sort tasks
+    val p = plan("q_retention_cohorts")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "expected the retention window in:\n" + p.take(2000))
+    val belowWindow = p.substring(winIdx)
+    assert(belowWindow.contains("HashAggregate"),
+      "the window must consume the cohort×offset aggregate, not raw events:\n" +
+        p.take(3000))
+  }
+
+  test("q_correlated_agg: both correlated aggregates decorrelate to equi-joins") {
+    val p = plan("q_correlated_agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated scalar aggregates must decorrelate to equi-joins:\n" + p.take(2000))
+    // the per-part aggregate scans must be pruned to the two columns
+    // the subqueries need — reading more re-ships the fact table
+    val aggScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("lineitem") &&
+        !l.contains("l_extendedprice")).toSeq
+    assert(aggScans.nonEmpty &&
+        aggScans.forall(!_.contains("l_shipdate")),
+      "subquery-side lineitem scans must stay narrow:\n" + aggScans.mkString("\n"))
+  }
+
   test("x_cdc_gate_recall: no exchange carries text or the chunk-hash array") {
     // variant texts (incl. the doubled `stitch` string) and the
     // sorted chunk-hash array exist only map-side: the probe slots
