@@ -72,7 +72,7 @@ object CdcProbe {
     // row contracts AFTER the timings (counts drive different plans)
     val nChunks = SparkEntry.queries("x_cdc_chunks")(spark, dir).count()
     val nGate = SparkEntry.queries("x_cdc_gate")(spark, dir).count()
-    require(nGate * 10 <= nChunks || nGate > 0,
+    require(nGate > 0 && nGate * 10 <= nChunks,
       s"gate audit rows ($nGate) implausible against $nChunks chunks")
 
     println(

@@ -27,8 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * candidate positions `[2, n-W+1]` in CODEPOINTS (UTF-8 lead-byte
   * scan, agreeing with both engines' character `substr`/`length`),
   * windows hashed as UTF-8 bytes, output `[1] ++ boundaries`
-  * ascending. CdcSpec pins kernel ≡ composed-builtins parity on
-  * multibyte, empty, and corpus text.
+  * ascending, NULL text → NULL (UnaryExpression null-safe eval; the
+  * composed reference carries a matching `isNotNull` guard). CdcSpec
+  * pins kernel ≡ composed-builtins parity on multibyte, empty, NULL,
+  * and corpus text.
   */
 case class CdcStarts(child: Expression) extends UnaryExpression {
 

@@ -5315,7 +5315,10 @@ object Pipeline {
 
   /** Composed-builtins reference implementation of [[cdcStarts]] —
     * kept as the parity oracle for the native kernel, never on a hot
-    * path.
+    * path. NULL-propagating like the kernel (UnaryExpression
+    * null-safe semantics): without the outer `isNotNull` guard the
+    * `when(n >= …)` branch would fall through to the empty-array arm
+    * on a null length and emit `[1]` where the kernel emits NULL.
     */
   private[graft] def cdcStartsRef(t: Column): Column = {
     val n = length(t)
@@ -5324,7 +5327,7 @@ object Pipeline {
     val bnds = filter(cand, p =>
       conv(substring(md5(t.substr(p, lit(CDC_W)).cast("binary")), 1, 4), 16, 10)
         .cast("long") % CDC_MOD === 0)
-    concat(array(lit(1)), bnds)
+    when(t.isNotNull, concat(array(lit(1)), bnds))
   }
 
   /** The unsorted CDC chunk stream — shared core of [[cdcChunks]],
@@ -7816,6 +7819,35 @@ object Pipeline {
       minCount: Long = 1L,
       maxEntries: Int = BIGRAM_STATS_MAX_ENTRIES): DataFrame = {
     import s.implicits._
+    val v = gateBatteryVerdicts(s, dir, minCount, maxEntries)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    v.agg(count(lit(1)).as("n_batch"),
+        cnt($"p_quality").as("c_quality"), cnt($"p_novelty").as("c_novelty"),
+        cnt($"p_fluency").as("c_fluency"), cnt($"p_qdir").as("c_qdir"),
+        cnt($"p_quality" && $"p_novelty" && $"p_fluency" && $"p_qdir")
+          .as("c_all"))
+      .select(expr(
+        "stack(5, 'battery', c_all, 'fluency', c_fluency, " +
+          "'novelty', c_novelty, 'qdir', c_qdir, 'quality', c_quality) " +
+          "AS (gate, n_pass)"), $"n_batch")
+      .select($"gate", $"n_batch", $"n_pass",
+        ($"n_batch" - $"n_pass").as("n_drop"),
+        expr("((n_batch - n_pass) * 1000000) div n_batch").as("drop_ppm"))
+      .orderBy($"gate")
+  }
+
+  /** Per-document verdict frame under [[gateBattery]] — one row per
+    * batch-slice doc with the four content-gate pass booleans, the
+    * exact set the battery's counts aggregate. Exposed so the
+    * composed-ingestion kill/restart test (StreamingSpec) can assert
+    * the DEPLOYED gate chain's surviving set against the audit's own
+    * keep-set (`p_quality && p_novelty && p_fluency && p_qdir`) —
+    * gate ≡ audit for the composition, not just per member.
+    */
+  private[graft] def gateBatteryVerdicts(s: SparkSession, dir: String,
+      minCount: Long = 1L,
+      maxEntries: Int = BIGRAM_STATS_MAX_ENTRIES): DataFrame = {
+    import s.implicits._
     val docs = Tables(s, dir, "documents")
     // quality: per-row rule on the batch slice
     val qual = docs.filter(defaultBatchPred)
@@ -7868,7 +7900,7 @@ object Pipeline {
       .select($"doc_id", cosPpmCol(s, $"embedding", cent).as("cos"))
       .select($"doc_id",
         ($"cos".isNull || $"cos" >= QUALITY_DIR_MIN).as("pd"))
-    val v = qual
+    qual
       .join(nov, Seq("doc_id"), "left")
       .join(flu, Seq("doc_id"), "left")
       .join(qd, Seq("doc_id"), "left")
@@ -7876,20 +7908,6 @@ object Pipeline {
         coalesce($"pn", lit(true)).as("p_novelty"),
         coalesce($"pf", lit(true)).as("p_fluency"),
         coalesce($"pd", lit(true)).as("p_qdir"))
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    v.agg(count(lit(1)).as("n_batch"),
-        cnt($"p_quality").as("c_quality"), cnt($"p_novelty").as("c_novelty"),
-        cnt($"p_fluency").as("c_fluency"), cnt($"p_qdir").as("c_qdir"),
-        cnt($"p_quality" && $"p_novelty" && $"p_fluency" && $"p_qdir")
-          .as("c_all"))
-      .select(expr(
-        "stack(5, 'battery', c_all, 'fluency', c_fluency, " +
-          "'novelty', c_novelty, 'qdir', c_qdir, 'quality', c_quality) " +
-          "AS (gate, n_pass)"), $"n_batch")
-      .select($"gate", $"n_batch", $"n_pass",
-        ($"n_batch" - $"n_pass").as("n_drop"),
-        expr("((n_batch - n_pass) * 1000000) div n_batch").as("drop_ppm"))
-      .orderBy($"gate")
   }
 
   /** The non-default bigram budget the `x_gate_battery_capped` oracle

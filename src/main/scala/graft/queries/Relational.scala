@@ -187,25 +187,41 @@ object Relational {
     * active at offset 0 by construction, so the base is the cell
     * itself).
     *
-    * Scale shape: the first-event pass and the (user, week) activity
-    * dedup are each ONE user-keyed exchange over the stream; the join
-    * back is user-keyed (AQE reuses the groupBy partitioning); the
-    * retention window runs over the cohort×offset AGGREGATE — weeks²
-    * rows, never events.
+    * Scale shape — the whole per-user story is ONE user-keyed
+    * exchange over a SINGLE events scan: `groupBy(user_id).agg(min
+    * (ts), collect_set(week))` computes the cohort and the deduped
+    * activity weeks together (both aggregates combine map-side, so
+    * the shuffle carries one compact row per user per map task, never
+    * raw events), and exploding the week set replaces the
+    * activity⋈firsts join entirely. The textbook two-pass form
+    * (first-event aggregate + (user, week) distinct + join back) was
+    * measured to scan events TWICE and re-shuffle the dedup output
+    * user-keyed for the join at scale — this form halves the fact
+    * I/O and drops the join. After the explode each user contributes
+    * at most one row per (cohort, offset) — weeks are week-truncated,
+    * so distinct weeks map to distinct offsets — which turns
+    * COUNT(DISTINCT user) into a plain map-side-combinable COUNT(*).
+    * The retention window then runs over the cohort×offset AGGREGATE
+    * (weeks² rows, never events). PlanSpec pins all of it: one
+    * events scan, no join, and exactly the four exchanges this story
+    * needs (user, cohort×offset, cohort window, output range sort).
+    * The `user_id IS NOT NULL` filter keeps the old join-form
+    * semantics (a join on user_id drops nulls; a groupBy would keep
+    * them).
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables(s, dir, "events")
-    val firsts = ev.groupBy($"user_id")
-      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
-    val active = ev
-      .select($"user_id", date_trunc("week", $"ts").as("week"))
-      .distinct()
-    active.join(firsts, Seq("user_id"))
+    Tables(s, dir, "events")
+      .where($"user_id".isNotNull)
+      .select($"user_id", $"ts", date_trunc("week", $"ts").as("week"))
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"),
+        collect_set($"week").as("weeks"))
+      .select($"user_id", $"cohort_week", explode($"weeks").as("week"))
       .groupBy($"cohort_week",
         expr("datediff(week, cohort_week) div 7").cast("long").as("week_offset"))
-      .agg(countDistinct($"user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .withColumn("cohort_size",
         max(when($"week_offset" === 0, $"n_users"))
           .over(Window.partitionBy($"cohort_week")))
@@ -506,19 +522,59 @@ object Relational {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
-  /** Correlated AGGREGATE subquery in a predicate — TPC-H Q17's
-    * planner shape, the decorrelation path `q_scalar_subquery`
-    * (uncorrelated) and `q_lateral_topn` (correlated LIMIT) don't
-    * exercise: per brand, the lineitems ordering LESS than 20% of
-    * their part's average quantity (the small-order fringe Q17 prices
-    * out), written with two correlated scalar aggregates that Catalyst
-    * decorrelates into per-part aggregates + joins. The 20%-of-average
-    * cut is expressed EXACTLY as `qty·5·cnt(part) < sum(part)` — all
+  /** TPC-H Q17's semantics — per brand, the lineitems ordering LESS
+    * than 20% of their part's average quantity (the small-order
+    * fringe Q17 prices out) — shipped as the explicit single
+    * per-partkey aggregate + join. The textbook correlated-subquery
+    * form (two correlated scalar aggregates; kept verbatim as the
+    * DuckDB oracle, [[correlatedAggSql]]) decorrelates in Spark 4.1
+    * to TWO per-partkey aggregates over lineitem — three fact-table
+    * scans, two fact-keyed shuffles; MergeScalarSubqueries does not
+    * merge the decorrelated pair (verified on the physical plan). At
+    * 100× that duplicated lineitem aggregate is the whole cost of the
+    * query, so the explicit form computes COUNT and SUM in ONE
+    * per-partkey pass and joins it back — PlanSpec pins ≤2 lineitem
+    * scans, and the green oracle hash proves explicit ≡ correlated
+    * on every row. RelationalEdgeSpec additionally pins the
+    * correlated form itself against this plan on a seeded corpus, so
+    * the decorrelation path stays exercised. The 20%-of-average cut
+    * is expressed EXACTLY as `qty·5·cnt(part) < sum(part)` — all
     * decimal/integer arithmetic, algebraically identical to
     * `qty < 0.2·avg` — so the predicate boundary never rides a
-    * double and both engines agree on every edge row.
+    * double and both engines agree on every edge row. (An inner join
+    * to the aggregate is equivalent to the subqueries: every outer
+    * row is itself a lineitem of its part, so the per-part group is
+    * never empty.)
     */
   def correlatedAgg(s: SparkSession, dir: String): DataFrame = {
+    val tag = viewSeq.incrementAndGet()
+    val (lv, pv) = (s"graft_lineitem_$tag", s"graft_part_$tag")
+    Tables(s, dir, "lineitem").createOrReplaceTempView(lv)
+    Tables(s, dir, "part").createOrReplaceTempView(pv)
+    try s.sql(
+      s"""WITH a AS (
+        |  SELECT l_partkey AS pk, COUNT(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_sum
+        |  FROM $lv GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS small_revenue
+        |FROM $lv l JOIN $pv ON p_partkey = l_partkey
+        |JOIN a ON a.pk = l.l_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * a.cnt < a.qty_sum
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+    finally { s.catalog.dropTempView(lv); s.catalog.dropTempView(pv) }
+  }
+
+  /** The textbook correlated-subquery form of [[correlatedAgg]] —
+    * same text as the DuckDB oracle. Never on the registry path; kept
+    * so RelationalEdgeSpec can pin explicit ≡ correlated inside Spark
+    * (the decorrelation path stays exercised even though the shipped
+    * plan avoids it).
+    */
+  private[graft] def correlatedAggSubqueryForm(
+      s: SparkSession, dir: String): DataFrame = {
     val tag = viewSeq.incrementAndGet()
     val (lv, pv) = (s"graft_lineitem_$tag", s"graft_part_$tag")
     Tables(s, dir, "lineitem").createOrReplaceTempView(lv)

@@ -87,6 +87,61 @@ object Streams {
     watermarked(df, tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Yesterday's artifacts a deployed text-ingest chain scores
+    * against, bundled so the chain's inputs are one value: the three
+    * BOUNDED plan constants (novelty Bloom, capped bigram table,
+    * quality centroid — [[graft.queries.Pipeline.corpusShingleFilter]]
+    * / `corpusBigramStats` / `corpusQualityCentroid`) and the two
+    * corpus-sized STORED TABLES that ride stream-static joins (band
+    * index, CDC chunk store — `corpusBandIndex` + `corpusStopShingles`,
+    * `corpusCdcStore`). All refreshed at compaction cadence, never
+    * per-batch state.
+    */
+  case class IngestArtifacts(
+      noveltyFilter: Array[Byte],
+      bigramStats: Array[Byte],
+      centroid: Array[Long],
+      bandIndex: DataFrame,
+      stopShingles: Array[Long],
+      chunkStore: DataFrame)
+
+  /** THE deployed text-ingest gate chain — the single definition of
+    * the composition and its order, which the composed-ingestion
+    * kill/restart test (StreamingSpec) asserts against the
+    * `x_gate_battery` audit's own per-doc keep-set
+    * ([[graft.queries.Pipeline.gateBatteryVerdicts]]) AND the
+    * band/CDC audit keeps, so "gate ≡ audit" holds for the
+    * composition, not just each member.
+    *
+    * Order: the four content members in `x_gate_battery`'s roster
+    * (quality → novelty → fluency → quality-direction), then the two
+    * stale-index near-dup members (banded MinHash → CDC chunk).
+    * Every member is STATELESS and scores only against yesterday's
+    * artifacts — never against other arrivals — so the order cannot
+    * change the surviving SET (the composed test's equality proves
+    * that); it is pinned here for cost: per-row plan-constant scoring
+    * first (cheapest drops earliest), the stream-static joins last,
+    * on the already-thinned stream. Compose the stateful stages
+    * ([[dedupedStream]], [[toShardSink]]) after the chain.
+    *
+    * The frame needs `text` plus an `embedding` column for the
+    * direction gate (NULL embedding = no direction = passes, the
+    * battery's no-evidence rule); gate score columns are dropped by
+    * each member, so the chain is schema-preserving.
+    */
+  def ingestGateChain(df: DataFrame, a: IngestArtifacts): DataFrame =
+    cdcChunkGate(
+      bandNearDupGate(
+        qualityDirGate(
+          fluencyGate(
+            noveltyGate(
+              qualityGate(df).drop("quality"),
+              a.noveltyFilter),
+            a.bigramStats),
+          a.centroid),
+        a.bandIndex, a.stopShingles),
+      a.chunkStore)
+
   /** Streaming quality gate — the ingestion-side twin of the batch
     * `x_quality_score` / manifest stage: score each arriving document
     * with the SAME shared formula ([[graft.queries.Pipeline.qualityCol]]

@@ -91,28 +91,37 @@ class CdcSpec extends AnyFunSuite {
       s"duplicate doc must dedup chunk-for-chunk: $b vs $a")
   }
 
-  test("CdcStarts kernel ≡ composed builtins (multibyte, empty, short, corpus text)") {
+  test("CdcStarts kernel ≡ composed builtins (multibyte, empty, short, NULL, corpus text)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     // hand cases exercise the codepoint accounting (2-, 3-, 4-byte
-    // UTF-8), the single-chunk floor, and the empty text; the corpus
-    // rows exercise real boundary density
+    // UTF-8), the single-chunk floor, the empty text, and NULL
+    // propagation; the corpus rows exercise real boundary density
     val hand = Seq("", "tiny", "héllo wörld çafé ünïcode strîng hère okay",
       "日本語のテキストで境界条件を確認する十分に長い文字列です",
       "emoji 😀 inside 🚀 a long enough string to cross the window size",
-      ptext(300, 42))
+      ptext(300, 42), null)
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"text").as[String].collect().toSeq
     val df = (hand ++ corpus).toDF("t")
-    val both = df.select(
+    val both = df.select(col("t").isNull.as("isnull"),
       graft.functions.CdcFunctions.cdcStarts(spark, col("t")).as("k"),
       Pipeline.cdcStartsRef(col("t")).as("r"))
     val rows = both.collect()
     assert(rows.nonEmpty)
-    for (r <- rows)
-      assert(r.getSeq[Int](0) === r.getSeq[Int](1),
-        s"kernel/builtins divergence: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+    assert(rows.count(_.getBoolean(0)) == 1, "the NULL row must survive to the check")
+    for (r <- rows) {
+      if (r.getBoolean(0)) {
+        // kernel is a UnaryExpression (null-safe eval) → NULL in, NULL
+        // out; the composed reference must agree, not emit [1]
+        assert(r.isNullAt(1) && r.isNullAt(2),
+          s"NULL text must propagate in both forms: ${r.get(1)} vs ${r.get(2)}")
+      } else {
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+          s"kernel/builtins divergence: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+      }
+    }
   }
 
   test("cdcResync: boundaries resynchronize after a 1-char insertion; fixed blocks do not") {

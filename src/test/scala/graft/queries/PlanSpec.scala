@@ -589,18 +589,44 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
-  test("q_correlated_agg: both correlated aggregates decorrelate to equi-joins") {
+  test("q_retention_cohorts: one events scan, no join, exactly 4 exchanges") {
+    // the whole per-user story (cohort AND deduped activity weeks)
+    // rides ONE user-keyed exchange over a SINGLE events scan — the
+    // two-pass firsts⋈activity form scans the fact table twice and
+    // re-shuffles for the join. At 100 TB the second scan IS the
+    // query's cost, so pin: 1 events FileScan, zero joins, and only
+    // the four exchanges the story needs (user, cohort×offset,
+    // cohort window, output range sort).
+    val p = plan("q_retention_cohorts")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n" + p.take(3000))
+    assert(!p.contains("Join"), "the explode form must not join:\n" + p.take(3000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 4, s"expected 4 exchanges, got $exchanges:\n" + p.take(3000))
+  }
+
+  test("q_correlated_agg: single shared per-partkey aggregate, ≤2 lineitem scans") {
+    // the correlated-subquery oracle form decorrelates to TWO
+    // per-partkey lineitem aggregates (three fact scans — verified,
+    // Spark 4.1's MergeScalarSubqueries does not merge them); the
+    // shipped explicit form computes COUNT and SUM in ONE pass, so a
+    // regression back to the duplicated aggregate shows up here as a
+    // third scan
     val p = plan("q_correlated_agg")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "correlated scalar aggregates must decorrelate to equi-joins:\n" + p.take(2000))
-    // the per-part aggregate scans must be pruned to the two columns
-    // the subqueries need — reading more re-ships the fact table
+      "the aggregate join must stay an equi-join:\n" + p.take(2000))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(scans <= 2, s"expected ≤2 lineitem scans, got $scans:\n" + p.take(3000))
+    // the aggregate-side scan must stay pruned to the two columns the
+    // per-partkey pass needs — reading more re-ships the fact table
     val aggScans = p.linesIterator.filter(l =>
       l.contains("ReadSchema") && l.contains("lineitem") &&
         !l.contains("l_extendedprice")).toSeq
     assert(aggScans.nonEmpty &&
         aggScans.forall(!_.contains("l_shipdate")),
-      "subquery-side lineitem scans must stay narrow:\n" + aggScans.mkString("\n"))
+      "aggregate-side lineitem scan must stay narrow:\n" + aggScans.mkString("\n"))
   }
 
   test("x_cdc_gate_recall: no exchange carries text or the chunk-hash array") {

@@ -64,4 +64,19 @@ class RelationalEdgeSpec extends AnyFunSuite {
         s"boundary row must not qualify, BB must be absent: $got")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("correlatedAgg: shipped explicit-aggregate plan ≡ correlated-subquery form") {
+    // the registry ships the single per-partkey aggregate + join (two
+    // lineitem scans — PlanSpec pins that); this keeps the correlated
+    // form itself exercised in Spark (decorrelation path) and proves
+    // the rewrite row-for-row on the real corpus, not just the hand
+    // fixture above
+    val dir = "/root/testdata/sf0.001"
+    val a = Relational.correlatedAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = Relational.correlatedAggSubqueryForm(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a.nonEmpty, "corpus fixture produced no qualifying brands")
+    assert(a === b, s"explicit/correlated divergence:\n$a\nvs\n$b")
+  }
 }

@@ -665,6 +665,221 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(streamed === Set((1L, catA), (4L, dogA), (6L, fishA)))
   }
 
+  test("composed ingestion capstone: full gate roster → id-dedup → shards across a kill/restart ≡ the battery∩band∩cdc audit keep-set") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Pipeline
+
+    // ---- the corpus: the real sf0.001 tables plus four planted
+    // adversarial arrivals (ids ≡ 7 mod 10, so they land in the batch
+    // slice the battery audits): a low-quality doc, an exact replay of
+    // a base doc (novelty 0), a doc STITCHED from ten stored docs plus
+    // a novel tail (novel enough to clear the novelty floor, too
+    // diluted for any single-source band match — only the CDC chunk
+    // probes can see it), and a rate-8 token mutation of a base doc
+    // (the mid-rate lexical case the band gate exists for)
+    val srcDir = "/root/testdata/sf0.001"
+    val dir = tmp.resolve("composed-corpus").toString
+    val docs0 = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val baseTexts = docs0.filter(!Pipeline.defaultBatchPred)
+      .orderBy($"doc_id").limit(10)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // The stitch must clear the whole battery so the CDC probes are
+    // its ONLY catch — delicate on this corpus, where natural fluency
+    // sits just above the floor (31-word vocabulary: every real-word
+    // sequence is already a known bigram AND a known shingle, while
+    // any gibberish zero-scores its bigrams). Construction: body =
+    // the ten HIGHEST-fluency base docs (headroom for dilution,
+    // measured with the audit's own integral cab/ca math), tail = 40
+    // (novel-word, hi₁, hi₂) groups where (hi₁, hi₂) is the base
+    // corpus's top-ppm bigram — each group adds three novel distinct
+    // shingles (novelty) but only two zero-scoring bigrams against
+    // one top-scoring one (fluency), and the body stays > 3/4 of the
+    // chars (CDC probes land on stored chunks).
+    val baseDocsArr = docs0.filter(!Pipeline.defaultBatchPred)
+      .orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val cab = scala.collection.mutable.Map[(String, String), Long]()
+    for ((_, t) <- baseDocsArr; Array(a, b) <- t.split(" ").sliding(2))
+      cab((a, b)) = cab.getOrElse((a, b), 0L) + 1L
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    def bppm(a: String, b: String): Option[Long] =
+      cab.get((a, b)).map(c => c * 1000000L / ca(a))
+    def fluencyOf(t: String): Long = {
+      val w = t.split(" ")
+      val scs = w.sliding(2).collect {
+        case Array(a, b) => bppm(a, b).getOrElse(0L) }.toSeq
+      if (scs.isEmpty) Long.MaxValue else scs.sum / scs.length
+    }
+    val top10 = baseDocsArr.sortBy { case (id, t) => (-fluencyOf(t), id) }
+      .take(10).map(_._2)
+    val hi = cab.keys.toSeq
+      .maxBy { case (a, b) => (bppm(a, b).get, a, b) }
+    val lowQ = "zz yy"
+    val replayTxt = baseTexts(0)._2
+    val body = top10.mkString(" ")
+    val stitch = body + " " +
+      (0 until 40).map(n => s"qq$n ${hi._1} ${hi._2}").mkString(" ")
+    // the mid-rate mutation: every 8th token swapped for another real
+    // corpus word — in-vocabulary text whose shingles are ~99% known,
+    // the "not novel enough" arrival the novelty floor exists for
+    val varToks = baseTexts(1)._2.split(" ")
+    val variant = varToks.zipWithIndex
+      .map { case (t, i) =>
+        if (i % 8 == 7) varToks((i + 5) % varToks.length) else t }
+      .mkString(" ")
+    val planted = Seq(
+      (100007L, lowQ), (100017L, replayTxt), (100027L, stitch),
+      (100037L, variant))
+    docs0.union(planted.toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("planted").as("source"), length($"text").cast("long").as("n_chars")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // ---- yesterday's artifacts: the same ensure* builds the
+    // x_band_gate / x_cdc_gate audits read, plus the three bounded
+    // plan constants (Bloom fpp tightened so the approximate filter
+    // is exact on this universe — the member test's discipline)
+    val bloom = Pipeline.corpusShingleFilter(spark, dir, fpp = 1e-6)
+    val stats = Pipeline.corpusBigramStats(spark, dir)
+    val cent = Pipeline.corpusQualityCentroid(
+      spark, dir, !Pipeline.defaultBatchPred)
+    val bandRoot = Pipeline.ensureBandIndex(spark, dir)
+    val idx = spark.read.parquet(bandRoot.resolve("bands").toString)
+    val stop = spark.read.parquet(bandRoot.resolve("stop").toString)
+      .as[Long].collect().sorted
+    val storeRoot = Pipeline.ensureCdcStore(spark, dir)
+    val store = spark.read.parquet(storeRoot.resolve("chunks").toString)
+    val arts = Streams.IngestArtifacts(bloom, stats, cent, idx, stop, store)
+
+    // ---- the audit twin: the battery's own per-doc keep-set ∧ the
+    // band audit keep ∧ the CDC audit keep, each from the SHARED
+    // scorer the deployed gate uses
+    val verdicts = Pipeline.gateBatteryVerdicts(spark, dir)
+    verdicts.filter($"doc_id" >= 100000L).orderBy($"doc_id").collect()
+      .foreach(r => info(s"planted verdicts: $r"))
+    val batteryKeep = verdicts
+      .filter($"p_quality" && $"p_novelty" && $"p_fluency" && $"p_qdir")
+      .select($"doc_id").as[Long].collect().toSet
+    val arrivalsDf = graft.Tables(spark, dir, "documents")
+      .filter(Pipeline.defaultBatchPred).select($"doc_id", $"text")
+    val bandKeep = Pipeline.bandGateScored(spark, arrivalsDf, idx, stop)
+      .filter($"gate_ppm".isNull ||
+        $"gate_ppm" < Pipeline.JACCARD_DUP_MIN_PPM)
+      .select($"doc_id").as[Long].collect().toSet
+    val cdcKeep = Pipeline.cdcGateScored(spark, arrivalsDf, store)
+      .filter($"gate_known" * 2 < $"gate_np")
+      .select($"doc_id").as[Long].collect().toSet
+    val twin = batteryKeep & bandKeep & cdcKeep
+
+    // ---- the arriving stream: the batch slice with embeddings, fed
+    // in two waves around a kill
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("doc_id"), $"embedding")
+    val arrivals = graft.Tables(spark, dir, "documents")
+      .filter(Pipeline.defaultBatchPred)
+      .join(emb, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"text", $"embedding")
+      .as[(Long, String, Seq[Float])].collect()
+    val naturals = arrivals.filter(_._1 < 100000L)
+    val plantedArr = arrivals.filter(_._1 >= 100000L).sortBy(_._1)
+    assert(plantedArr.map(_._1).toSeq ==
+      Seq(100007L, 100017L, 100027L, 100037L))
+    val half = naturals.length / 2
+    val wave1 = (naturals.take(half) ++ plantedArr.take(2))
+      .map(a => (ts(1), a._1, a._2, a._3))
+    // wave 2 replays a wave-1 KEPT doc_id — across the restart, so a
+    // surviving duplicate row proves dedup state was lost
+    val keptW1 = naturals.take(half).map(_._1).find(twin.contains).get
+    val replayRow = wave1.find(_._2 == keptW1).get.copy(_1 = ts(6))
+    val wave2 = (naturals.drop(half) ++ plantedArr.drop(2))
+      .map(a => (ts(5), a._1, a._2, a._3)) :+ replayRow
+
+    val sinkSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = tmp.resolve("composed-shards")
+    val ckpt = tmp.resolve("ckpt-composed")
+    val mem = MemoryStream[(Timestamp, Long, String, Seq[Float])]
+    def startQuery(sink: StreamingShardSink) = Streams.toShardSink(
+      Streams.dedupedStream(
+        Streams.ingestGateChain(
+          mem.toDF().toDF("ts", "doc_id", "text", "embedding"), arts),
+        "ts", "10 minutes", Seq("doc_id"))
+        .select($"ts", $"doc_id", $"text"),
+      sink, ckpt)
+
+    val sink1 = new StreamingShardSink(out, sinkSchema,
+      shardSizeBytes = 8192L, filePrefix = Some("doc"))
+    val q1 = startQuery(sink1)
+    try {
+      mem.addData(wave1.toSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill
+
+    // crash simulation: drop the newest commit so the restarted query
+    // replays the last micro-batch through the whole chain
+    val commitDir = ckpt.resolve("commits")
+    val newest = Files.list(commitDir).iterator.asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(commitDir.resolve("." + newest.getFileName + ".crc"))
+
+    val sink2 = new StreamingShardSink(out, sinkSchema,
+      shardSizeBytes = 8192L, filePrefix = Some("doc"), resume = true)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    val q2 = startQuery(sink2)
+    try {
+      mem.addData(wave2.toSeq: _*)
+      q2.processAllAvailable()
+    } finally {
+      q2.stop()
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.commitValidation.enabled")
+    }
+
+    val streamedRows = spark.read.schema(sinkSchema).parquet(out.toString)
+      .select($"doc_id").as[Long].collect()
+    val streamed = streamedRows.toSet
+
+    // THE capstone: the deployed composition's surviving set is the
+    // audits' composed keep-set — gate ≡ audit for the whole chain,
+    // across a kill/restart
+    assert(streamed == twin,
+      s"composed gate ≡ audit broke: stream-only ${streamed -- twin}, " +
+        s"audit-only ${twin -- streamed}")
+    // the replayed doc_id survived exactly once (dedup state restored)
+    assert(streamedRows.length == twin.size,
+      s"duplicate rows written: ${streamedRows.length} rows, ${twin.size} ids")
+    // composition is non-trivial and the planted adversaries died
+    assert(twin.nonEmpty && twin.size < arrivals.length)
+    assert(Seq(100007L, 100017L, 100027L).forall(!streamed.contains(_)),
+      s"planted low-quality/replay/stitch must all drop: $streamed")
+    info(s"arrivals=${arrivals.length} battery=${batteryKeep.size} " +
+      s"band=${bandKeep.size} cdc=${cdcKeep.size} kept=${twin.size} " +
+      s"variant_dropped=${!streamed.contains(100037L)}")
+    // the stitched doc is the CDC member's unique catch: it cleared
+    // the whole battery and the band gate
+    assert(batteryKeep.contains(100027L) && bandKeep.contains(100027L) &&
+        !cdcKeep.contains(100027L),
+      "stitch must be caught by the CDC gate alone: battery=" +
+        batteryKeep.contains(100027L) + " band=" + bandKeep.contains(100027L) +
+        " cdc=" + cdcKeep.contains(100027L))
+    // shard sequence contiguous across both sink lifetimes
+    val files = Files.list(out).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+    assert(files.map(_.getFileName.toString) ==
+      files.indices.map(i => s"doc-$i.parquet"))
+  }
+
   test("mediaDedupGate → id-dedup kill/restart: checksum state restores, stream equals batch media dedup on the fixture") {
     val spark0 = spark
     import spark0.implicits._
