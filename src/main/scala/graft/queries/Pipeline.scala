@@ -2568,6 +2568,177 @@ object Pipeline {
        |WHERE sp >= 8
        |GROUP BY sp ORDER BY 1""".stripMargin
 
+  /** Incremental train/eval split-leakage audit
+    * (`x_incr_split_leakage`) — the nightly form of [[splitLeakage]],
+    * the daily-ingest regime a pipeline actually runs: when a batch
+    * arrives, (1) which arriving eval-split docs land LEAKED (their
+    * post-merge cluster holds a train doc, arriving or published),
+    * and (2) which PUBLISHED eval docs that were clean yesterday the
+    * batch just broke — an arriving doc can bridge a previously clean
+    * eval cluster into a train cluster, silently invalidating a
+    * held-out set that passed its audit at publication. Output, one
+    * row per eval split: arriving population / leaked / exact ppm,
+    * the published blast radius (eval docs in recomputed clusters),
+    * and the newly-leaked published count.
+    *
+    * One-sided like [[incrClusters]] (whose label frame this rides,
+    * checkpointed once): split assignment is content-independent and
+    * static, and an untouched cluster's membership is unchanged, so
+    * leak status can only move inside the RECOMPUTED clusters — the
+    * published diff never rescans the corpus. Today's and yesterday's
+    * train-cluster sets are DISTINCTs over label frames — bounded by
+    * the cluster count — broadcast into the eval probes. The DuckDB
+    * oracle full-rebuilds BOTH closures (yesterday's and today's)
+    * from scratch; the green hash is the incremental ≡ full proof,
+    * [[incrClusters]]'s contract extended to the split-audit
+    * composition.
+    */
+  def incrSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+    // the incremental label frame, materialized once — it feeds the
+    // train-set derivation AND both eval probes
+    val post = incrLabels(s, dir).localCheckpoint()
+    val trainToday = post.filter(bucket($"doc_id") <= 7)
+      .select($"cluster_id").distinct().withColumn("t_now", lit(1))
+    val arr = Tables(s, dir, "documents")
+      .filter(isBatchId($"doc_id"))
+      .select($"doc_id", bucket($"doc_id").as("sp"))
+      .filter($"sp" >= 8)
+      .join(post.select($"doc_id", $"cluster_id"), Seq("doc_id"), "left_outer")
+      .join(broadcast(trainToday), Seq("cluster_id"), "left_outer")
+      .groupBy($"sp")
+      .agg(count(lit(1)).as("n_arriving"),
+        sum(when($"t_now".isNotNull, 1L).otherwise(0L))
+          .as("n_arriving_leaked"))
+    val baseLabels = s.read.parquet(ensureBaseLabels(s, dir).toString)
+    val trainYest = baseLabels.filter(bucket($"id") <= 7)
+      .select($"label").distinct().withColumn("t_yest", lit(1))
+    val pub = post.filter($"recomputed" && !isBatchId($"doc_id"))
+      .select($"doc_id", $"cluster_id", bucket($"doc_id").as("sp"))
+      .filter($"sp" >= 8)
+      .join(broadcast(trainToday), Seq("cluster_id"), "left_outer")
+      .join(baseLabels.select($"id".as("doc_id"), $"label"),
+        Seq("doc_id"), "left_outer")
+      .join(broadcast(trainYest), Seq("label"), "left_outer")
+      .groupBy($"sp")
+      .agg(count(lit(1)).as("n_published_touched"),
+        sum(when($"t_now".isNotNull && $"t_yest".isNull, 1L).otherwise(0L))
+          .as("n_published_newly_leaked"))
+    // anchor both eval splits so a quiet batch still reports 2 rows
+    val sps = Seq((8L, "val"), (9L, "test")).toDF("sp", "split")
+    sps.join(arr, Seq("sp"), "left_outer")
+      .join(pub, Seq("sp"), "left_outer")
+      .select($"split",
+        coalesce($"n_arriving", lit(0L)).as("n_arriving"),
+        coalesce($"n_arriving_leaked", lit(0L)).as("n_arriving_leaked"),
+        when(coalesce($"n_arriving", lit(0L)) > 0,
+          expr("(n_arriving_leaked * 1000000) div n_arriving"))
+          .as("arr_leak_ppm"),
+        coalesce($"n_published_touched", lit(0L)).as("n_published_touched"),
+        coalesce($"n_published_newly_leaked", lit(0L))
+          .as("n_published_newly_leaked"))
+      .orderBy($"split")
+  }
+
+  /** DuckDB twin of [[incrSplitLeakage]]: both closures rebuilt from
+    * scratch ([[incrClustersSql]]'s discipline — full edges AND base
+    * edges re-derived, reach taken over each), leak flags joined the
+    * audit's way, published diff restricted to touched clusters.
+    */
+  lazy val incrSplitLeakageSql: String =
+    s"""WITH RECURSIVE
+       |base_docs AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |base_emb AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+       |fjac AS (WITH ${ngramPairCountsCtesSqlFrom("documents")}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |fsim AS (WITH ${simhashPairsCtesSqlFrom("documents")}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |fsem AS (SELECT a_id, b_id FROM (${embedNearDupBodySqlFrom("embeddings")})),
+       |bjac AS (WITH ${ngramPairCountsCtesSqlFrom("base_docs")}
+       |  SELECT a_id, b_id FROM pc WHERE c / (na + nb - c) >= 0.10),
+       |bsim AS (WITH ${simhashPairsCtesSqlFrom("base_docs")}
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |bsem AS (SELECT a_id, b_id FROM (${embedNearDupBodySqlFrom("base_emb")})),
+       |full_e AS (
+       |  SELECT a_id, b_id FROM fjac UNION SELECT a_id, b_id FROM fsim
+       |  UNION SELECT a_id, b_id FROM fsem),
+       |base_e AS (
+       |  SELECT a_id, b_id FROM bjac UNION SELECT a_id, b_id FROM bsim
+       |  UNION SELECT a_id, b_id FROM bsem),
+       |plus AS (
+       |  SELECT a_id, b_id FROM full_e WHERE a_id % 10 = 7 OR b_id % 10 = 7),
+       |minus AS (
+       |  SELECT b.a_id, b.b_id FROM base_e b
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM full_e f WHERE f.a_id = b.a_id AND f.b_id = b.b_id)),
+       |touched AS (
+       |  SELECT a_id AS id FROM plus UNION SELECT b_id FROM plus
+       |  UNION SELECT a_id FROM minus UNION SELECT b_id FROM minus),
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM full_e
+       |  UNION SELECT b_id, a_id FROM full_e),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+       |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |tcl AS (SELECT DISTINCT cluster_id FROM cl JOIN touched USING (id)),
+       |bsym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM base_e
+       |  UNION SELECT b_id, a_id FROM base_e),
+       |breach(id, r) AS (
+       |  SELECT src, src FROM bsym
+       |  UNION
+       |  SELECT s.dst, r.r FROM breach r JOIN bsym s ON s.src = r.id),
+       |bcl AS (SELECT id, MIN(r) AS label FROM breach GROUP BY id),
+       |bkt AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % 10 AS sp
+       |  FROM documents),
+       |tnow AS (
+       |  SELECT DISTINCT cl.cluster_id
+       |  FROM cl JOIN bkt ON bkt.doc_id = cl.id WHERE bkt.sp <= 7),
+       |tyest AS (
+       |  SELECT DISTINCT bcl.label
+       |  FROM bcl JOIN bkt ON bkt.doc_id = bcl.id WHERE bkt.sp <= 7),
+       |arr AS (
+       |  SELECT sp, COUNT(*) AS n_arriving,
+       |    CAST(SUM(CASE WHEN t.cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_arriving_leaked
+       |  FROM bkt
+       |  LEFT JOIN cl ON cl.id = bkt.doc_id
+       |  LEFT JOIN tnow t ON t.cluster_id = cl.cluster_id
+       |  WHERE bkt.doc_id % 10 = 7 AND sp >= 8
+       |  GROUP BY sp),
+       |pub AS (
+       |  SELECT sp, COUNT(*) AS n_published_touched,
+       |    CAST(SUM(CASE WHEN tn.cluster_id IS NOT NULL
+       |      AND ty.label IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_published_newly_leaked
+       |  FROM bkt
+       |  JOIN cl ON cl.id = bkt.doc_id
+       |  JOIN tcl ON tcl.cluster_id = cl.cluster_id
+       |  LEFT JOIN tnow tn ON tn.cluster_id = cl.cluster_id
+       |  LEFT JOIN bcl ON bcl.id = bkt.doc_id
+       |  LEFT JOIN tyest ty ON ty.label = bcl.label
+       |  WHERE bkt.doc_id % 10 <> 7 AND sp >= 8
+       |  GROUP BY sp),
+       |sps AS (SELECT * FROM (VALUES (8, 'val'), (9, 'test')) AS v(sp, split))
+       |SELECT split,
+       |  COALESCE(n_arriving, 0) AS n_arriving,
+       |  COALESCE(n_arriving_leaked, 0) AS n_arriving_leaked,
+       |  CASE WHEN COALESCE(n_arriving, 0) > 0
+       |    THEN CAST(n_arriving_leaked * 1000000 // n_arriving AS BIGINT)
+       |  END AS arr_leak_ppm,
+       |  COALESCE(n_published_touched, 0) AS n_published_touched,
+       |  COALESCE(n_published_newly_leaked, 0) AS n_published_newly_leaked
+       |FROM sps LEFT JOIN arr USING (sp) LEFT JOIN pub USING (sp)
+       |ORDER BY split""".stripMargin
+
   /** Semantic-dedup audit — the marginal contribution of the embedding
     * stage over the lexical pipeline: one row per semantic near-dup
     * pair ([[embedNearDup]]), `new_link` = true iff the two documents
@@ -3173,6 +3344,15 @@ object Pipeline {
     */
   def incrClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    incrLabels(s, dir).orderBy($"doc_id")
+  }
+
+  /** [[incrClusters]] without the output ordering — the label frame
+    * downstream incremental consumers ([[incrSplitLeakage]]) join
+    * against and checkpoint once.
+    */
+  private def incrLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val baseLabels = s.read.parquet(ensureBaseLabels(s, dir).toString)
     val (plus, minus) = incrDelta(s, dir)
     val baseEdges = s.read.parquet(
@@ -3200,7 +3380,6 @@ object Pipeline {
     untouched.select($"id", $"label", lit(false).as("recomputed"))
       .union(subLabels.select($"id", $"label", lit(true).as("recomputed")))
       .select($"id".as("doc_id"), $"label".as("cluster_id"), $"recomputed")
-      .orderBy($"doc_id")
   }
 
   /** DuckDB twin: ground truth by FULL rebuild — both edge sets (the
@@ -7931,8 +8110,142 @@ object Pipeline {
   def gateBatterySql: String =
     gateBatterySql(1L, BIGRAM_STATS_MAX_ENTRIES)
 
-  def gateBatterySql(minCount: Long, maxEntries: Int): String =
-    s"""WITH bq AS (
+  /** Composed ingest-chain funnel (`x_gate_chain`) — the
+    * `x_filter_funnel` discipline applied to THE deployed gate
+    * composition ([[graft.streaming.Streams.ingestGateChain]]): one
+    * row per stage IN CHAIN ORDER (quality → novelty → fluency →
+    * qdir → band → cdc), each reporting the population entering the
+    * stage (the prefix's survivors), its keeps, drops, and exact drop
+    * ppm. The verdicts are the member audits' own — battery per-doc
+    * verdicts ([[gateBatteryVerdicts]]), the band audit keep
+    * ([[bandGateScored]] at [[JACCARD_DUP_MIN_PPM]]), the CDC audit
+    * keep ([[cdcGateScored]]) — so this is the composed "gate ≡
+    * audit" statement as a DRIVER-oracle row, the batch twin of the
+    * StreamingSpec capstone that pins the same composition across a
+    * kill/restart (which additionally asserts this funnel's final
+    * keep count equals the streamed survivor set). The `ord` column
+    * pins the chain order in the hashed output. Every member is
+    * stateless, so the FINAL keep count is order-independent; the
+    * per-stage attrition is what a pipeline owner reads before
+    * reordering gates by cost. Scale shape: one pass per feature
+    * family (the battery's), the two stale-index join probes, one
+    * 1-row aggregate, 6 output rows at any corpus size.
+    */
+  def gateChainFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = gateBatteryVerdicts(s, dir)
+    val bandRoot = ensureBandIndex(s, dir)
+    val idx = s.read.parquet(bandRoot.resolve("bands").toString)
+    val stopArr = s.read.parquet(bandRoot.resolve("stop").toString)
+      .as[Long].collect().sorted
+    val store = s.read.parquet(
+      ensureCdcStore(s, dir).resolve("chunks").toString)
+    val arrivals = Tables(s, dir, "documents")
+      .filter(defaultBatchPred).select($"doc_id", $"text")
+    val pb = bandGateScored(s, arrivals, idx, stopArr)
+      .select($"doc_id",
+        ($"gate_ppm".isNull || $"gate_ppm" < JACCARD_DUP_MIN_PPM).as("pb"))
+    val pc = cdcGateScored(s, arrivals, store)
+      .select($"doc_id", ($"gate_known" * 2 < $"gate_np").as("pc"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    v.join(pb, Seq("doc_id"), "left")
+      .join(pc, Seq("doc_id"), "left")
+      .select($"p_quality".as("pq"), $"p_novelty".as("pn"),
+        $"p_fluency".as("pf"), $"p_qdir".as("pd"),
+        coalesce($"pb", lit(true)).as("pb"),
+        coalesce($"pc", lit(true)).as("pc"))
+      .agg(count(lit(1)).as("k0"),
+        cnt($"pq").as("k1"),
+        cnt($"pq" && $"pn").as("k2"),
+        cnt($"pq" && $"pn" && $"pf").as("k3"),
+        cnt($"pq" && $"pn" && $"pf" && $"pd").as("k4"),
+        cnt($"pq" && $"pn" && $"pf" && $"pd" && $"pb").as("k5"),
+        cnt($"pq" && $"pn" && $"pf" && $"pd" && $"pb" && $"pc").as("k6"))
+      .select(expr(
+        "stack(6, " +
+          "CAST(1 AS BIGINT), 'quality', k0, k1, " +
+          "CAST(2 AS BIGINT), 'novelty', k1, k2, " +
+          "CAST(3 AS BIGINT), 'fluency', k2, k3, " +
+          "CAST(4 AS BIGINT), 'qdir', k3, k4, " +
+          "CAST(5 AS BIGINT), 'band', k4, k5, " +
+          "CAST(6 AS BIGINT), 'cdc', k5, k6) " +
+          "AS (ord, stage, n_in, n_kept)"))
+      .select($"ord", $"stage", $"n_in", $"n_kept",
+        ($"n_in" - $"n_kept").as("n_dropped"),
+        when($"n_in" > 0, expr("((n_in - n_kept) * 1000000) div n_in"))
+          .as("drop_ppm"))
+      .orderBy($"ord")
+  }
+
+  /** DuckDB twin of [[gateChainFunnel]]: the battery's shared verdict
+    * CTEs ([[gateVerdictCtesSql]]) joined with the band and CDC
+    * audits' own per-doc derivations, folded through the same ordered
+    * prefix conjunctions.
+    */
+  lazy val gateChainSql: String =
+    s"""WITH ${gateVerdictCtesSql(1L, BIGRAM_STATS_MAX_ENTRIES)},
+       |base AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($defaultBatchCondSql)),
+       |arr AS (SELECT doc_id, text FROM documents WHERE $defaultBatchCondSql),
+       |${bandGateCtesSql("base", "arr")},
+       |cbase AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE NOT ($defaultBatchCondSql)),
+       |carr AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE $defaultBatchCondSql),
+       |cstore AS (
+       |  SELECT DISTINCT chunk_hash FROM (${cdcChunkRowsSql("text", "cbase")})),
+       |ach AS (
+       |  SELECT DISTINCT doc_id, chunk_hash
+       |  FROM (${cdcChunkRowsSql("text", "carr")})),
+       |probes AS (
+       |  SELECT doc_id, chunk_hash FROM ach
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY chunk_hash) <= $CDC_PROBE_K),
+       |csc AS (
+       |  SELECT p.doc_id, COUNT(*) AS np, COUNT(cs.chunk_hash) AS known
+       |  FROM probes p LEFT JOIN cstore cs ON p.chunk_hash = cs.chunk_hash
+       |  GROUP BY p.doc_id),
+       |flags AS (
+       |  SELECT gv.doc_id, pq, pn, pf, pd,
+       |    (sc.maxppm IS NULL OR sc.maxppm < $JACCARD_DUP_MIN_PPM) AS pb,
+       |    COALESCE(csc.known * 2 < csc.np, TRUE) AS pc
+       |  FROM gv LEFT JOIN scored sc ON gv.doc_id = sc.a_id
+       |          LEFT JOIN csc ON gv.doc_id = csc.doc_id),
+       |fa AS (
+       |  SELECT COUNT(*) AS k0,
+       |    SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS k1,
+       |    SUM(CASE WHEN pq AND pn THEN 1 ELSE 0 END) AS k2,
+       |    SUM(CASE WHEN pq AND pn AND pf THEN 1 ELSE 0 END) AS k3,
+       |    SUM(CASE WHEN pq AND pn AND pf AND pd THEN 1 ELSE 0 END) AS k4,
+       |    SUM(CASE WHEN pq AND pn AND pf AND pd AND pb THEN 1 ELSE 0 END)
+       |      AS k5,
+       |    SUM(CASE WHEN pq AND pn AND pf AND pd AND pb AND pc
+       |      THEN 1 ELSE 0 END) AS k6
+       |  FROM flags)
+       |SELECT CAST(ord AS BIGINT) AS ord, stage,
+       |  CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(n_in - n_kept AS BIGINT) AS n_dropped,
+       |  CASE WHEN n_in > 0
+       |    THEN CAST((n_in - n_kept) * 1000000 // n_in AS BIGINT)
+       |  END AS drop_ppm
+       |FROM (
+       |  SELECT 1 AS ord, 'quality' AS stage, k0 AS n_in, k1 AS n_kept FROM fa
+       |  UNION ALL SELECT 2, 'novelty', k1, k2 FROM fa
+       |  UNION ALL SELECT 3, 'fluency', k2, k3 FROM fa
+       |  UNION ALL SELECT 4, 'qdir', k3, k4 FROM fa
+       |  UNION ALL SELECT 5, 'band', k4, k5 FROM fa
+       |  UNION ALL SELECT 6, 'cdc', k5, k6 FROM fa)
+       |ORDER BY ord""".stripMargin
+
+  /** The battery's per-doc verdict CTE chain (ends at `gv`:
+    * doc_id, pq, pn, pf, pd) — ONE derivation shared by
+    * [[gateBatterySql]] and the composed chain-funnel oracle
+    * ([[gateChainSql]]), so the audit and the funnel cannot drift.
+    */
+  private def gateVerdictCtesSql(minCount: Long, maxEntries: Int): String =
+    s"""bq AS (
        |  SELECT doc_id,
        |    (${qualitySql("text")}) >= CAST($QUALITY_MIN AS DOUBLE) AS pq
        |  FROM documents WHERE $defaultBatchCondSql),
@@ -8007,7 +8320,10 @@ object Pipeline {
        |    COALESCE(gqd.pd, TRUE) AS pd
        |  FROM bq LEFT JOIN gnov USING (doc_id)
        |    LEFT JOIN gfl USING (doc_id)
-       |    LEFT JOIN gqd USING (doc_id)),
+       |    LEFT JOIN gqd USING (doc_id))""".stripMargin
+
+  def gateBatterySql(minCount: Long, maxEntries: Int): String =
+    s"""WITH ${gateVerdictCtesSql(minCount, maxEntries)},
        |ga AS (
        |  SELECT COUNT(*) AS n_batch,
        |    SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS c_quality,
@@ -9041,6 +9357,7 @@ object Pipeline {
     "x_cdc_novelty"    -> cdcNovelty _,
     "x_split_leakage"  -> splitLeakage _,
     "x_split_repair"   -> splitRepair _,
+    "x_incr_split_leakage" -> incrSplitLeakage _,
     "x_token_rarity"   -> tokenRarity _,
     "x_top_ngrams"     -> topNgrams _,
     "x_bpe_merges"     -> bpeMerges _,
@@ -9060,6 +9377,7 @@ object Pipeline {
     "x_embed_quantize" -> embedQuantize _,
     "x_embed_quality"  -> embedQuality _,
     "x_gate_battery"   -> ((s: SparkSession, d: String) => gateBattery(s, d)),
+    "x_gate_chain"     -> gateChainFunnel _,
     "x_gate_battery_capped" -> ((s: SparkSession, d: String) =>
       gateBattery(s, d, CAPPED_BATTERY_MIN_COUNT, CAPPED_BATTERY_MAX_ENTRIES)),
     "x_tfidf_terms"    -> tfidfTerms _,
@@ -9148,6 +9466,7 @@ object Pipeline {
     "x_cdc_novelty"    -> cdcNoveltySql,
     "x_split_leakage"  -> splitLeakageSql,
     "x_split_repair"   -> splitRepairSql,
+    "x_incr_split_leakage" -> incrSplitLeakageSql,
     "x_token_rarity"   -> tokenRaritySql,
     "x_top_ngrams"     -> topNgramsSql,
     "x_bpe_merges"     -> bpeMergesSql,
@@ -9167,6 +9486,7 @@ object Pipeline {
     "x_embed_quantize" -> embedQuantizeSql,
     "x_embed_quality"  -> embedQualitySql,
     "x_gate_battery"   -> gateBatterySql,
+    "x_gate_chain"     -> gateChainSql,
     "x_gate_battery_capped" ->
       gateBatterySql(CAPPED_BATTERY_MIN_COUNT, CAPPED_BATTERY_MAX_ENTRIES),
     "x_tfidf_terms"    -> tfidfTermsSql,

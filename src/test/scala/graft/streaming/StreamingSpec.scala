@@ -878,6 +878,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       .sortBy(_.getFileName.toString)
     assert(files.map(_.getFileName.toString) ==
       files.indices.map(i => s"doc-$i.parquet"))
+
+    // and the oracle-checked funnel (x_gate_chain) tells the same
+    // story: its final keep count IS the streamed survivor count
+    val funnel = Pipeline.gateChainFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._2).toSeq ==
+      Seq("quality", "novelty", "fluency", "qdir", "band", "cdc"),
+      s"funnel stage order: ${funnel.toSeq}")
+    assert(funnel.last._4 == twin.size,
+      s"funnel final keep ${funnel.last._4} vs streamed ${twin.size}")
   }
 
   test("mediaDedupGate → id-dedup kill/restart: checksum state restores, stream equals batch media dedup on the fixture") {
