@@ -629,6 +629,43 @@ class PlanSpec extends AnyFunSuite {
       "aggregate-side lineitem scan must stay narrow:\n" + aggScans.mkString("\n"))
   }
 
+  test("x_gate_chain: no exchange carries the document text") {
+    // the funnel composes every content gate's scorer over one
+    // arrivals pass — text must stay map-side everywhere (shingles
+    // hash before the novelty anti-join, bigram tokens are the only
+    // string keys that legitimately shuffle, the CDC kernel chunks
+    // before its probe joins); a text column on any exchange means a
+    // scorer regressed to shuffling the corpus payload
+    val fmt = graft.SparkEntry.queries("x_gate_chain")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val sections = fmt.split("\n\n")
+    val exchanges = sections.filter(_.matches("(?s).*\\(\\d+\\) Exchange\\b.*"))
+    assert(exchanges.nonEmpty, "expected Exchange nodes in:\n" + fmt.take(2000))
+    val offending = exchanges.filter(sec =>
+      sec.linesIterator.exists(l =>
+        l.startsWith("Input") && "\\btext#".r.findFirstIn(l).isDefined))
+    assert(offending.isEmpty,
+      "an exchange ships the document text:\n" + offending.mkString("\n\n"))
+  }
+
+  test("x_incr_split_leakage: documents scanned once, and only for ids") {
+    // the audit's whole corpus contact is the arrivals id scan: labels
+    // ride the checkpointed incremental frame, the train-cluster sets
+    // are cluster-count-bounded broadcasts, and the published diff
+    // lives inside the recomputed clusters — so exactly ONE documents
+    // FileScan, reading doc_id alone (never text)
+    val p = plan("x_incr_split_leakage")
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")).toSeq
+    assert(docScans.size == 1,
+      s"expected 1 documents scan, got ${docScans.size}:\n" + p.take(3000))
+    val readSchema = docScans.head
+      .split("ReadSchema: ").last
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      "the audit must read ids only: " + readSchema)
+  }
+
   test("x_cdc_gate_recall: no exchange carries text or the chunk-hash array") {
     // variant texts (incl. the doubled `stitch` string) and the
     // sorted chunk-hash array exist only map-side: the probe slots
