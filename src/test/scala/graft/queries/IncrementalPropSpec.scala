@@ -78,4 +78,83 @@ class IncrementalPropSpec extends AnyFunSuite {
           s"fullCl ∖ incrCl: ${fullCl -- incrCl}")
     }
   }
+
+  /** The audit composed on top: [[Pipeline.incrSplitLeakage]] must
+    * equal a from-first-principles full-rebuild twin (full clusters
+    * via [[Pipeline.dedupClusters]], touched set from the edge-set
+    * diff, buckets via a THIRD-engine java MD5) on the same random
+    * corpora — hunting interaction corners (dissolved clusters,
+    * demotions, batch-bridged merges) the hand fixture in
+    * SplitIncrSpec doesn't enumerate.
+    */
+  private def bucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 10
+  }
+
+  private val splitSignal = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  (1 to 4).foreach { seed =>
+    test(s"incrSplitLeakage ≡ full-rebuild audit on random corpus (seed $seed)") {
+      val dir = Files.createTempDirectory(s"incr-split-prop-$seed-").toString
+      writeCorpus(dir, seed)
+      val fullCl = Pipeline.dedupClusters(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val fullEdges = pairs(
+        spark.read.parquet(Pipeline.ensureEdgeGraph(spark, dir).toString)
+          .select("a_id", "b_id").distinct())
+      val baseEdges = pairs(
+        spark.read.parquet(Pipeline.ensureEdgeGraph(spark,
+            Pipeline.ensureBaseCorpus(spark, dir).toString).toString)
+          .select("a_id", "b_id").distinct())
+      val baseLabels = spark.read
+        .parquet(Pipeline.ensureBaseLabels(spark, dir).toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val docIds = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+
+      // the oracle's touched derivation: plus = full edges with a
+      // batch endpoint, minus = base ∖ full; touched clusters = full
+      // labels of touched ids that are clustered today
+      val plus = fullEdges.filter(e => e._1 % 10 == 7 || e._2 % 10 == 7)
+      val minus = baseEdges -- fullEdges
+      val touched = (plus ++ minus).flatMap(e => Seq(e._1, e._2))
+      val tcl = touched.flatMap(fullCl.get)
+      val trainToday = docIds.filter(bucket(_) <= 7).flatMap(fullCl.get).toSet
+      val trainYest = baseLabels.collect {
+        case (id, l) if bucket(id) <= 7 => l }.toSet
+
+      def expected(sp: Long): (Long, Long, Long, Long, Long) = {
+        val arr = docIds.filter(id => id % 10 == 7 && bucket(id) == sp)
+        val arrLeaked =
+          arr.count(id => fullCl.get(id).exists(trainToday)).toLong
+        val ppm = if (arr.isEmpty) -1L else arrLeaked * 1000000L / arr.size
+        val pub = docIds.filter(id => id % 10 != 7 && bucket(id) == sp &&
+          fullCl.get(id).exists(tcl))
+        val newly = pub.count { id =>
+          fullCl.get(id).exists(trainToday) &&
+            !baseLabels.get(id).exists(trainYest) }.toLong
+        (arr.size.toLong, arrLeaked, ppm, pub.size.toLong, newly)
+      }
+      val got = Pipeline.incrSplitLeakage(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            r.getLong(4), r.getLong(5)))).toMap
+      assert(got.keySet == Set("val", "test"))
+      assert(got("val") == expected(8L),
+        s"seed $seed val: ${got("val")} vs ${expected(8L)}")
+      assert(got("test") == expected(9L),
+        s"seed $seed test: ${got("test")} vs ${expected(9L)}")
+      splitSignal.addAndGet(
+        got("val")._2 + got("val")._5 + got("test")._2 + got("test")._5)
+      // the fixed seeds are deterministic: the sweep as a whole must
+      // exercise real leakage, not four all-zero corpora
+      if (seed == 4)
+        assert(splitSignal.get() > 0L,
+          "all four seeds produced zero leak signal — regenerate seeds")
+    }
+  }
 }
