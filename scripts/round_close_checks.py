@@ -12,11 +12,15 @@ as a script, so a false claim can't ship.
    `SparkEntry.oracleSql` (as dumped by any `graft.Verify` run's
    oracle_sql.json), in BOTH directions.
 
+3. Ceiling coverage — every registry query must carry a
+   `Bench.BaselineSec` entry (the ceiling protocol: recorded the same
+   round the query lands), and no ceiling may be orphaned.
+
 Usage:
     python3 scripts/round_close_checks.py [path/to/oracle_sql.json]
 
 oracle_sql.json defaults to /tmp/verify_out/oracle_sql.json (the
-verify recipe's output). Exit 0 iff both checks are clean.
+verify recipe's output). Exit 0 iff all three checks are clean.
 """
 import json
 import os
@@ -98,6 +102,34 @@ def check_survey(oracle_path):
     return len(dupes) + len(only_survey) + len(only_registry)
 
 
+def baseline_keys():
+    text = open(os.path.join(
+        MAIN, "graft/Bench.scala"), encoding="utf-8").read()
+    # strip line comments first — entry annotations quote old values
+    # with parens ("(15.51 -> 9.41, -39%)") that fool the terminator
+    text = re.sub(r'//[^\n]*', '', text)
+    start = text.index("BaselineSec: Map[String, Double] = Map(")
+    # the map literal ends at the entry whose value is followed by `)`
+    m = re.search(r'->\s*[0-9.]+\s*\)', text[start:])
+    end = start + m.end()
+    return set(re.findall(r'"([a-z0-9_]+)"\s*->', text[start:end]))
+
+
+def check_ceilings(oracle_path):
+    registry = set(json.load(open(oracle_path)))
+    ceilings = baseline_keys()
+    ungated = sorted(registry - ceilings)
+    orphaned = sorted(ceilings - registry)
+    print(f"== ceilings ({len(ceilings)}) ↔ registry ({len(registry)}) ==")
+    for n in ungated:
+        print(f"  NO-CEILING {n}")
+    for n in orphaned:
+        print(f"  ORPHANED   {n}")
+    if not (ungated or orphaned):
+        print("  every query gated, no orphans")
+    return len(ungated) + len(orphaned)
+
+
 def main():
     oracle = sys.argv[1] if len(sys.argv) > 1 \
         else "/tmp/verify_out/oracle_sql.json"
@@ -108,6 +140,7 @@ def main():
               file=sys.stderr)
         return 2
     bad += check_survey(oracle)
+    bad += check_ceilings(oracle)
     print("RESULT:", "clean" if bad == 0 else f"{bad} problem(s)")
     return 0 if bad == 0 else 1
 
