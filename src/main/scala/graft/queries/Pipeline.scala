@@ -7898,6 +7898,90 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Score-calibration audit (`x_quality_calibration`) — the check a
+    * pipeline owner runs before trusting the CHEAP per-row lexical
+    * quality score as a proxy for the EXPENSIVE embedding signal
+    * (before moving [[QUALITY_MIN]], before gating ingest on the
+    * formula alone): per quality-score decile band, the population,
+    * how many docs carry an embedding, how many of those carry a
+    * direction (non-null [[cosPpmCol]] vs the seed-quality centroid),
+    * the mean cosine in floored integer ppm, and the agreement rate
+    * (cos ≥ 0 — pointing WITH the quality direction) in exact ppm. A
+    * calibrated score shows agreement rising with the band; a flat
+    * curve says the formula is noise against the embedding signal at
+    * that floor. All 10 bands anchored (empty bands report zero
+    * counts, NULL stats), so the curve's shape is never hidden by
+    * missing rows.
+    *
+    * Scale shape: one pass for the per-doc scores ([[embedQuality]]'s
+    * frame — the centroid is a collected 64-long plan constant, the
+    * cosine a codegen'd per-row expression), one pass for the
+    * all-docs band counts, both aggregated to ≤10 groups map-side;
+    * the band spine is a literal. Nothing pairwise, nothing wide on
+    * any exchange.
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bandOf = least(expr("qm div 100000"), lit(9L))
+    val all = qualityMicroOf(s, dir)
+      .select(bandOf.as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_docs"))
+    val emb = embedQuality(s, dir)
+      .select(bandOf.as("band"), $"cos_ppm")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_embedded"),
+        count($"cos_ppm").as("n_directional"),
+        sum($"cos_ppm").as("sum_cos"),
+        sum(when($"cos_ppm" >= 0, 1L).otherwise(0L)).as("n_agree"))
+    val spine = s.range(0, 10).select($"id".as("band"))
+    spine.join(all, Seq("band"), "left")
+      .join(emb, Seq("band"), "left")
+      .select($"band",
+        coalesce($"n_docs", lit(0L)).as("n_docs"),
+        coalesce($"n_embedded", lit(0L)).as("n_embedded"),
+        coalesce($"n_directional", lit(0L)).as("n_directional"),
+        when($"n_directional" > 0,
+          floor($"sum_cos".cast("double") / $"n_directional").cast("long"))
+          .as("mean_cos_ppm"),
+        when($"n_directional" > 0,
+          expr("(n_agree * 1000000) div n_directional")).as("agree_ppm"))
+      .orderBy($"band")
+  }
+
+  /** DuckDB twin of [[qualityCalibration]] — wraps [[embedQualitySql]]
+    * (the per-doc frame, verbatim) under the identical banding and
+    * guarded integer statistics.
+    */
+  lazy val qualityCalibrationSql: String =
+    s"""WITH eq AS ($embedQualitySql),
+       |qa AS (
+       |  SELECT LEAST(CAST(floor((${qualitySql("text")})
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) // 100000, 9) AS band,
+       |    COUNT(*) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |eb AS (
+       |  SELECT LEAST(qm // 100000, 9) AS band,
+       |    COUNT(*) AS n_embedded,
+       |    COUNT(cos_ppm) AS n_directional,
+       |    CAST(SUM(cos_ppm) AS BIGINT) AS sum_cos,
+       |    CAST(SUM(CASE WHEN cos_ppm >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM eq GROUP BY 1),
+       |spine AS (SELECT unnest(range(10)) AS band)
+       |SELECT CAST(spine.band AS BIGINT) AS band,
+       |  COALESCE(n_docs, 0) AS n_docs,
+       |  CAST(COALESCE(n_embedded, 0) AS BIGINT) AS n_embedded,
+       |  CAST(COALESCE(n_directional, 0) AS BIGINT) AS n_directional,
+       |  CASE WHEN n_directional > 0
+       |    THEN CAST(floor(CAST(sum_cos AS DOUBLE) / n_directional) AS BIGINT)
+       |  END AS mean_cos_ppm,
+       |  CASE WHEN n_directional > 0
+       |    THEN CAST(n_agree * 1000000 // n_directional AS BIGINT)
+       |  END AS agree_ppm
+       |FROM spine LEFT JOIN qa ON qa.band = spine.band
+       |  LEFT JOIN eb ON eb.band = spine.band
+       |ORDER BY band""".stripMargin
+
   /** (doc_id, qm) — the floored integer micro heuristic-quality score
     * per document (the [[keepBestDecision]] statistic, factored for
     * the embed-quality family).
@@ -9378,6 +9462,7 @@ object Pipeline {
     "x_embed_quality"  -> embedQuality _,
     "x_gate_battery"   -> ((s: SparkSession, d: String) => gateBattery(s, d)),
     "x_gate_chain"     -> gateChainFunnel _,
+    "x_quality_calibration" -> qualityCalibration _,
     "x_gate_battery_capped" -> ((s: SparkSession, d: String) =>
       gateBattery(s, d, CAPPED_BATTERY_MIN_COUNT, CAPPED_BATTERY_MAX_ENTRIES)),
     "x_tfidf_terms"    -> tfidfTerms _,
@@ -9487,6 +9572,7 @@ object Pipeline {
     "x_embed_quality"  -> embedQualitySql,
     "x_gate_battery"   -> gateBatterySql,
     "x_gate_chain"     -> gateChainSql,
+    "x_quality_calibration" -> qualityCalibrationSql,
     "x_gate_battery_capped" ->
       gateBatterySql(CAPPED_BATTERY_MIN_COUNT, CAPPED_BATTERY_MAX_ENTRIES),
     "x_tfidf_terms"    -> tfidfTermsSql,

@@ -254,4 +254,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     // floor(3.0/2.0 + 0.5) = 2 → reconstruction 4.0, |3-4| = 1.0
     assert(got === Seq((1L, 1.0, 0L), (3L, 2.0, 1000000L)))
   }
+
+  test("qualityCalibration: hand bands — agree/disagree/no-direction/no-embedding all placed exactly") {
+    import spark.implicits._
+    // qm by the shared formula: doc1 "the the the the" = 625000
+    // (band 6, the only seed at the 400000 floor → centroid (1e6, 0));
+    // doc2 "zz yy" = 81250 (band 0), embedding (-1,0) → cos −1e6,
+    // disagree; doc3 = 84375 (band 0), NO embedding; doc4 "the aa" =
+    // 350000 (band 3), zero vector → embedded but directionless
+    val dir = writeDocs(Seq(
+      (1L, "the the the the"), (2L, "zz yy"),
+      (3L, "aa bb cc"), (4L, "the aa")))
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(-1.0f, 0.0f), 0),
+        (4L, Seq(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.qualityCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.length == 10, s"all bands anchored: ${got.toSeq}")
+    val byBand = got.map(t => t._1 -> t).toMap
+    assert(byBand(0L) == ((0L, 2L, 1L, 1L, Some(-1000000L), Some(0L))),
+      s"band 0: ${byBand(0L)}")
+    assert(byBand(3L) == ((3L, 1L, 1L, 0L, None, None)),
+      s"band 3 (zero-norm): ${byBand(3L)}")
+    assert(byBand(6L) == ((6L, 1L, 1L, 1L, Some(1000000L), Some(1000000L))),
+      s"band 6 (seed): ${byBand(6L)}")
+    for (b <- Seq(1L, 2L, 4L, 5L, 7L, 8L, 9L))
+      assert(byBand(b) == ((b, 0L, 0L, 0L, None, None)), s"band $b: ${byBand(b)}")
+  }
 }
