@@ -53,6 +53,12 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 17 (2): x_quality_calibration 0.84 recorded from two
+    * further identical-code quiet full-suite runs (totals 126.9 /
+    * 115.3 s, zero flags; readings 0.785 / 0.837) — one
+    * embeddings⋈scores pass plus one all-docs score pass, both
+    * reduced map-side to ≤10 bands. No existing entries move.
+    *
     * Round 17: the two new round-17 queries recorded and the two
     * rewritten relational capstones re-recorded, all from the same
     * two identical-code quiet full-suite runs (totals 123.8 /
@@ -241,6 +247,7 @@ object Bench {
     "q_retention_cohorts" -> 0.51, // re-recorded r17 after the single-scan rewrite
     "q_correlated_agg" -> 1.40, // re-recorded r17 after the explicit-aggregate rewrite
     "x_incr_split_leakage" -> 5.46,
+    "x_quality_calibration" -> 0.84,
     "x_gate_chain" -> 2.87,
     "q_event_funnel" -> 2.07,
     "q_events_tumbling" -> 1.07,
