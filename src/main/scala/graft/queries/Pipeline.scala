@@ -7887,8 +7887,12 @@ object Pipeline {
     */
   def embedQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q = qualityMicroOf(s, dir)
-    val cent = corpusQualityCentroid(s, dir)
+    // ONE corpus text pass: the narrow (doc_id, qm) frame is
+    // checkpointed and reused by the centroid derivation AND the
+    // score join — the text column (the corpus's fat column) is never
+    // read twice
+    val q = qualityMicroOf(s, dir).localCheckpoint()
+    val cent = corpusQualityCentroidFrom(s, q, Tables(s, dir, "embeddings"))
     Tables(s, dir, "embeddings")
       .select($"vec_id".as("doc_id"), $"embedding")
       .join(q, "doc_id")
@@ -7913,21 +7917,32 @@ object Pipeline {
     * counts, NULL stats), so the curve's shape is never hidden by
     * missing rows.
     *
-    * Scale shape: one pass for the per-doc scores ([[embedQuality]]'s
-    * frame — the centroid is a collected 64-long plan constant, the
-    * cosine a codegen'd per-row expression), one pass for the
-    * all-docs band counts, both aggregated to ≤10 groups map-side;
-    * the band spine is a literal. Nothing pairwise, nothing wide on
-    * any exchange.
+    * Scale shape: ONE corpus text pass total — the narrow (doc_id,
+    * qm) frame is checkpointed and reused by the band counts, the
+    * centroid derivation, and the score join (text, the corpus's fat
+    * column, is never read twice; PlanSpec pins no documents scan in
+    * the final plan). The centroid is a collected 64-long plan
+    * constant, the cosine a codegen'd per-row expression, every
+    * aggregate reduced to ≤10 groups map-side; the band spine is a
+    * literal. Nothing pairwise, nothing wide on any exchange.
     */
   def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def bandOf = least(expr("qm div 100000"), lit(9L))
-    val all = qualityMicroOf(s, dir)
+    // ONE corpus text pass for the whole audit: the checkpointed
+    // narrow (doc_id, qm) frame feeds the band counts, the centroid
+    // derivation, and the score join — [[embedQuality]]'s discipline,
+    // shared here rather than re-calling it (which would checkpoint
+    // its own second text pass)
+    val q = qualityMicroOf(s, dir).localCheckpoint()
+    val cent = corpusQualityCentroidFrom(s, q, Tables(s, dir, "embeddings"))
+    val all = q
       .select(bandOf.as("band"))
       .groupBy($"band").agg(count(lit(1)).as("n_docs"))
-    val emb = embedQuality(s, dir)
-      .select(bandOf.as("band"), $"cos_ppm")
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(q, "doc_id")
+      .select(bandOf.as("band"), cosPpmCol(s, $"embedding", cent).as("cos_ppm"))
       .groupBy($"band")
       .agg(count(lit(1)).as("n_embedded"),
         count($"cos_ppm").as("n_directional"),
@@ -8005,10 +8020,19 @@ object Pipeline {
     * operator's training slice).
     */
   def corpusQualityCentroid(s: SparkSession, dir: String,
-      pred: Column = lit(true)): Array[Long] = {
+      pred: Column = lit(true)): Array[Long] =
+    corpusQualityCentroidFrom(
+      s, qualityMicroOf(s, dir), Tables(s, dir, "embeddings"), pred)
+
+  /** [[corpusQualityCentroid]] over caller-supplied score/embedding
+    * frames — so a consumer that already holds the (doc_id, qm) frame
+    * ([[embedQuality]], [[qualityCalibration]]: one checkpointed text
+    * pass) derives the centroid WITHOUT a second corpus text scan.
+    */
+  private def corpusQualityCentroidFrom(s: SparkSession,
+      q: DataFrame, emb: DataFrame, pred: Column = lit(true)): Array[Long] = {
     import s.implicits._
-    val q = qualityMicroOf(s, dir)
-    val cent = Tables(s, dir, "embeddings")
+    val cent = emb
       .select($"vec_id".as("doc_id"), microVec(s, $"embedding").as("mvec"))
       .join(q, "doc_id")
       .filter(pred)

@@ -666,6 +666,19 @@ class PlanSpec extends AnyFunSuite {
       "the audit must read ids only: " + readSchema)
   }
 
+  test("x_quality_calibration: one text pass — no documents scan in the final plan") {
+    // the narrow (doc_id, qm) frame is checkpointed once and reused
+    // by band counts, centroid, and score join; a documents FileScan
+    // here means the reuse regressed to re-reading the fat text
+    // column per consumer
+    val p = plan("x_quality_calibration")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(docScans == 0,
+      s"expected the checkpointed score frame, got $docScans documents scans:\n" +
+        p.take(3000))
+  }
+
   test("x_cdc_gate_recall: no exchange carries text or the chunk-hash array") {
     // variant texts (incl. the doubled `stitch` string) and the
     // sorted chunk-hash array exist only map-side: the probe slots
