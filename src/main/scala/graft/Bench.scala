@@ -53,6 +53,20 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 17 (3): the embed-quality family re-recorded after the
+    * one-text-pass refactor (the narrow (doc_id, qm) frame is
+    * checkpointed once and reused by the centroid, the score join,
+    * and — in the calibration — the band counts, so the corpus text
+    * column is read once instead of three times):
+    * x_embed_quality 1.32 → 0.77 (a 42% move, named per protocol;
+    * readings 0.665 / 0.766) and x_quality_calibration 0.84 → 0.76
+    * (readings 0.671 / 0.758), from two identical-code quiet
+    * full-suite runs (totals 125.1 / 121.5 s, zero flags). Oracle
+    * rows for the whole centroid family (x_embed_quality,
+    * x_embed_outliers, x_gate_battery, x_quality_calibration)
+    * re-verified hash-equal after the refactor; PlanSpec pins the
+    * final calibration plan documents-scan-free.
+    *
     * Round 17 (2): x_quality_calibration 0.84 recorded from two
     * further identical-code quiet full-suite runs (totals 126.9 /
     * 115.3 s, zero flags; readings 0.785 / 0.837) — one
@@ -247,7 +261,7 @@ object Bench {
     "q_retention_cohorts" -> 0.51, // re-recorded r17 after the single-scan rewrite
     "q_correlated_agg" -> 1.40, // re-recorded r17 after the explicit-aggregate rewrite
     "x_incr_split_leakage" -> 5.46,
-    "x_quality_calibration" -> 0.84,
+    "x_quality_calibration" -> 0.76, // re-recorded r17, same refactor
     "x_gate_chain" -> 2.87,
     "q_event_funnel" -> 2.07,
     "q_events_tumbling" -> 1.07,
@@ -303,7 +317,7 @@ object Bench {
     "x_dup_src_matrix" -> 0.73,
     "x_dup_stats" -> 0.43,
     "x_embed_near_dup" -> 1.67,
-    "x_embed_quality" -> 1.32,
+    "x_embed_quality" -> 0.77, // re-recorded r17 after the one-text-pass refactor (1.32 -> 0.77, -42%)
     "x_gate_battery" -> 3.90,
     "x_embed_outliers" -> 0.69,
     "x_embed_quantize" -> 0.75,
