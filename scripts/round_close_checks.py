@@ -106,12 +106,27 @@ def baseline_keys():
     text = open(os.path.join(
         MAIN, "graft/Bench.scala"), encoding="utf-8").read()
     # strip line comments first — entry annotations quote old values
-    # with parens ("(15.51 -> 9.41, -39%)") that fool the terminator
+    # with parens ("(15.51 -> 9.41, -39%)") that fool paren tracking
     text = re.sub(r'//[^\n]*', '', text)
     start = text.index("BaselineSec: Map[String, Double] = Map(")
-    # the map literal ends at the entry whose value is followed by `)`
-    m = re.search(r'->\s*[0-9.]+\s*\)', text[start:])
-    end = start + m.end()
+    # walk to the Map(...)'s balanced closing paren: a first-value-
+    # followed-by-paren regex silently truncated the key set under
+    # reformats (e.g. `Map(...) ++ overrides`, a paren after a value
+    # mid-map), weakening the ceiling-coverage gate
+    open_idx = text.index("Map(", start) + len("Map(") - 1
+    depth = 0
+    end = None
+    for i in range(open_idx, len(text)):
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    if end is None:
+        raise ValueError("BaselineSec Map( literal never closes")
     return set(re.findall(r'"([a-z0-9_]+)"\s*->', text[start:end]))
 
 

@@ -207,13 +207,19 @@ object Relational {
     * needs (user, cohort×offset, cohort window, output range sort).
     * The `user_id IS NOT NULL` filter keeps the old join-form
     * semantics (a join on user_id drops nulls; a groupBy would keep
-    * them).
+    * them). `ts IS NOT NULL` is filtered EXPLICITLY in both engines:
+    * the single-scan form's `collect_set` silently drops a NULL week
+    * where the old distinct+join form emitted a NULL week_offset cell
+    * — rather than leaning on the fixture's non-null ts, the filter
+    * pins one semantics ("an event without a timestamp is not
+    * activity") so the two forms cannot diverge on a corpus with
+    * corrupt rows.
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     Tables(s, dir, "events")
-      .where($"user_id".isNotNull)
+      .where($"user_id".isNotNull && $"ts".isNotNull)
       .select($"user_id", $"ts", date_trunc("week", $"ts").as("week"))
       .groupBy($"user_id")
       .agg(date_trunc("week", min($"ts")).as("cohort_week"),
@@ -231,12 +237,15 @@ object Relational {
   }
 
   val retentionCohortsSql: String =
-    """WITH f AS (
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |f AS (
       |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
-      |  FROM events GROUP BY 1),
+      |  FROM e GROUP BY 1),
       |a AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
-      |  FROM events),
+      |  FROM e),
       |g AS (
       |  SELECT cohort_week,
       |    CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,

@@ -95,6 +95,12 @@ class IncrementalPropSpec extends AnyFunSuite {
   }
 
   private val splitSignal = new java.util.concurrent.atomic.AtomicLong(0L)
+  // which seeds actually contributed — the sweep-wide zero-signal
+  // assertion is only meaningful when every seed ran (a test-name
+  // filter running seed 4 alone would otherwise evaluate the "all
+  // four seeds" claim over one seed's contribution)
+  private val splitSeedsRan =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   (1 to 4).foreach { seed =>
     test(s"incrSplitLeakage ≡ full-rebuild audit on random corpus (seed $seed)") {
@@ -150,9 +156,11 @@ class IncrementalPropSpec extends AnyFunSuite {
         s"seed $seed test: ${got("test")} vs ${expected(9L)}")
       splitSignal.addAndGet(
         got("val")._2 + got("val")._5 + got("test")._2 + got("test")._5)
+      splitSeedsRan.add(seed)
       // the fixed seeds are deterministic: the sweep as a whole must
-      // exercise real leakage, not four all-zero corpora
-      if (seed == 4)
+      // exercise real leakage, not four all-zero corpora — asserted
+      // only when all four seeds contributed (isolated runs skip it)
+      if (splitSeedsRan.size == 4)
         assert(splitSignal.get() > 0L,
           "all four seeds produced zero leak signal — regenerate seeds")
     }
