@@ -406,6 +406,34 @@ object Bench {
 
   private val RegressionFactor = 3.0
 
+  /** How many measured queries between burst-canary readings. */
+  private val CanaryEvery = 10
+
+  /** Burst canary — the environment-contention self-label (rounds
+    * 15–17 adjudication: three rounds of official-bench soft flags
+    * were machine bursts, each costing a judge/builder reproduction
+    * cycle). A FIXED trivial probe (the warmup nation scan driven to a
+    * noop write — pure job-launch + tiny-scan overhead, exactly the
+    * cost a contended machine stretches) is timed once before the
+    * sweep and then every [[CanaryEvery]] queries; the JSON carries
+    * `canary` = {n, min, p50, max}. Read rule (BASELINE.md): a run
+    * whose canary p50 sits well above the recorded quiet canary band,
+    * or whose max/min spread is large, is contended — its soft
+    * `regressed` flags are environment suspects to reproduce on a
+    * quiet machine before adjudicating, and the drifted readings
+    * should not re-record any ceiling. The canary is deliberately
+    * OUTSIDE the per-query timing (run after the previous query's
+    * isolation, before the next attempt) so it labels the run without
+    * perturbing the measurements it labels.
+    */
+  private def canaryProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Absolute excess a query must ALSO show over its ceiling before it
     * flags. A pure ratio gate false-positives on sub-second queries:
     * their times are dominated by fixed job-launch overhead, which a
@@ -582,9 +610,12 @@ object Bench {
     // So a would-be flag buys ONE more attempt — min-of-3, recorded in
     // `retried` so the artifact shows the gate adjudicating itself — a
     // real plan regression slows all three runs and still flags.
+    val canarySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), idx) =>
+      if (idx % CanaryEvery == 0) canarySecs += canaryProbe(spark, sfDir)
       val secs = (1 to 2).map(_ => attempt(name, fn))
       var best = if (secs.exists(_ < 0)) -1.0 else secs.min
       if (gated && best >= 0 && overCeiling(name, best)) {
@@ -616,8 +647,14 @@ object Bench {
     val regressedJson = regressed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = (failed ++ hardRegressed).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // one trailing canary reading so the tail of the sweep is labeled too
+    canarySecs += canaryProbe(spark, sfDir)
+    val cs = canarySecs.sorted
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    val canaryJson =
+      s"""{"n":${cs.size},"min":${r3(cs.head)},"p50":${r3(cs(cs.size / 2))},"max":${r3(cs.last)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: the driver captures a log tail,
     // and one truncated capture already cost a round its per-query
