@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorFunctions.injections.foreach(ext.injectFunction)
     graft.functions.CdcFunctions.injections.foreach(ext.injectFunction)
+    graft.functions.RepStripFunctions.injections.foreach(ext.injectFunction)
   }
 }

@@ -4850,6 +4850,71 @@ object Pipeline {
       |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Within-document repeated-span strip (`x_rep_strip`) — the
+    * transform [[repetition]]'s audit lacked: rewrite each document
+    * with every token covered by a REPEATING 3-token span occurrence
+    * cut out, where "repeating" means the same 3-token window already
+    * occurred EARLIER IN THE SAME DOCUMENT (the first occurrence
+    * keeps its tokens). This is the C4/RefinedWeb within-page
+    * repeated-line/boilerplate removal — the within-doc dual of the
+    * cross-document [[spanStrip]] surgery, completing the pair:
+    * `x_dup_spans` → `x_span_strip` across documents, `x_repetition`
+    * → `x_rep_strip` within one. The span length is the SHINGLE
+    * length (3), not the cross-doc 5 — see
+    * [[graft.functions.RepStripTokens.K]] for the measured rationale.
+    *
+    * Scale shape: ENTIRELY row-local — the whole transform is one
+    * codegen-wrapped kernel call per row
+    * ([[graft.functions.RepStripTokens]]: hash-map first-occurrence
+    * detection + difference-array coverage, O(tokens · K) per doc,
+    * never the HOF form's O(spans²) compares), so there is NO shuffle
+    * at any corpus size except the presentation sort (PlanSpec pins
+    * one documents scan, zero joins, exactly the output range
+    * exchange). Untouched docs pass their ORIGINAL text through (no
+    * split/rejoin round trip); sub-3-token docs have no spans by
+    * construction. Cross-engine parity: both engines join the kept
+    * tokens on the same single-space splitter, and the kernel ≡
+    * composed-HOF identity plus the coverage-overlap corners are
+    * pinned in RepStripSpec.
+    */
+  def repStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text",
+        graft.functions.RepStripFunctions.repStrip(s, words($"text")).as("kept"))
+      .select($"doc_id",
+        when(size($"kept") === size(words($"text")), $"text")
+          .otherwise(concat_ws(" ", $"kept")).as("clean_text"),
+        (size(words($"text")) - size($"kept")).cast("long").as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val repStripSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, text, w,
+      |    list_transform(range(greatest(len(w) - 2, 0)),
+      |      i -> array_to_string(w[i+1:i+3], ' ')) AS sps
+      |  FROM t),
+      |fl AS (
+      |  SELECT doc_id, text, w,
+      |    list_filter(range(len(sps)),
+      |      i -> list_contains(sps[1:i], sps[i+1])) AS flagged
+      |  FROM sp)
+      |SELECT doc_id,
+      |  -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+      |  -- (v1.0.0), Spark's concat_ws is '' (the spanStrip contract)
+      |  CASE WHEN len(flagged) = 0 THEN text
+      |    ELSE COALESCE(array_to_string(list_filter(w, (tk, j) ->
+      |      len(list_filter(flagged, x -> j - 1 >= x AND j - 1 <= x + 2)) = 0),
+      |      ' '), '') END AS clean_text,
+      |  CAST(CASE WHEN len(flagged) = 0 THEN 0
+      |    ELSE len(w) - len(list_filter(w, (tk, j) ->
+      |      len(list_filter(flagged, x -> j - 1 >= x AND j - 1 <= x + 2)) = 0))
+      |    END AS BIGINT) AS n_removed
+      |FROM fl ORDER BY doc_id""".stripMargin
+
   /** [[heuristicFilters]] rule constants — the published-recipe
     * thresholds (Gopher's rule table, C4's line rules) re-footed on
     * this corpus's measured distribution so every rule actually
@@ -5286,6 +5351,170 @@ object Pipeline {
       |SELECT lang, n_docs, n_tok, share_ppm, weight_ppm,
       |  CAST(weight_ppm * 1000 // NULLIF(share_ppm, 0) AS BIGINT) AS boost_milli
       |FROM nw ORDER BY lang""".stripMargin
+
+  /** Per-source token-mass ceiling in ppm of the corpus — the "no
+    * single domain exceeds X ppm" rule every large crawl pipeline
+    * enforces before training. 50 000 ppm (5%) sits inside the
+    * fixture's measured per-source spread (≈42k–57k ppm), so the cap
+    * BITES on the over-share sources and passes the rest through —
+    * both code paths are exercised by the oracle at every SF.
+    */
+  private[graft] val SRC_CAP_PPM = 50000L
+
+  /** The deterministic per-doc cap coin in ppm — md5-bucketed like
+    * [[mixBucketCol]] but on its own salt and at ppm resolution (the
+    * keep-rate is an exact integer ppm, not a percent). 8 hex chars =
+    * 32 bits; the mod-1e6 fold's bias is ~2⁻¹² of a ppm-bucket,
+    * invisible next to binomial noise and made measurable by
+    * [[capRealized]] either way. ONE definition per engine, shared by
+    * the transform and its eval — the [[mixRateCol]] discipline.
+    */
+  private def capCoinCol: Column =
+    conv(substring(md5(concat(lit("srccap|"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+
+  private def capCoinSql(id: String): String =
+    s"('0x' || substr(md5('srccap|' || CAST($id AS VARCHAR)), 1, 8))::BIGINT % 1000000"
+
+  /** The narrow per-doc frame both cap queries ride: (doc_id, source,
+    * token count, coin). Checkpointed by callers that read it twice —
+    * the embed-quality one-text-pass discipline: text (the corpus's
+    * fat column) is split exactly once per document.
+    */
+  private def capDocFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(words($"text")).cast("long").as("nt"),
+        capCoinCol.as("coin"))
+  }
+
+  /** Per-source keep rates off an aggregated (source, n_docs, n_tok)
+    * frame: share and the exact-ppm keep rate `min(1e6, cap·T div
+    * n_tok)` — DECIMAL(38,0) operands (corpus token mass × cap
+    * overflows int64 at scale, the [[mixTemperature]] lesson), one
+    * integral floor so both engines derive the identical boundary.
+    */
+  private def withCapRates(perSource: DataFrame): DataFrame =
+    perSource
+      .withColumn("share_ppm", expr(
+        "(CAST(n_tok AS DECIMAL(38,0)) * 1000000) div (sum(CAST(n_tok AS DECIMAL(38,0))) OVER ())"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr(
+          s"(CAST($SRC_CAP_PPM AS DECIMAL(38,0)) * (sum(CAST(n_tok AS DECIMAL(38,0))) OVER ())) div n_tok")))
+
+  /** Per-source share cap (`x_source_cap`) — the down-sampler the mix
+    * family lacked: [[weightedMix]]/[[mixTemperature]] set
+    * per-LANGUAGE rates and [[dupStats]]/[[dupSrcMatrix]] report
+    * per-source health, but nothing ENFORCED a per-source ceiling.
+    * Per document: its source's keep rate in exact ppm (1e6 for
+    * under-cap sources; `floor(cap·T / n_tok)` for over-cap ones, so
+    * expected kept token mass lands at the cap), the doc's
+    * deterministic md5 coin, and the keep verdict — the capped corpus
+    * is the `kept` slice, and the decision is reproducible row-for-row
+    * across engines and reruns (the [[weightedMix]] coin discipline at
+    * ppm resolution).
+    *
+    * Scale shape: one text pass computes per-doc token counts (the
+    * checkpointed narrow frame — text is never split twice), the
+    * per-source aggregate is source-domain-bounded and broadcasts back
+    * into a map-side verdict; no corpus-sized shuffle anywhere. The
+    * atomic unit is the DOCUMENT (a per-token coin would shred
+    * documents), so realized mass wanders by doc-length binomial noise
+    * — which is exactly what [[capRealized]] exists to measure.
+    */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = capDocFrame(s, dir).localCheckpoint()
+    val rates = withCapRates(
+        docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tok")))
+      .select($"source", $"keep_ppm")
+    docs.join(broadcast(rates), "source")
+      .select($"doc_id", $"source", $"keep_ppm",
+        $"coin".as("coin_ppm"), ($"coin" < $"keep_ppm").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared oracle CTE chain for the cap pair: the per-doc frame, the
+    * per-source aggregate, and the rate derivation (HUGEINT operands,
+    * the DuckDB twin of DECIMAL(38,0)).
+    */
+  private lazy val capCtesSql: String =
+    s"""capt AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |    ${capCoinSql("doc_id")} AS coin
+       |  FROM documents),
+       |capst AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tok
+       |  FROM capt GROUP BY source),
+       |caprates AS (
+       |  SELECT source, n_docs, n_tok,
+       |    CAST(CAST(n_tok AS HUGEINT) * 1000000
+       |      // SUM(CAST(n_tok AS HUGEINT)) OVER () AS BIGINT) AS share_ppm,
+       |    CAST(least(1000000, CAST($SRC_CAP_PPM AS HUGEINT)
+       |      * SUM(CAST(n_tok AS HUGEINT)) OVER () // n_tok) AS BIGINT) AS keep_ppm
+       |  FROM capst)""".stripMargin
+
+  lazy val sourceCapSql: String =
+    s"""WITH $capCtesSql
+       |SELECT t.doc_id, t.source, r.keep_ppm, t.coin AS coin_ppm,
+       |  t.coin < r.keep_ppm AS kept
+       |FROM capt t JOIN caprates r USING (source)
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Realized-vs-configured eval for the source cap (`x_cap_realized`)
+    * — the [[mixRealized]] discipline applied to the ceiling: per
+    * source, population and token mass, configured share and keep
+    * rate, the documents and tokens the coin actually kept, and the
+    * REALIZED post-cap share in exact ppm of the CAPPED corpus (the
+    * quantity the "no source exceeds X ppm" rule governs). Over-cap
+    * sources should read near the cap (slightly above, since the
+    * denominator shrank with them); a systematic drift beyond binomial
+    * noise means a biased coin bucket space — the failure this eval
+    * catches before a capped corpus ships.
+    *
+    * Scale: the same checkpointed narrow frame as [[sourceCap]] (one
+    * text pass), ONE source-keyed aggregate carrying the kept counts
+    * alongside the totals (the keep rate joins back onto
+    * source-domain-bounded rows, never the corpus), windows over
+    * source-count rows.
+    */
+  def capRealized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = capDocFrame(s, dir).localCheckpoint()
+    val rates = withCapRates(
+      docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tok")))
+    val kept = docs.join(broadcast(rates.select($"source", $"keep_ppm")), "source")
+      .filter($"coin" < $"keep_ppm")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"nt").as("kept_tok"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select($"source", $"n_docs", $"n_tok", $"share_ppm", $"keep_ppm",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tok", lit(0L)).as("kept_tok"))
+      .withColumn("realized_ppm", expr(
+        "(CAST(kept_tok AS DECIMAL(38,0)) * 1000000) div (sum(CAST(kept_tok AS DECIMAL(38,0))) OVER ())"))
+      .orderBy($"source")
+  }
+
+  lazy val capRealizedSql: String =
+    s"""WITH $capCtesSql,
+       |capkept AS (
+       |  SELECT t.source, COUNT(*) AS n_kept, CAST(SUM(t.nt) AS BIGINT) AS kept_tok
+       |  FROM capt t JOIN caprates r USING (source)
+       |  WHERE t.coin < r.keep_ppm
+       |  GROUP BY t.source)
+       |SELECT r.source, r.n_docs, r.n_tok, r.share_ppm, r.keep_ppm,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(k.kept_tok, 0) AS BIGINT) AS kept_tok,
+       |  CAST(CAST(COALESCE(k.kept_tok, 0) AS HUGEINT) * 1000000
+       |    // SUM(CAST(COALESCE(k.kept_tok, 0) AS HUGEINT)) OVER () AS BIGINT)
+       |    AS realized_ppm
+       |FROM caprates r LEFT JOIN capkept k USING (source)
+       |ORDER BY r.source""".stripMargin
 
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24
@@ -6159,34 +6388,42 @@ object Pipeline {
     * bounded aggregate on `shard_id` — corpus_tokens / budget keys —
     * on top of the shared [[shardAssign]] core.
     */
-  def shardStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The fill audit over AN assignment frame — shared by
+    * [[shardStats]] (doc_id-order packing) and [[shuffleStats]] (the
+    * seeded shuffled packing): one pass, each doc exploding into every
+    * shard its span touches.
+    */
+  private def shardFillStats(assign: DataFrame): DataFrame = {
     // one pass over the assignment: each doc explodes into every shard
     // its span touches (fan-out bounded by doc_tokens / budget), and
     // the aggregate attributes the doc and its tokens only to the
     // shard it STARTS in — touched-but-empty shards fall out as
     // explicit zero rows without a second scan-tree evaluation or a
     // spine self-join
-    shardAssign(s, dir)
-      .select($"shard_id".as("start_shard"), $"n_tokens",
-        explode(sequence($"shard_id",
+    assign
+      .select(col("shard_id").as("start_shard"), col("n_tokens"),
+        explode(sequence(col("shard_id"),
           expr(s"(cum_before + n_tokens - 1) div $SHARD_TOKEN_BUDGET"))).as("sid"))
-      .groupBy($"sid")
+      .groupBy(col("sid"))
       .agg(
-        count(when($"sid" === $"start_shard", lit(1))).as("n_docs"),
-        coalesce(sum(when($"sid" === $"start_shard", $"n_tokens")), lit(0L))
-          .as("n_tokens"))
-      .select($"sid".as("shard_id"), $"n_docs", $"n_tokens",
+        count(when(col("sid") === col("start_shard"), lit(1))).as("n_docs"),
+        coalesce(sum(when(col("sid") === col("start_shard"), col("n_tokens"))),
+          lit(0L)).as("n_tokens"))
+      .select(col("sid").as("shard_id"), col("n_docs"), col("n_tokens"),
         expr(s"(n_tokens * 1000000) div $SHARD_TOKEN_BUDGET").as("fill_ppm"))
-      .orderBy($"shard_id")
+      .orderBy(col("shard_id"))
   }
 
-  val shardStatsSql: String =
+  def shardStats(s: SparkSession, dir: String): DataFrame =
+    shardFillStats(shardAssign(s, dir))
+
+  /** DuckDB twin of [[shardFillStats]] over an assignment subquery. */
+  private def shardStatsSqlFrom(assignSql: String): String =
     s"""WITH touched AS (
        |  SELECT shard_id AS start_shard, n_tokens,
        |    unnest(range(shard_id,
        |      (cum_before + n_tokens - 1) // $SHARD_TOKEN_BUDGET + 1)) AS sid
-       |  FROM $shardAssignSql),
+       |  FROM $assignSql),
        |st AS (
        |  SELECT sid,
        |    COUNT(*) FILTER (sid = start_shard) AS n_docs,
@@ -6196,6 +6433,136 @@ object Pipeline {
        |SELECT sid AS shard_id, n_docs, n_tokens,
        |  (n_tokens * 1000000) // $SHARD_TOKEN_BUDGET AS fill_ppm
        |FROM st ORDER BY shard_id""".stripMargin
+
+  val shardStatsSql: String = shardStatsSqlFrom(shardAssignSql)
+
+  /** The seeded shuffle key: 48 bits of md5 over a salted doc_id —
+    * deterministic, engine-agnostic, uniform over [0, 2⁴⁸). Ordering
+    * ties (two docs hashing to the same 48 bits — birthday-expected
+    * past ~2²⁴ docs) break on doc_id, so the permutation stays total
+    * and identical in both engines.
+    */
+  private val SHUF_SALT = "shuf7|"
+
+  private def shuffleKeyCol(id: Column): Column =
+    conv(substring(md5(concat(lit(SHUF_SALT), id.cast("string"))
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private def shuffleKeySql(id: String): String =
+    s"('0x' || substr(md5('$SHUF_SALT' || CAST($id AS VARCHAR)), 1, 12))::BIGINT"
+
+  /** Exclusive prefix sum over rows ordered by a HASH-UNIFORM 48-bit
+    * key (ties broken by a unique tie column) — [[exclusivePrefixSum]]
+    * re-footed for sparse keys: that tree buckets by `key div
+    * [[SCAN_FANOUT]]`, which on dense doc-id keys caps every bucket at
+    * [[SCAN_FANOUT]] ROWS, but on uniform 48-bit keys degenerates to
+    * one row per bucket and pushes ~n rows into the top-level global
+    * window — the exact single-task bottleneck the tree exists to
+    * avoid. For uniform keys the right split is fixed bucket COUNTS:
+    * 2²⁰ level-1 buckets (key div 2²⁸) and 2¹⁰ super-buckets, so
+    * md5-uniformity bounds every level-1 window at ~n/2²⁰ rows (10⁵
+    * rows per task at a 10¹¹-doc corpus — balanced BY the hash, no
+    * skew possible) and the one global window sees exactly ≤2¹⁰
+    * super-bucket totals at any corpus size.
+    */
+  private def exclusivePrefixSumUniform(
+      df: DataFrame, key: String, tie: String, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b1 = expr(s"$key div ${1L << 28}")
+    val wIn = Window.partitionBy(col("b1")).orderBy(col(key), col(tie))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB1 = Window.partitionBy(col("b2")).orderBy(col("b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB2 = Window.orderBy(col("b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = df.withColumn("b1", b1)
+      .withColumn("off1", coalesce(sum(col(value)).over(wIn), lit(0L)))
+    val bucketTotals = df.withColumn("b1", b1)
+      .groupBy(col("b1")).agg(sum(col(value)).as("t1"))
+      .withColumn("b2", expr("b1 div 1024"))
+    val bucketOffsets = bucketTotals
+      .withColumn("off2", coalesce(sum(col("t1")).over(wB1), lit(0L)))
+    val superOffsets = bucketTotals
+      .groupBy(col("b2")).agg(sum(col("t1")).as("t2"))
+      .withColumn("off3", coalesce(sum(col("t2")).over(wB2), lit(0L)))
+    rows
+      .join(bucketOffsets.select(col("b1"), col("b2"), col("off2")), Seq("b1"))
+      .join(broadcast(superOffsets.select(col("b2"), col("off3"))), Seq("b2"))
+      .withColumn("cum_before", col("off1") + col("off2") + col("off3"))
+      .drop("b1", "b2", "off1", "off2", "off3")
+  }
+
+  /** The shuffled shard assignment — [[shardAssign]]'s core fed by the
+    * seeded permutation order instead of doc_id order.
+    */
+  private def shuffledAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
+        size(words($"text")).cast("long").as("n_tokens"))
+    exclusivePrefixSumUniform(toks, "shuffle_key", "doc_id", "n_tokens")
+      .select($"doc_id", $"shuffle_key", $"n_tokens", $"cum_before",
+        expr(s"cum_before div $SHARD_TOKEN_BUDGET").as("shard_id"))
+  }
+
+  /** Seeded deterministic training-shard shuffle (`x_shard_shuffle`)
+    * — the step [[shardPlan]] deliberately skipped: training pipelines
+    * SHUFFLE documents before packing (adjacent doc_ids are crawl
+    * neighbors — same host, same day — and a batch of consecutive
+    * docs is exactly the correlation a shuffle exists to break). The
+    * permutation is `order by md5(seed ‖ doc_id)` (ties on doc_id):
+    * reproducible across engines, reruns, and partitionings, with the
+    * seed in the salt so a re-shuffle is a one-constant change. The
+    * packing core is [[shardPlan]]'s own (span-start assignment
+    * against the running token total), so shuffled and unshuffled
+    * layouts conserve documents and tokens EXACTLY — pinned in
+    * ShardShuffleSpec — and [[shuffleStats]] re-runs the fill audit on
+    * the shuffled layout.
+    *
+    * Scale shape: the only structural change vs [[shardPlan]] is the
+    * prefix-sum tree — uniform hash keys need fixed bucket COUNTS
+    * rather than fixed bucket widths ([[exclusivePrefixSumUniform]]);
+    * everything stays the same two narrow passes over (id, key,
+    * n_tokens) rows, no corpus-sized global sort, no single-partition
+    * window.
+    */
+  def shardShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shuffledAssign(s, dir).orderBy($"doc_id")
+  }
+
+  /** DuckDB twin of [[shuffledAssign]] as a parenthesized FROM source
+    * (the oracle's window is the semantic spec the scan tree must
+    * reproduce).
+    */
+  private lazy val shuffledAssignSql: String =
+    s"""(SELECT doc_id, shuffle_key, n_tokens, cum_before,
+       |  cum_before // $SHARD_TOKEN_BUDGET AS shard_id
+       |FROM (
+       |  SELECT doc_id, shuffle_key, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM (SELECT doc_id, ${shuffleKeySql("doc_id")} AS shuffle_key,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents)))""".stripMargin
+
+  lazy val shardShuffleSql: String =
+    s"""SELECT doc_id, shuffle_key, n_tokens, cum_before, shard_id
+       |FROM $shuffledAssignSql
+       |ORDER BY doc_id""".stripMargin
+
+  /** Fill audit over the SHUFFLED layout (`x_shuffle_stats`) — the
+    * [[shardStats]] audit re-run on [[shardShuffle]]'s packing, per
+    * the pairing discipline: a transform ships with its eval. Same
+    * shared core, same explode-spine zero-row visibility.
+    */
+  def shuffleStats(s: SparkSession, dir: String): DataFrame =
+    shardFillStats(shuffledAssign(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        col("shard_id")))
+
+  lazy val shuffleStatsSql: String = shardStatsSqlFrom(shuffledAssignSql)
 
   /** Documents per bucket of the [[vocabGrowth]] curve. */
   private val VOCAB_BUCKET_DOCS = 50
@@ -8589,6 +8956,115 @@ object Pipeline {
        |ORDER BY cos DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** ADC-ranked candidates the composed IVF-PQ probe re-ranks exactly
+    * — FAISS's default re-rank pool shape (a small multiple of k).
+    */
+  private val IVFPQ_POOL = 30
+
+  /** Composed IVF-PQ probe (`x_ann_ivfpq`) — the production FAISS
+    * index shape, assembled from the pieces this engine already
+    * ships separately: probe the [[IVF_NPROBE]] centroid-closest
+    * LEARNED cells ([[annIvfNprobe]]'s driver-ranked metadata +
+    * cell-partition-pruned scan), rank the probed cells' members by
+    * PQ ASYMMETRIC distance ([[annPq]]'s query-to-codebook lookup
+    * table over the subspace argmin codes), keep the
+    * [[IVFPQ_POOL]]-best by (ADC, vec_id), and EXACT-re-rank that
+    * pool by true cosine for the final top-10. This is the memory ×
+    * recall × cost point a deployed ANN system actually runs: the
+    * corpus is touched only inside the probed cells, the ranking
+    * reads 8 bytes of code per candidate instead of 256 bytes of
+    * floats, and full-precision vectors are fetched for exactly
+    * [[IVFPQ_POOL]] rows.
+    *
+    * Scale shape: codebook + query table are cells×[[PQ_M]]
+    * driver-built index metadata (corpus-size-independent, the
+    * adjudicated [[annPq]] pattern); the candidate scan is an
+    * [[IVF_NPROBE]]-directory pruned read of [[ensureIvfLayout]];
+    * ADC is a map-side subspace explode behind two broadcasts with
+    * map-side partial argmins; the pool cut is a
+    * TakeOrderedAndProject (30 rows leave the executors) and the
+    * re-rank joins those 30 back as a broadcast. Exact integer
+    * micro² distances with (dist, cell) tie-breaks — both engines
+    * derive identical codes, pools, and final ranks.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = learnedCentroids(s, dir)
+    val cells = rankedCells(cents, qMicro(s, dir)).take(IVF_NPROBE)
+    val cb = pqCodebook(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val qmicro = qMicro(s, dir)
+    val qtab = cb.map { case (cell, m, cvec) =>
+      val qd = (0 until PQ_SUB).map { j =>
+        val diff = qmicro(m * PQ_SUB + j) - cvec(j); diff * diff
+      }.sum
+      (m, cell, qd)
+    }.toSeq.toDF("m", "cell", "qd")
+    val cbDf = cb.toSeq.toDF("cell", "m", "cvec")
+    val part = ensureIvfLayout(s, dir)
+    val cand = s.read.parquet(part.toString)
+      .select($"vec_id", $"cell".cast("int").as("ivf_cell"), $"embedding")
+      .filter($"ivf_cell".isin(cells: _*) && $"vec_id" =!= 0)
+    val pool = cand
+      .select($"vec_id", microVec(s, $"embedding").as("mvec"))
+      .select($"vec_id",
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), $"mvec")
+      .select($"vec_id", $"m",
+        slice($"mvec", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
+      .join(broadcast(cbDf), "m")
+      .withColumn("dist2", pqDist2(s, $"svec", $"cvec"))
+      .join(broadcast(qtab), Seq("m", "cell"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist2", $"cell", $"qd")).as("best"))
+      .groupBy($"vec_id")
+      .agg(sum($"best".getField("qd")).as("adc_micro2"))
+      .orderBy($"adc_micro2", $"vec_id")
+      .limit(IVFPQ_POOL)
+    val q = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      .join(broadcast(pool), "vec_id")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"adc_micro2", cosine(s, $"embedding", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** DuckDB twin: the identical composition over the shared Lloyd /
+    * codebook CTE chains — probe ranking from `qd3`, ADC from the
+    * `dist`×`qtab` argmin restricted to probed-cell members, the same
+    * (ADC, vec_id) pool cut, exact cosine re-rank.
+    */
+  lazy val annIvfPqSql: String =
+    s"""WITH $pqCtesSql,
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY d2, cell) AS rn FROM qd3)
+       |  WHERE rn <= $IVF_NPROBE),
+       |q AS (SELECT m, svec AS qvec FROM sub WHERE vec_id = 0),
+       |qtab AS (
+       |  SELECT cb.m, cb.cell, ${pqDist2Sql("qvec", "cvec")} AS qd
+       |  FROM cb JOIN q ON cb.m = q.m),
+       |candv AS (
+       |  SELECT c.vec_id FROM lcells c JOIN probe USING (cell)
+       |  WHERE c.vec_id <> 0),
+       |best AS (
+       |  SELECT vec_id, m, qd FROM (
+       |    SELECT d.vec_id, d.m, d.cell, qt.qd, row_number() OVER (
+       |      PARTITION BY d.vec_id, d.m ORDER BY d.dist2, d.cell) AS rn
+       |    FROM dist d JOIN qtab qt ON d.m = qt.m AND d.cell = qt.cell
+       |    JOIN candv cv ON d.vec_id = cv.vec_id)
+       |  WHERE rn = 1),
+       |pool AS (
+       |  SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS adc_micro2
+       |  FROM best GROUP BY vec_id
+       |  ORDER BY adc_micro2, vec_id LIMIT $IVFPQ_POOL)
+       |SELECT p.vec_id, p.adc_micro2, ${cosineSql("e.embedding", "qv")} AS cos
+       |FROM pool p JOIN embeddings e ON p.vec_id = e.vec_id,
+       |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |ORDER BY cos DESC, p.vec_id
+       |LIMIT 10""".stripMargin
+
   /** Incremental ANN — the vector-side freshness contract, the twin
     * of [[bm25Incr]]'s stale-stats retrieval and the operator that
     * closes the loop [[ivfDrift]]/[[ivfRecluster]] maintain: a daily
@@ -9082,6 +9558,10 @@ object Pipeline {
     * of the pure-cosine truth once the keyword arm shares the vote —
     * the fused list's vector recall is exactly the tradeoff a hybrid
     * deployment signs up for, so it belongs in the standing audit.
+    * The `ivfpq` row (round 18) scores the composed [[annIvfPq]]
+    * probe, so the production composition's recall sits next to its
+    * ivf and pq components' — the number that justifies (or indicts)
+    * shipping the composed index.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -9089,6 +9569,8 @@ object Pipeline {
     val cand = annIvf(s, dir).select($"vec_id", lit("ivf").as("method"))
       .unionByName(annIvfNprobe(s, dir)
         .select($"vec_id", lit("ivf_nprobe").as("method")))
+      .unionByName(annIvfPq(s, dir)
+        .select($"vec_id", lit("ivfpq").as("method")))
       .unionByName(annLsh(s, dir).select($"vec_id", lit("lsh").as("method")))
       .unionByName(annLshMultiprobe(s, dir)
         .select($"vec_id", lit("lsh_multiprobe").as("method")))
@@ -9109,6 +9591,7 @@ object Pipeline {
        |cand AS (
        |  SELECT 'ivf' AS method, vec_id FROM ($annIvfSql)
        |  UNION ALL SELECT 'ivf_nprobe', vec_id FROM ($annIvfNprobeSql)
+       |  UNION ALL SELECT 'ivfpq', vec_id FROM ($annIvfPqSql)
        |  UNION ALL SELECT 'lsh', vec_id FROM ($annLshSql)
        |  UNION ALL SELECT 'lsh_multiprobe', vec_id FROM ($annLshMultiprobeSql)
        |  UNION ALL SELECT 'pq', vec_id FROM ($annPqSql)
@@ -9450,6 +9933,12 @@ object Pipeline {
     "x_asof_join"      -> asofJoin _,
     "x_redact"         -> redact _,
     "x_repetition"     -> repetition _,
+    "x_rep_strip"      -> repStrip _,
+    "x_source_cap"     -> sourceCap _,
+    "x_cap_realized"   -> capRealized _,
+    "x_ann_ivfpq"      -> annIvfPq _,
+    "x_shard_shuffle"  -> shardShuffle _,
+    "x_shuffle_stats"  -> shuffleStats _,
     "x_len_percentiles" -> lenPercentiles _,
     "x_hash_sample"    -> hashSample _,
     "x_stratified_sample" -> stratifiedSample _,
@@ -9560,6 +10049,12 @@ object Pipeline {
     "x_asof_join"      -> asofJoinSql,
     "x_redact"         -> redactSql,
     "x_repetition"     -> repetitionSql,
+    "x_rep_strip"      -> repStripSql,
+    "x_source_cap"     -> sourceCapSql,
+    "x_cap_realized"   -> capRealizedSql,
+    "x_ann_ivfpq"      -> annIvfPqSql,
+    "x_shard_shuffle"  -> shardShuffleSql,
+    "x_shuffle_stats"  -> shuffleStatsSql,
     "x_len_percentiles" -> lenPercentilesSql,
     "x_hash_sample"    -> hashSampleSql,
     "x_stratified_sample" -> stratifiedSampleSql,

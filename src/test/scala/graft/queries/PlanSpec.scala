@@ -380,6 +380,50 @@ class PlanSpec extends AnyFunSuite {
       "row-level running sum must partition by b1:\n" + p.take(3000))
   }
 
+  test("x_rep_strip: row-local transform — one documents scan, no join, only the output sort exchanges") {
+    val p = plan("x_rep_strip")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n" + p.take(2000))
+    assert(!p.contains("Join"), "the strip must not join:\n" + p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"only the presentation range sort may exchange, got $exchanges:\n" + p.take(2000))
+  }
+
+  test("x_source_cap: bounded per-source rates broadcast into a map-side verdict") {
+    val p = plan("x_source_cap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the source-rate table must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the verdict must never shuffle the corpus on source:\n" + p.take(2000))
+    // the one text pass happened at the checkpointed narrow frame —
+    // the final plan reads no documents scan (the x_quality_calibration
+    // one-pass discipline)
+    assert(!p.contains("Scan parquet"),
+      "final plan must ride the checkpointed narrow frame:\n" + p.take(2000))
+  }
+
+  test("x_shard_shuffle: uniform-key scan tree — corpus rows never meet a single-task window") {
+    val p = plan("x_shard_shuffle")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 1,
+      s"expected exactly 1 tiny top-level SinglePartition exchange, got $single:\n" + p.take(3000))
+    assert("Window .*windowspecdefinition\\(b1#".r.findFirstIn(p).isDefined,
+      "row-level running sum must partition by b1:\n" + p.take(3000))
+  }
+
+  test("x_ann_ivfpq: pruned probe scan, broadcast index metadata, top-k without global sorts") {
+    val p = plan("x_ann_ivfpq")
+    assert(p.contains("PartitionFilters: [cell"),
+      "the candidate scan must prune to the probed cells:\n" + p.take(3000))
+    assert(p.contains("BroadcastExchange"),
+      "codebook/query-table/pool must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-scale may shuffle-join:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "pool cut and final top-k must be TakeOrderedAndProject:\n" + p.take(2000))
+  }
+
   test("q_skew_join: salt spreads the hot key — join keys are (lang, salt), shuffled not broadcast") {
     val p = plan("q_skew_join")
     // the mitigation IS the join key: a SortMergeJoin keyed on
