@@ -53,6 +53,24 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 18: the six new queries recorded and two entries
+    * re-recorded, all from two identical-code quiet full-suite runs
+    * (totals 137.7 / 133.4 s; zero regressed, zero failed; canary
+    * p50 0.084/0.097 — quiet by the new self-label; max of the two
+    * runs' readings per the round-17 protocol): x_rep_strip 0.31,
+    * x_source_cap 0.30, x_cap_realized 0.56, x_ann_ivfpq 1.52,
+    * x_shard_shuffle 0.44, x_shuffle_stats 0.55. Re-recorded:
+    * x_ann_recall 7.89 → 5.35 (−32%, named per protocol — its
+    * measured work CHANGED this round: the harness gained the
+    * composed ivfpq probe as a seventh arm, and the old ceiling
+    * predates the round-17 undoubled max-of-pair convention, so the
+    * fresh pair re-foots it on today's protocol; readings
+    * 5.349/4.395) and x_incr_split_leakage 5.46 → 5.50 (+0.7% — the
+    * round-17 adjudication: quiet FULL-SWEEP readings 5.436/5.496;
+    * the judge's 1.35× subset reading reproduces quietly and is a
+    * cold-session codegen/JIT artifact the sweep amortizes — the
+    * full analysis and the subset-read rule live in BASELINE.md).
+    *
     * Round 17 (3): the embed-quality family re-recorded after the
     * one-text-pass refactor (the narrow (doc_id, qm) frame is
     * checkpointed once and reused by the centroid, the score join,
@@ -260,7 +278,13 @@ object Bench {
     "q_date_funcs" -> 0.77,
     "q_retention_cohorts" -> 0.51, // re-recorded r17 after the single-scan rewrite
     "q_correlated_agg" -> 1.40, // re-recorded r17 after the explicit-aggregate rewrite
-    "x_incr_split_leakage" -> 5.46,
+    "x_incr_split_leakage" -> 5.50, // re-recorded r18 (full-sweep adjudication; see BASELINE.md)
+    "x_rep_strip" -> 0.31,
+    "x_source_cap" -> 0.30,
+    "x_cap_realized" -> 0.56,
+    "x_ann_ivfpq" -> 1.52,
+    "x_shard_shuffle" -> 0.44,
+    "x_shuffle_stats" -> 0.55,
     "x_quality_calibration" -> 0.76, // re-recorded r17, same refactor
     "x_gate_chain" -> 2.87,
     "q_event_funnel" -> 2.07,
@@ -297,7 +321,7 @@ object Bench {
     "x_ann_lsh" -> 0.41,
     "x_ann_lsh_multiprobe" -> 0.39,
     "x_ann_pq" -> 2.11,
-    "x_ann_recall" -> 7.89,
+    "x_ann_recall" -> 5.35, // re-recorded r18 (+ivfpq arm; old doubled-protocol ceiling re-footed)
     "x_asof_join" -> 0.95,
     "x_bigram_fluency" -> 1.90,
     "x_bm25_batch" -> 1.64,
