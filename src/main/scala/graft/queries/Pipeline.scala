@@ -252,6 +252,95 @@ object Pipeline {
        |WHERE doc_id % 50 <> 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Decontamination strip (`x_contam_strip`) — the transform
+    * [[contamination]]'s audit exists to drive (the `x_dup_spans` →
+    * `x_span_strip` pairing applied to benchmark overlap): every
+    * TRAINING document rewritten with each token covered by a
+    * benchmark-overlapping 3-gram occurrence cut out, plus the exact
+    * removed-token count — the "remove the overlapping window, keep
+    * the rest" surgery pipelines apply when dropping whole
+    * contaminated documents is too expensive (a long doc quoting one
+    * benchmark sentence loses the sentence, not the doc). The overlap
+    * universe is the audit's own: KEPT (df-capped) shingles —
+    * boilerplate is template text everywhere, not contamination, so
+    * over-cap shingles strip nothing in either engine. Output covers
+    * EVERY training doc (untouched docs pass their original text
+    * through); benchmark docs (doc_id % 50 = 0) are not rewritten —
+    * they are the thing being protected.
+    *
+    * Scale shape: the benchmark side is tiny by construction and
+    * broadcasts as 8-byte xxhash64 longs (the [[contamination]]
+    * probe discipline — no shingle string crosses the broadcast); the
+    * training side's positional explode is map-side, flagged
+    * positions collapse to one doc-keyed aggregate (bounded by doc
+    * length), and the coverage rewrite is ROW-LOCAL — the corpus
+    * never shuffles beyond the doc-keyed flag aggregate. A
+    * cross-shingle 64-bit collision over-strips ≤3 tokens with
+    * probability ~n²/2⁶⁵ — the family's accepted budget, and the
+    * string-keyed oracle agrees absent such a collision.
+    * ContamStripSpec pins the cut/flank/untouched/boilerplate shapes
+    * and that the strip touches exactly the audit's contaminated set
+    * on the real corpus.
+    */
+  def contamStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val bench = keptShingles(s, dir).filter($"doc_id" % 50 === 0)
+      .select(xxhash64($"s").as("hb")).distinct()
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val sp = train.select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), size($"w") - 3),
+          i => concat_ws(" ", slice($"w", i + 1, lit(3))))).as(Seq("i", "sp")))
+    val flagged = sp
+      .join(broadcast(bench), xxhash64($"sp") === $"hb", "left_semi")
+      .groupBy($"doc_id").agg(collect_set($"i".cast("long")).as("fl"))
+    train.select($"doc_id", $"text")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"fl".isNull, $"text").otherwise(
+          concat_ws(" ", filter(words($"text"),
+            (t, j) => !exists($"fl", x => j.cast("long") >= x &&
+              j.cast("long") <= x + 2L)))).as("clean_text"),
+        when($"fl".isNull, lit(0L)).otherwise(
+          size(words($"text")).cast("long") -
+            size(filter(words($"text"),
+              (t, j) => !exists($"fl", x => j.cast("long") >= x &&
+                j.cast("long") <= x + 2L))).cast("long")).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val contamStripSql: String =
+    s"""WITH ksh AS ($keptShinglesSql),
+       |bench AS (SELECT DISTINCT s FROM ksh WHERE doc_id % 50 = 0),
+       |trd AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       |spx AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    array_to_string(w[i+1:i+3], ' ') AS sp
+       |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i
+       |        FROM trd WHERE len(w) >= 3)),
+       |flg AS (
+       |  SELECT doc_id, list(DISTINCT i) AS fl
+       |  FROM spx JOIN bench ON spx.sp = bench.s
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN fl IS NULL THEN d.text
+       |    ELSE COALESCE(array_to_string(list_filter(string_split(d.text, ' '),
+       |      (tk, j) -> len(list_filter(fl,
+       |        x -> j - 1 >= x AND j - 1 <= x + 2)) = 0), ' '), '') END
+       |    AS clean_text,
+       |  CAST(CASE WHEN fl IS NULL THEN 0
+       |    ELSE len(string_split(d.text, ' ')) -
+       |      len(list_filter(string_split(d.text, ' '),
+       |        (tk, j) -> len(list_filter(fl,
+       |          x -> j - 1 >= x AND j - 1 <= x + 2)) = 0)) END AS BIGINT)
+       |    AS n_removed
+       |FROM trd d LEFT JOIN flg ON d.doc_id = flg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Exact dedup by normalized-text hash: hash-groupBy, keep min id.
     * At 100 TB this is one shuffle on a well-distributed key (md5) with
     * map-side partial aggregation — the canonical exact-dedup plan.
@@ -5516,6 +5605,89 @@ object Pipeline {
        |FROM caprates r LEFT JOIN capkept k USING (source)
        |ORDER BY r.source""".stripMargin
 
+  /** Training budget as a multiple of the corpus token mass (the
+    * "train for N× the corpus" setting). 4 on purpose: with an even
+    * per-source target the implied repeat factor is 4 / (n_src ·
+    * share), and the fixture's measured shares straddle 1/n_src at
+    * every SF — so some sources hit the repeat ceiling and some
+    * don't, exercising both arms of the min in both engines.
+    */
+  private[graft] val EPOCH_TARGET_MULT = 4L
+
+  /** Repeat ceiling in exact milli-epochs — the published
+    * data-constrained-scaling finding that value decays past ~4
+    * repeats, as a hard planning cap.
+    */
+  private[graft] val MAX_EPOCHS_MILLI = 4000L
+
+  /** Per-source epoch plan (`x_epoch_plan`) — the UP-sampling planner
+    * the mix family lacked: [[weightedMix]] and [[sourceCap]] only
+    * ever drop documents, but a data-constrained run REPEATS its
+    * scarce sources — the "how many epochs of each domain" table
+    * every token-budgeted training run derives before building
+    * shards. Given a budget of [[EPOCH_TARGET_MULT]] × the corpus
+    * mass split evenly across sources, each source gets
+    * `epochs_milli = min(` [[MAX_EPOCHS_MILLI]] `, target·1000 div
+    * mass)` — exact integer milli-epochs, so both engines derive the
+    * identical plan — plus the realized token mass under that repeat
+    * factor and the deficit the ceiling leaves unfilled (the number
+    * that tells a pipeline owner which domains are genuinely
+    * data-bound and by how much).
+    *
+    * Scale: one text pass into a source-domain-bounded aggregate;
+    * the corpus-mass total is a window over source-count rows;
+    * DECIMAL(38,0)/HUGEINT operands throughout (mass × 1000 ×
+    * target overflows int64 at design scale). EpochPlanSpec pins the
+    * hand arithmetic and that the ceiling binds on some real-fixture
+    * sources and not others.
+    */
+  def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"source", size(words($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tok"))
+      .withColumn("share_ppm", expr(
+        "(CAST(n_tok AS DECIMAL(38,0)) * 1000000) div (sum(CAST(n_tok AS DECIMAL(38,0))) OVER ())"))
+      .withColumn("target_tok", expr(
+        s"(CAST($EPOCH_TARGET_MULT AS DECIMAL(38,0)) * (sum(CAST(n_tok AS DECIMAL(38,0))) OVER ())) div (count(1) OVER ())"))
+      .withColumn("epochs_milli",
+        least(lit(MAX_EPOCHS_MILLI), expr(
+          "(CAST(target_tok AS DECIMAL(38,0)) * 1000) div n_tok")))
+      .withColumn("realized_tok", expr(
+        "(CAST(n_tok AS DECIMAL(38,0)) * epochs_milli) div 1000"))
+      .select($"source", $"n_docs", $"n_tok", $"share_ppm", $"target_tok",
+        $"epochs_milli", $"realized_tok",
+        ($"target_tok" - $"realized_tok").as("deficit_tok"))
+      .orderBy($"source")
+  }
+
+  lazy val epochPlanSql: String =
+    s"""WITH st AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+       |      AS n_tok
+       |  FROM documents GROUP BY source),
+       |pl AS (
+       |  SELECT source, n_docs, n_tok,
+       |    CAST(CAST(n_tok AS HUGEINT) * 1000000
+       |      // SUM(CAST(n_tok AS HUGEINT)) OVER () AS BIGINT) AS share_ppm,
+       |    CAST(CAST($EPOCH_TARGET_MULT AS HUGEINT)
+       |      * SUM(CAST(n_tok AS HUGEINT)) OVER ()
+       |      // COUNT(*) OVER () AS BIGINT) AS target_tok
+       |  FROM st),
+       |ep AS (
+       |  SELECT *, CAST(least($MAX_EPOCHS_MILLI,
+       |      CAST(target_tok AS HUGEINT) * 1000 // n_tok) AS BIGINT)
+       |    AS epochs_milli
+       |  FROM pl)
+       |SELECT source, n_docs, n_tok, share_ppm, target_tok, epochs_milli,
+       |  CAST(CAST(n_tok AS HUGEINT) * epochs_milli // 1000 AS BIGINT)
+       |    AS realized_tok,
+       |  CAST(target_tok - CAST(n_tok AS HUGEINT) * epochs_milli // 1000
+       |    AS BIGINT) AS deficit_tok
+       |FROM ep ORDER BY source""".stripMargin
+
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24
 
@@ -9936,6 +10108,8 @@ object Pipeline {
     "x_rep_strip"      -> repStrip _,
     "x_source_cap"     -> sourceCap _,
     "x_cap_realized"   -> capRealized _,
+    "x_epoch_plan"     -> epochPlan _,
+    "x_contam_strip"   -> contamStrip _,
     "x_ann_ivfpq"      -> annIvfPq _,
     "x_shard_shuffle"  -> shardShuffle _,
     "x_shuffle_stats"  -> shuffleStats _,
@@ -10052,6 +10226,8 @@ object Pipeline {
     "x_rep_strip"      -> repStripSql,
     "x_source_cap"     -> sourceCapSql,
     "x_cap_realized"   -> capRealizedSql,
+    "x_epoch_plan"     -> epochPlanSql,
+    "x_contam_strip"   -> contamStripSql,
     "x_ann_ivfpq"      -> annIvfPqSql,
     "x_shard_shuffle"  -> shardShuffleSql,
     "x_shuffle_stats"  -> shuffleStatsSql,

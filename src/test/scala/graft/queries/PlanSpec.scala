@@ -424,6 +424,14 @@ class PlanSpec extends AnyFunSuite {
       "pool cut and final top-k must be TakeOrderedAndProject:\n" + p.take(2000))
   }
 
+  test("x_contam_strip: benchmark hashes broadcast — the training corpus never shuffle-joins") {
+    val p = plan("x_contam_strip")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark hash set must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the training side must never shuffle against the bench set:\n" + p.take(2000))
+  }
+
   test("q_skew_join: salt spreads the hot key — join keys are (lang, salt), shuffled not broadcast") {
     val p = plan("q_skew_join")
     // the mitigation IS the join key: a SortMergeJoin keyed on
