@@ -5605,6 +5605,96 @@ object Pipeline {
        |FROM caprates r LEFT JOIN capkept k USING (source)
        |ORDER BY r.source""".stripMargin
 
+  /** Stale per-source keep rates — the artifact the streaming
+    * source-cap gate ships to the ingest edge: [[withCapRates]]'s
+    * arithmetic over the BASE slice only (yesterday's corpus,
+    * refreshed at compaction cadence — the [[bm25Incr]] staleness
+    * contract applied to the rate family), collected as a
+    * source→keep_ppm map. Source-domain-bounded, so unlike the band
+    * index or the chunk store this artifact is PLAN-CONSTANT-sized
+    * and rides into the gate as a map literal, never a join — the
+    * bounded-artifact arm of the stale-artifact gate pattern (the
+    * centroid/Bloom/bigram-table arm, not the stored-table arm).
+    */
+  private[graft] def corpusCapRates(
+      s: SparkSession, dir: String): Map[String, Long] = {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .filter(!defaultBatchPred)
+      .select($"source", size(words($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tok"))
+    withCapRates(base).select($"source", $"keep_ppm")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Shared scorer columns for the stale source-cap gate — ONE
+    * definition consumed by the deployed stream gate
+    * ([[graft.streaming.Streams.sourceCapGate]]) AND the batch audit
+    * ([[capGateAudit]]), the [[bandGateScored]] discipline: adds
+    * `cap_rate_ppm` (the source's STALE keep rate; a source unseen
+    * yesterday carries no rate → 1e6, the no-evidence pass),
+    * `cap_coin_ppm` (the SAME deterministic coin as [[sourceCap]] —
+    * one coin definition per engine, so ingest enforcement and batch
+    * re-capping can never disagree on a document), and `cap_keep`.
+    */
+  private[graft] def capGateScored(
+      df: DataFrame, staleRates: Map[String, Long]): DataFrame =
+    df.withColumn("cap_rate_ppm",
+        coalesce(element_at(typedLit(staleRates), col("source")),
+          lit(1000000L)))
+      .withColumn("cap_coin_ppm", capCoinCol)
+      .withColumn("cap_keep", col("cap_coin_ppm") < col("cap_rate_ppm"))
+
+  /** Batch audit of the stale source-cap gate (`x_cap_gate`) — a
+    * SHADOW REPLAY: every corpus document scored through the deployed
+    * gate's own columns ([[capGateScored]] — shared builder) against
+    * yesterday's rates, emitting the stale keep rate, the coin, and
+    * the verdict per doc. Replay rather than arrival-slice on
+    * declared grounds: this fixture's source is a function of
+    * doc_id mod 20, so the `≡ 7 mod 10` arrival slice only ever
+    * carries TWO of the twenty sources — both under-cap in the base
+    * — and an audit restricted to it would be structurally blind to
+    * the other eighteen rates (a gate nothing can fail is untested
+    * plumbing). The replay additionally IS the drift report a
+    * pipeline wants: "what would yesterday's rates do to today's
+    * corpus" — read next to [[capRealized]]'s fresh-rate view. The
+    * oracle row pins stale-slice rate arithmetic, the unseen-source
+    * pass-through (COALESCE to 1e6), the coin, and the cut
+    * cross-engine; StreamingSpec pins stream ≡ scored-columns parity
+    * and real drops on a skewed planted corpus including an unseen
+    * source.
+    */
+  def capGateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    capGateScored(docs, corpusCapRates(s, dir))
+      .select($"doc_id", $"source", $"cap_rate_ppm".as("stale_keep_ppm"),
+        $"cap_coin_ppm".as("coin_ppm"), (!$"cap_keep").as("dropped"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val capGateSql: String =
+    s"""WITH cgbase AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents WHERE NOT (doc_id % 10 = 7)),
+       |cgst AS (
+       |  SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tok
+       |  FROM cgbase GROUP BY source),
+       |cgrates AS (
+       |  SELECT source,
+       |    CAST(least(1000000, CAST($SRC_CAP_PPM AS HUGEINT)
+       |      * SUM(CAST(n_tok AS HUGEINT)) OVER () // n_tok) AS BIGINT)
+       |      AS keep_ppm
+       |  FROM cgst)
+       |SELECT d.doc_id, d.source,
+       |  CAST(COALESCE(r.keep_ppm, 1000000) AS BIGINT) AS stale_keep_ppm,
+       |  ${capCoinSql("d.doc_id")} AS coin_ppm,
+       |  NOT (${capCoinSql("d.doc_id")} < COALESCE(r.keep_ppm, 1000000))
+       |    AS dropped
+       |FROM documents d LEFT JOIN cgrates r ON d.source = r.source
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Training budget as a multiple of the corpus token mass (the
     * "train for N× the corpus" setting). 4 on purpose: with an even
     * per-source target the implied repeat factor is 4 / (n_src ·
@@ -10110,6 +10200,7 @@ object Pipeline {
     "x_cap_realized"   -> capRealized _,
     "x_epoch_plan"     -> epochPlan _,
     "x_contam_strip"   -> contamStrip _,
+    "x_cap_gate"       -> capGateAudit _,
     "x_ann_ivfpq"      -> annIvfPq _,
     "x_shard_shuffle"  -> shardShuffle _,
     "x_shuffle_stats"  -> shuffleStats _,
@@ -10228,6 +10319,7 @@ object Pipeline {
     "x_cap_realized"   -> capRealizedSql,
     "x_epoch_plan"     -> epochPlanSql,
     "x_contam_strip"   -> contamStripSql,
+    "x_cap_gate"       -> capGateSql,
     "x_ann_ivfpq"      -> annIvfPqSql,
     "x_shard_shuffle"  -> shardShuffleSql,
     "x_shuffle_stats"  -> shuffleStatsSql,

@@ -470,6 +470,32 @@ object Streams {
       .filter(col("gate_hit").isNull)
       .drop("gate_pl", "gate_hit")
 
+  /** Streaming SOURCE-CAP gate — the RATE member of the gate family
+    * (every other gate scores content; this one enforces the corpus
+    * composition rule "no source exceeds its share ceiling" at the
+    * ingest edge): drop an arriving document whose deterministic cap
+    * coin lands at or above its source's STALE keep rate
+    * ([[graft.queries.Pipeline.corpusCapRates]] — yesterday's
+    * per-source token-mass rates, refreshed at compaction cadence,
+    * the staleness contract every gate here carries). The rates are
+    * source-domain-BOUNDED, so they ride as a plan-constant map
+    * literal (the centroid/Bloom arm of the stale-artifact pattern),
+    * never a join: stateless, no watermark, no shuffle, zero
+    * streaming state. A source unseen yesterday carries no rate and
+    * passes (the battery's no-evidence rule — a NEW domain is not
+    * over its ceiling by definition); the enforcement-vs-growth
+    * drift a batch causes against stale rates is the batch
+    * `x_cap_realized` eval's catch. Scoring is the SHARED
+    * [[graft.queries.Pipeline.capGateScored]] column builder — the
+    * gate and the `x_cap_gate` batch audit cannot drift, and the
+    * coin is [[graft.queries.Pipeline.sourceCap]]'s own, so ingest
+    * enforcement and batch re-capping agree document-for-document.
+    */
+  def sourceCapGate(df: DataFrame, staleRates: Map[String, Long]): DataFrame =
+    graft.queries.Pipeline.capGateScored(df, staleRates)
+      .filter(col("cap_keep"))
+      .drop("cap_rate_ppm", "cap_coin_ppm", "cap_keep")
+
   /** Watermarked tumbling-window aggregation: count + value sum per
     * (window, key). Late events beyond `watermarkDelay` are dropped;
     * windows emit exactly once, after the watermark passes their end.

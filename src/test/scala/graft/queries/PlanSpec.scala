@@ -424,6 +424,15 @@ class PlanSpec extends AnyFunSuite {
       "pool cut and final top-k must be TakeOrderedAndProject:\n" + p.take(2000))
   }
 
+  test("x_cap_gate: stale rates are a plan-constant map — the replay audit joins NOTHING") {
+    val p = plan("x_cap_gate")
+    assert(!p.contains("Join"),
+      "bounded rates must ride as a literal, never a join:\n" + p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"only the presentation sort may exchange, got $exchanges:\n" + p.take(2000))
+  }
+
   test("x_contam_strip: benchmark hashes broadcast — the training corpus never shuffle-joins") {
     val p = plan("x_contam_strip")
     assert(p.contains("BroadcastHashJoin"),

@@ -1388,6 +1388,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       s"short-floor ${short.size}, batch-linked ${linked.size}")
   }
 
+  test("sourceCapGate: stale rates enforced at ingest, unseen source passes, stream ≡ shared-scorer keep-set") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // third-engine coin (java MD5), the SourceCapSpec derivation —
+    // arrival ids are CHOSEN by it so every decision class exists by
+    // construction, never by fixture luck
+    def coin(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"srccap|$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    // skewed base corpus: 'fat' carries 96 of 100 tokens → stale keep
+    // rate floor(50000·100/96) = 52083; 'thin' is under-cap → 1e6
+    // ids avoid ≡ 7 (mod 10): corpusCapRates derives rates from the
+    // BASE (non-batch) slice, and a batch-marked id would silently
+    // fall out of the hand arithmetic
+    val base =
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L)
+        .map(i => (i, "fat", (1 to 12).map(j => s"f$j").mkString(" "))) ++
+        Seq((11L, "thin", "t1 t2"), (12L, "thin", "t1 t2"))
+    val dir = tmp.resolve("cap-corpus").toString
+    base.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rates = graft.queries.Pipeline.corpusCapRates(spark, dir)
+    assert(rates == Map("fat" -> 52083L, "thin" -> 1000000L), rates)
+
+    val keptFat = (100L to 3000L).find(coin(_) < 52083L).get
+    val dropFat = (100L to 3000L).find(coin(_) >= 52083L).get
+    val thinArr = 200L // thin's rate is 1e6: any coin keeps
+    // an UNSEEN source with a losing coin: no stale rate = no evidence
+    // = passes even though the same coin would drop a fat doc
+    val newArr = (100L to 3000L).find(coin(_) >= 900000L).get
+    val arrivals = Seq((keptFat, "fat"), (dropFat, "fat"),
+      (thinArr, "thin"), (newArr, "brand_new_source"))
+
+    // ground truth from the SHARED scorer columns, batch-side
+    val batchKept = graft.queries.Pipeline
+      .capGateScored(arrivals.toDF("doc_id", "source"), rates)
+      .filter($"cap_keep").select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(keptFat, thinArr, newArr),
+      s"fixture must drop exactly the losing-coin fat arrival: $batchKept")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = tmp.resolve("cap-kept").toString
+    val q = Streams.sourceCapGate(mem.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp.resolve("ckpt-cap").toString)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamKept === batchKept)
+  }
+
   test("Streams facade: readStream → shard sink + watermarked agg wiring") {
     val spark0 = spark
     import spark0.implicits._
