@@ -53,6 +53,17 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 18 (2): the three late-round queries recorded from two
+    * further identical-code quiet full-suite runs (totals 124.0 /
+    * 123.0 s; zero regressed/retried/failed; canary p50 0.082/0.084):
+    * x_contam_strip 2.49 (1.854/2.491 — the positional-span explode +
+    * doc-keyed flag aggregate, the x_dup_spans cost neighborhood),
+    * x_epoch_plan 0.22, x_cap_gate 0.33 (both single bounded
+    * aggregates / map-side verdicts). x_incr_split_leakage read
+    * 5.567/4.900 in the same pair — straddling its fresh 5.50
+    * ceiling exactly as the adjudication note describes; the 0.25 s
+    * soft-flag slack absorbs the band's top. No other entries move.
+    *
     * Round 18: the six new queries recorded and two entries
     * re-recorded, all from two identical-code quiet full-suite runs
     * (totals 137.7 / 133.4 s; zero regressed, zero failed; canary
@@ -285,6 +296,9 @@ object Bench {
     "x_ann_ivfpq" -> 1.52,
     "x_shard_shuffle" -> 0.44,
     "x_shuffle_stats" -> 0.55,
+    "x_contam_strip" -> 2.49,
+    "x_epoch_plan" -> 0.22,
+    "x_cap_gate" -> 0.33,
     "x_quality_calibration" -> 0.76, // re-recorded r17, same refactor
     "x_gate_chain" -> 2.87,
     "q_event_funnel" -> 2.07,
