@@ -6826,6 +6826,66 @@ object Pipeline {
 
   lazy val shuffleStatsSql: String = shardStatsSqlFrom(shuffledAssignSql)
 
+  /** Incremental shard APPEND (`x_shard_append`) — the shard family's
+    * daily-ingest member, completing for packing what `x_incr_*`
+    * completed for dedup: the arriving batch ([[defaultBatchPred]])
+    * is packed into shards CONTINUING yesterday's layout — the first
+    * arrival fills the base's open partial shard, the rest extend the
+    * shard sequence — instead of re-running [[shardPlan]] over the
+    * grown corpus, which renumbers the running total at every batch
+    * doc's insertion point and MOVES already-written shards (training
+    * shards are immutable once consumed; re-packing them is exactly
+    * the rebuild cost the incremental path exists to avoid, and
+    * ShardAppendSpec measures that the re-pack would genuinely move
+    * assignments on this corpus). Per batch doc: token count, the
+    * GLOBAL exclusive running total (yesterday's corpus mass + the
+    * batch-internal prefix), and the continued shard id.
+    *
+    * Scale shape: the batch pays only its OWN scan-tree prefix sum
+    * ([[exclusivePrefixSum]] over batch-sized input); yesterday's
+    * total is ONE number — here derived by a single narrow aggregate
+    * over the base slice (at a real deployment it is a stored
+    * manifest scalar, the [[ensureBaseLabels]] amortization applied
+    * to a single long), riding into the plan as a broadcast 1-row
+    * literal, never a corpus-wide window. Stability is structural:
+    * base assignments are untouched by construction (the operator
+    * never reads them), pinned in ShardAppendSpec alongside the
+    * open-shard fill and exact token conservation.
+    */
+  def shardAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val baseTotal = docs.filter(!defaultBatchPred)
+      .select(coalesce(sum(size(words($"text")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val batch = docs.filter(defaultBatchPred)
+      .select($"doc_id", size(words($"text")).cast("long").as("n_tokens"))
+    exclusivePrefixSum(batch, "doc_id", "n_tokens")
+      .select($"doc_id", $"n_tokens",
+        ($"cum_before" + baseTotal).as("cum_before"))
+      .withColumn("shard_id", expr(s"cum_before div $SHARD_TOKEN_BUDGET"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val shardAppendSql: String =
+    s"""WITH bt AS (
+       |  SELECT CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)), 0)
+       |    AS BIGINT) AS t
+       |  FROM documents WHERE NOT (doc_id % 10 = 7)),
+       |b AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |c AS (
+       |  SELECT doc_id, nt,
+       |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cb
+       |  FROM b)
+       |SELECT doc_id, nt AS n_tokens,
+       |  CAST(cb + t AS BIGINT) AS cum_before,
+       |  CAST((cb + t) // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id
+       |FROM c, bt ORDER BY doc_id""".stripMargin
+
   /** Documents per bucket of the [[vocabGrowth]] curve. */
   private val VOCAB_BUCKET_DOCS = 50
 
@@ -10201,6 +10261,7 @@ object Pipeline {
     "x_epoch_plan"     -> epochPlan _,
     "x_contam_strip"   -> contamStrip _,
     "x_cap_gate"       -> capGateAudit _,
+    "x_shard_append"   -> shardAppend _,
     "x_ann_ivfpq"      -> annIvfPq _,
     "x_shard_shuffle"  -> shardShuffle _,
     "x_shuffle_stats"  -> shuffleStats _,
@@ -10320,6 +10381,7 @@ object Pipeline {
     "x_epoch_plan"     -> epochPlanSql,
     "x_contam_strip"   -> contamStripSql,
     "x_cap_gate"       -> capGateSql,
+    "x_shard_append"   -> shardAppendSql,
     "x_ann_ivfpq"      -> annIvfPqSql,
     "x_shard_shuffle"  -> shardShuffleSql,
     "x_shuffle_stats"  -> shuffleStatsSql,
