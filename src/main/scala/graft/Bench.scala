@@ -53,6 +53,19 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 18 (3): x_shard_append 0.49 recorded (readings
+    * 0.472/0.487 from two further identical-code quiet full-suite
+    * runs, totals 136.3/140.3 s, canary p50 0.096/0.096), and
+    * x_incr_split_leakage re-recorded 5.50 → 6.06 (+10%, named): SIX
+    * canary-verified quiet full-suite readings this round spanned
+    * 4.900–6.056 s (5.436/5.496/5.567/4.900/6.056/5.907) — the ±11%
+    * band of a query whose measured work includes label-frame
+    * checkpoint materialization — so a max-of-TWO statistic sits
+    * inside the band and soft-flags ordinary quiet runs (it did so
+    * twice in this same session); this entry is recorded from the
+    * round's full quiet population instead, per the adjudication
+    * note in BASELINE.md.
+    *
     * Round 18 (2): the three late-round queries recorded from two
     * further identical-code quiet full-suite runs (totals 124.0 /
     * 123.0 s; zero regressed/retried/failed; canary p50 0.082/0.084):
@@ -289,7 +302,7 @@ object Bench {
     "q_date_funcs" -> 0.77,
     "q_retention_cohorts" -> 0.51, // re-recorded r17 after the single-scan rewrite
     "q_correlated_agg" -> 1.40, // re-recorded r17 after the explicit-aggregate rewrite
-    "x_incr_split_leakage" -> 5.50, // re-recorded r18 (full-sweep adjudication; see BASELINE.md)
+    "x_incr_split_leakage" -> 6.06, // re-recorded r18 from the six-run quiet population (see BASELINE.md)
     "x_rep_strip" -> 0.31,
     "x_source_cap" -> 0.30,
     "x_cap_realized" -> 0.56,
@@ -299,6 +312,7 @@ object Bench {
     "x_contam_strip" -> 2.49,
     "x_epoch_plan" -> 0.22,
     "x_cap_gate" -> 0.33,
+    "x_shard_append" -> 0.49,
     "x_quality_calibration" -> 0.76, // re-recorded r17, same refactor
     "x_gate_chain" -> 2.87,
     "q_event_funnel" -> 2.07,
