@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 1×/10×/30× scale probe for the round-18 packing/mix additions
+  * (`x_shard_plan`, `x_shard_shuffle`, `x_shard_append`,
+  * `x_source_cap`, `x_cap_realized`) — the measured backing for
+  * their 100× claims, the [[ScaleProbe]]/[[RelProbe]] discipline:
+  * the salted-copy fixture scales the corpus linearly with no new
+  * hot keys (ids offset per copy, text lengths untouched, the
+  * source column preserved so the source domain stays constant
+  * while per-source mass scales linearly — exactly the cap family's
+  * design regime). Every query here is scan-tree or
+  * bounded-aggregate shaped, so the expected curve is linear wall
+  * with NO quadratic tail; a super-linear bend would mean a window
+  * or join regressed to corpus-order work.
+  *
+  * Cold noop-write drives, isolated between steps, one JVM per
+  * ladder; row contracts after the timings. Emits one JSON line per
+  * factor; numbers land in BASELINE.md's probe section. Run:
+  * `sbt "runMain graft.ShardProbe /root/testdata/sf0.1 1,10,30"`.
+  */
+object ShardProbe {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,10,30").split(",").map(_.trim.toInt)
+    val outRoot = args.lift(2).getOrElse("/tmp/graft-shard-probe")
+    val spark = Sessions.builder("graft-shard-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)")
+      .write.format("noop").mode("overwrite").save()
+    factors.foreach(f => runOne(spark, srcDir, s"$outRoot/f$f", f))
+    spark.stop()
+  }
+
+  private def runOne(
+      spark: SparkSession, srcDir: String, dir: String, factor: Int): Unit = {
+    def drive(name: String): Double = {
+      Sessions.isolateQueries(spark)
+      val t = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      secsSince(t)
+    }
+    val t0 = System.nanoTime()
+    val nDocs = ScaleProbe.buildFixture(spark, srcDir, dir, factor)
+    val tFixture = secsSince(t0)
+
+    val tPlan = drive("x_shard_plan")
+    val tShuffle = drive("x_shard_shuffle")
+    val tAppend = drive("x_shard_append")
+    val tCap = drive("x_source_cap")
+    val tCapEval = drive("x_cap_realized")
+
+    // contracts AFTER the timings: both packings conserve the same
+    // token mass; the append covers exactly the batch slice; the cap
+    // keeps a real, strictly partial slice
+    val planTok = SparkEntry.queries("x_shard_plan")(spark, dir)
+      .agg(sum("n_tokens")).head.getLong(0)
+    val shufTok = SparkEntry.queries("x_shard_shuffle")(spark, dir)
+      .agg(sum("n_tokens")).head.getLong(0)
+    require(planTok == shufTok,
+      s"shuffle must conserve tokens: $planTok vs $shufTok")
+    val appendRows = SparkEntry.queries("x_shard_append")(spark, dir)
+      .agg(count(lit(1)), sum(when(col("doc_id") % 10 === 7, 1L).otherwise(0L)))
+      .head
+    require(appendRows.getLong(0) == appendRows.getLong(1),
+      "append must cover exactly the batch slice")
+    val kept = SparkEntry.queries("x_source_cap")(spark, dir)
+      .agg(count(lit(1)), sum(when(col("kept"), 1L).otherwise(0L))).head
+    require(kept.getLong(1) > 0L && kept.getLong(1) < kept.getLong(0),
+      s"cap must keep a strict partial slice: ${kept.getLong(1)}/${kept.getLong(0)}")
+
+    println(
+      s"""{"probe":"shard","factor":$factor,"docs":$nDocs,""" +
+      s""""fixture_sec":$tFixture,"plan_sec":$tPlan,""" +
+      s""""shuffle_sec":$tShuffle,"append_sec":$tAppend,""" +
+      s""""cap_sec":$tCap,"cap_eval_sec":$tCapEval,""" +
+      s""""tokens":$planTok,"batch_docs":${appendRows.getLong(0)},""" +
+      s""""kept_docs":${kept.getLong(1)}}""")
+  }
+
+  private def secsSince(t: Long): Double =
+    math.round((System.nanoTime() - t) / 1e6) / 1e3
+}
