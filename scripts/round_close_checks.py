@@ -16,11 +16,24 @@ as a script, so a false claim can't ship.
    `Bench.BaselineSec` entry (the ceiling protocol: recorded the same
    round the query lands), and no ceiling may be orphaned.
 
+4. Round-close artifact trail — the CURRENT round's TESTS_rN.json and
+   CHECKS_rN.txt must exist at HEAD (round 18 shipped its "255/255,
+   gates clean" claim only in commit messages; the judge had to re-run
+   sbt to re-establish it). N defaults to max(CORRECTNESS_r*.json)+1 —
+   the driver commits round N-1's correctness artifact before round N
+   builds — and can be overridden with `--round N`.
+
 Usage:
-    python3 scripts/round_close_checks.py [path/to/oracle_sql.json]
+    python3 scripts/round_close_checks.py [path/to/oracle_sql.json] \
+        [--round N]
 
 oracle_sql.json defaults to /tmp/verify_out/oracle_sql.json (the
-verify recipe's output). Exit 0 iff all three checks are clean.
+verify recipe's output). Exit 0 iff all four checks are clean.
+
+Chicken-and-egg note: CHECKS_rN.txt IS this script's captured output,
+so the canonical close sequence is: run with artifacts present from a
+previous invocation (or tee the run into CHECKS_rN.txt and re-run —
+the second run gates the first's capture).
 """
 import json
 import os
@@ -145,9 +158,39 @@ def check_ceilings(oracle_path):
     return len(ungated) + len(orphaned)
 
 
+def current_round():
+    ns = []
+    for name in os.listdir(REPO):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", name)
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) + 1 if ns else None
+
+
+def check_artifacts(rnd):
+    if rnd is None:
+        print("== round artifacts: no CORRECTNESS_r*.json to infer the "
+              "round from — pass --round N ==")
+        return 1
+    missing = 0
+    print(f"== round-{rnd} close artifacts at HEAD ==")
+    for name in (f"TESTS_r{rnd}.json", f"CHECKS_r{rnd}.txt"):
+        ok = os.path.exists(os.path.join(REPO, name))
+        print(f"  {'OK     ' if ok else 'MISSING'} {name}")
+        missing += 0 if ok else 1
+    return missing
+
+
 def main():
-    oracle = sys.argv[1] if len(sys.argv) > 1 \
-        else "/tmp/verify_out/oracle_sql.json"
+    args = list(sys.argv[1:])
+    rnd = None
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = int(args[i + 1])
+        del args[i:i + 2]
+    if rnd is None:
+        rnd = current_round()
+    oracle = args[0] if args else "/tmp/verify_out/oracle_sql.json"
     bad = check_claims()
     if not os.path.exists(oracle):
         print(f"oracle_sql.json not found at {oracle} — run "
@@ -156,6 +199,7 @@ def main():
         return 2
     bad += check_survey(oracle)
     bad += check_ceilings(oracle)
+    bad += check_artifacts(rnd)
     print("RESULT:", "clean" if bad == 0 else f"{bad} problem(s)")
     return 0 if bad == 0 else 1
 

@@ -461,6 +461,15 @@ object Bench {
   /** How many measured queries between burst-canary readings. */
   private val CanaryEvery = 10
 
+  /** A single canary reading above this is a DRIFTED window — the
+    * BASELINE.md read rule's per-reading threshold (quiet band p50
+    * 0.084–0.097 s, max ≤ ~0.2 s; ~0.3 s is outside every quiet
+    * recording and inside every adjudicated burst). A soft-flagged
+    * query whose bracketing canary readings include a drifted one is
+    * requeued once at sweep end — see the requeue block in main().
+    */
+  private val CanaryDriftSec = 0.3
+
   /** Burst canary — the environment-contention self-label (rounds
     * 15–17 adjudication: three rounds of official-bench soft flags
     * were machine bursts, each costing a judge/builder reproduction
@@ -663,10 +672,9 @@ object Bench {
     // `retried` so the artifact shows the gate adjudicating itself — a
     // real plan regression slows all three runs and still flags.
     val canarySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .zipWithIndex
-      .map { case ((name, fn), idx) =>
+    val measured = sweep.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx % CanaryEvery == 0) canarySecs += canaryProbe(spark, sfDir)
       val secs = (1 to 2).map(_ => attempt(name, fn))
       var best = if (secs.exists(_ < 0)) -1.0 else secs.min
@@ -679,7 +687,36 @@ object Bench {
         // read as a measured result
         best = if (third >= 0) math.min(best, third) else -1.0
       }
-      name -> best
+      (name, fn, idx, best)
+    }
+    // one trailing canary reading so the tail of the sweep is labeled too
+    canarySecs += canaryProbe(spark, sfDir)
+    // canary-triggered requeue (round 19, closing the canary loop):
+    // the canary labels a CONTENDED WINDOW inside an otherwise quiet
+    // run — a query that soft-flagged while either of its bracketing
+    // canary readings was drifted was measured under contention, so
+    // its flag is an environment suspect BY THE RUN'S OWN EVIDENCE.
+    // Re-run each such query once now, at sweep end (the burst has
+    // either passed — the requeued reading clears the flag — or it
+    // has not, and the flag stands on a reading the trailing canary
+    // labels too). The `requeued` JSON section records {name: sec} so
+    // the artifact shows the gate adjudicating itself; the final
+    // reported time is the min, the same statistic as `retried`.
+    def canaryDriftedAround(idx: Int): Boolean = {
+      val before = idx / CanaryEvery
+      val after = math.min(before + 1, canarySecs.size - 1)
+      canarySecs(before) > CanaryDriftSec || canarySecs(after) > CanaryDriftSec
+    }
+    val requeued = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = measured.map { case (name, fn, idx, best) =>
+      if (gated && best >= 0 && overCeiling(name, best) &&
+          canaryDriftedAround(idx)) {
+        val again = attempt(name, fn)
+        if (again >= 0) {
+          requeued(name) = math.round(again * 1000) / 1000.0
+          name -> math.min(best, again)
+        } else name -> -1.0
+      } else name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -699,14 +736,19 @@ object Bench {
     val regressedJson = regressed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = (failed ++ hardRegressed).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // one trailing canary reading so the tail of the sweep is labeled too
-    canarySecs += canaryProbe(spark, sfDir)
+    val requeuedJson = requeued.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val cs = canarySecs.sorted
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    // conventional median: even n averages the two middle elements —
+    // upper-middle alone biases a ~16-reading quiet band slightly high
+    val canaryP50 =
+      if (cs.size % 2 == 1) cs(cs.size / 2)
+      else (cs(cs.size / 2 - 1) + cs(cs.size / 2)) / 2.0
     val canaryJson =
-      s"""{"n":${cs.size},"min":${r3(cs.head)},"p50":${r3(cs(cs.size / 2))},"max":${r3(cs.last)}}"""
+      s"""{"n":${cs.size},"min":${r3(cs.head)},"p50":${r3(canaryP50)},"max":${r3(cs.last)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"requeued":$requeuedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: the driver captures a log tail,
     // and one truncated capture already cost a round its per-query

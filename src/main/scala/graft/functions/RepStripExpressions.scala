@@ -106,8 +106,13 @@ object RepStripTokens {
     var p = 0
     val last = n - K
     var removedAny = false
+    // the key window is built over the same K the loop bound and the
+    // coverage marks use, so a K change cannot desynchronize them
+    val window = new Array[UTF8String](K)
     while (p <= last) {
-      val span = UTF8String.concatWs(SEP, toks(p), toks(p + 1), toks(p + 2))
+      var w = 0
+      while (w < K) { window(w) = toks(p + w); w += 1 }
+      val span = UTF8String.concatWs(SEP, window: _*)
       if (seen.putIfAbsent(span, p) != null) {
         cov(p) += 1
         cov(p + K) -= 1

@@ -282,7 +282,17 @@ object Pipeline {
     * and that the strip touches exactly the audit's contaminated set
     * on the real corpus.
     */
-  def contamStrip(s: SparkSession, dir: String): DataFrame = {
+  def contamStrip(s: SparkSession, dir: String): DataFrame =
+    stripCoverageProjection(contamFlaggedBase(s, dir), 3)
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, text, fl) for the contamination strip: training docs
+    * left-joined with their flagged 3-shingle start positions —
+    * [[contamStrip]]'s base, shared with `StripAbProfile` so the
+    * projection-form A/B runs both arms over the identical frame.
+    */
+  private[graft] def contamFlaggedBase(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val bench = keptShingles(s, dir).filter($"doc_id" % 50 === 0)
@@ -298,17 +308,37 @@ object Pipeline {
       .groupBy($"doc_id").agg(collect_set($"i".cast("long")).as("fl"))
     train.select($"doc_id", $"text")
       .join(flagged, Seq("doc_id"), "left")
-      .select($"doc_id",
-        when($"fl".isNull, $"text").otherwise(
-          concat_ws(" ", filter(words($"text"),
-            (t, j) => !exists($"fl", x => j.cast("long") >= x &&
-              j.cast("long") <= x + 2L)))).as("clean_text"),
-        when($"fl".isNull, lit(0L)).otherwise(
-          size(words($"text")).cast("long") -
-            size(filter(words($"text"),
-              (t, j) => !exists($"fl", x => j.cast("long") >= x &&
-                j.cast("long") <= x + 2L))).cast("long")).as("n_removed"))
-      .orderBy($"doc_id")
+  }
+
+  /** Span-coverage strip projection over a (doc_id, text, fl) frame:
+    * rewrite each flagged document with every token covered by a
+    * flagged `spanLen`-token span start cut out, emitting `clean_text`
+    * and exact `n_removed`. The coverage filter is the row's expensive
+    * HOF (O(tokens × |fl|) interpreted lambda), so it is STAGED once
+    * as a projection column and BOTH outputs derive from it — the
+    * house rule BASELINE.md records (CollapseProject keeps non-cheap
+    * multi-referenced aliases, so `kept` is computed once per row; the
+    * when() guard skips the lambda entirely on the unflagged
+    * majority, which also passes its ORIGINAL text through with no
+    * split/rejoin round trip). ONE definition shared by
+    * [[contamStrip]] (spanLen 3) and [[spanStrip]] (spanLen 5);
+    * `StripAbProfile` holds the one-JVM A/B vs the former inline
+    * double-evaluation form.
+    */
+  private[graft] def stripCoverageProjection(
+      base: DataFrame, spanLen: Int): DataFrame = {
+    val cover = spanLen - 1L
+    base
+      .select(col("doc_id"), col("text"), col("fl"),
+        when(col("fl").isNotNull, filter(words(col("text")),
+          (t, j) => !exists(col("fl"), x => j.cast("long") >= x &&
+            j.cast("long") <= x + cover))).as("kept"))
+      .select(col("doc_id"),
+        when(col("fl").isNull, col("text")).otherwise(
+          concat_ws(" ", col("kept"))).as("clean_text"),
+        when(col("fl").isNull, lit(0L)).otherwise(
+          size(words(col("text"))).cast("long") -
+            size(col("kept")).cast("long")).as("n_removed"))
   }
 
   val contamStripSql: String =
@@ -1054,7 +1084,18 @@ object Pipeline {
     * quadratic only for a fully-duplicated mega-document, which
     * exact-dedup removes upstream of any span surgery.
     */
-  def spanStrip(s: SparkSession, dir: String): DataFrame = {
+  def spanStrip(s: SparkSession, dir: String): DataFrame =
+    // coverage filter staged once per flagged row, both outputs derive
+    // from the staged column — [[stripCoverageProjection]], ONE
+    // definition with contamStrip; StripAbProfile carries the A/B
+    stripCoverageProjection(spanFlaggedBase(s, dir), 5)
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, text, fl) for the cross-document span strip — shared
+    * with `StripAbProfile` (the [[contamFlaggedBase]] contract).
+    */
+  private[graft] def spanFlaggedBase(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val tok = docs.select($"doc_id", words($"text").as("w"))
@@ -1068,19 +1109,7 @@ object Pipeline {
     val flagged = sp.join(dfreq, Seq("sp"))
       .filter($"df" >= 2)
       .groupBy($"doc_id").agg(collect_set($"i").as("fl"))
-    docs.select($"doc_id", $"text")
-      .join(flagged, Seq("doc_id"), "left")
-      .select($"doc_id",
-        when($"fl".isNull, $"text").otherwise(
-          concat_ws(" ", filter(words($"text"),
-            (t, j) => !exists($"fl", x => j.cast("long") >= x &&
-              j.cast("long") <= x + 4L)))).as("clean_text"),
-        when($"fl".isNull, lit(0L)).otherwise(
-          size(words($"text")).cast("long") -
-            size(filter(words($"text"),
-              (t, j) => !exists($"fl", x => j.cast("long") >= x &&
-                j.cast("long") <= x + 4L))).cast("long")).as("n_removed"))
-      .orderBy($"doc_id")
+    docs.select($"doc_id", $"text").join(flagged, Seq("doc_id"), "left")
   }
 
   val spanStripSql: String =
@@ -6728,9 +6757,16 @@ object Pipeline {
     * super-bucket totals at any corpus size.
     */
   private def exclusivePrefixSumUniform(
-      df: DataFrame, key: String, tie: String, value: String): DataFrame = {
+      df: DataFrame, key: String, tie: String, value: String,
+      keyBits: Int = 48): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b1 = expr(s"$key div ${1L << 28}")
+    // the two split constants derive from the key's bit width so a
+    // caller with a different-width uniform key keeps the balance
+    // contract (2²⁰ level-1 buckets, 2¹⁰ super-buckets) instead of
+    // silently degenerating; [[shuffleKeyCol]] emits 48 bits
+    require(keyBits > 30 && keyBits <= 62,
+      s"uniform prefix-sum key must be a 31..62-bit hash, got $keyBits")
+    val b1 = expr(s"$key div ${1L << (keyBits - 20)}")
     val wIn = Window.partitionBy(col("b1")).orderBy(col(key), col(tie))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wB1 = Window.partitionBy(col("b2")).orderBy(col("b1"))
