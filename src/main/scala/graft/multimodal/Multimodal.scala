@@ -235,7 +235,7 @@ object Multimodal {
     * self-join, bounding fan-out per key at cap²/2. Part of the
     * operator's semantics; the oracle applies the identical filter.
     */
-  private val FRAME_DF_CAP = 100
+  private[graft] val FRAME_DF_CAP = 100
 
   /** Feature windows for [[mediaNearDup]]: 64-byte slices at stride
     * 48 (overlap 16 — the `x_chunk_windows` 32/24 pattern in bytes),
@@ -293,11 +293,17 @@ object Multimodal {
       .select(col("asset_id"))
   }
 
-  private def keptFrames(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The PRE-CAP frame feature table `(asset_id, frame_md5)` —
+    * [[keptFrames]] before its df-cap filter, factored out so
+    * [[graft.queries.Pipeline.indexHealth]]'s `frame` family row
+    * audits the exact key population the cap screens (ONE definition:
+    * a windowing/pre-collapse tweak cannot desynchronize the audit
+    * from the index it reports on).
+    */
+  private[graft] def frameWindowsPreCap(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nonReps = nonRepAssets(s, dir)
-    val frames = assets(s, dir)
+    assets(s, dir)
       .filter($"kind" === "video" && length($"payload") >= WIN_BYTES)
       .withColumn("off",
         explode(sequence(lit(0L),
@@ -306,7 +312,13 @@ object Multimodal {
         md5(expr(s"substring(payload, cast(off + 1 as int), $WIN_BYTES)"))
           .as("frame_md5"))
       .distinct()
-      .join(nonReps, Seq("asset_id"), "left_anti")
+      .join(nonRepAssets(s, dir), Seq("asset_id"), "left_anti")
+  }
+
+  private def keptFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val frames = frameWindowsPreCap(s, dir)
     val frequent = frames.groupBy($"frame_md5").agg(count(lit(1)).as("df"))
       .filter($"df" > FRAME_DF_CAP)
       .select($"frame_md5")
@@ -424,20 +436,30 @@ object Multimodal {
     */
   private[graft] def prefixLadderIndex(
       s: SparkSession, docs: DataFrame): DataFrame = {
+    val entries = ladderEntriesPreCap(s, docs).select(col("l"), col("ph"))
+    val boilerplate = entries.groupBy(col("l"), col("ph"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > FRAME_DF_CAP).select(col("l"), col("ph"))
+    entries.join(broadcast(boilerplate), Seq("l", "ph"), "left_anti")
+      .distinct()
+  }
+
+  /** The PRE-CAP ladder entry table `(asset_id, l, ph)` —
+    * [[prefixLadderIndex]] before its df-cap filter, carrying the
+    * asset id so `indexHealth`'s `prefix` family row can count
+    * carrier assets (the [[frameWindowsPreCap]] contract).
+    */
+  private[graft] def ladderEntriesPreCap(
+      s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val a = assetsOf(docs)
-    val vids = a.filter($"kind" === "video")
+    a.filter($"kind" === "video")
       .join(nonRepAssetsOf(a), Seq("asset_id"), "left_anti")
-      .select($"asset_id", $"payload")
-    val entries = vids
       .select($"asset_id", $"payload", explode(expr(
         "filter(transform(sequence(6, 30), k -> shiftleft(cast(1 as bigint), k)), " +
           "l -> l <= length(payload))")).as("l"))
-      .select($"l", md5($"payload".substr(lit(1), $"l".cast("int"))).as("ph"))
-    val boilerplate = entries.groupBy($"l", $"ph").agg(count(lit(1)).as("df"))
-      .filter($"df" > FRAME_DF_CAP).select($"l", $"ph")
-    entries.join(broadcast(boilerplate), Seq("l", "ph"), "left_anti")
-      .distinct()
+      .select($"asset_id", $"l",
+        md5($"payload".substr(lit(1), $"l".cast("int"))).as("ph"))
   }
 
   /** The shared per-row prefix-gate scorer — ONE definition for the
@@ -497,6 +519,53 @@ object Multimodal {
         coalesce($"gate_hit", lit(false)).as("dropped"))
       .orderBy($"asset_id")
   }
+
+  /** DuckDB CTEs for the two MEDIA family rows of
+    * `x_index_health` (`mfrow` = frame windows under [[FRAME_DF_CAP]],
+    * `mlrow` = prefix-ladder entries under the same cap) — spliced
+    * into `Pipeline.indexHealthSql`'s WITH chain. Derivations mirror
+    * [[frameWindowsPreCap]] / [[ladderEntriesPreCap]]: video assets,
+    * exact-payload pre-collapse, per-asset distinct windows / ladder
+    * lengths, counted BEFORE any cap filter.
+    */
+  private[graft] lazy val mediaHealthCtesSql: String =
+    s"""mnr AS (
+       |  SELECT asset_id FROM (
+       |    SELECT doc_id AS asset_id,
+       |      MIN(doc_id) OVER (PARTITION BY md5($payloadSql)) AS keep_id
+       |    FROM documents)
+       |  WHERE asset_id <> keep_id),
+       |mfh AS (
+       |  SELECT DISTINCT asset_id,
+       |    md5(substr(p, CAST(off + 1 AS BIGINT), $WIN_BYTES)) AS frame_md5
+       |  FROM (
+       |    SELECT doc_id AS asset_id, $payloadSql AS p,
+       |      unnest(range(0, length($payloadSql) - ${WIN_BYTES - 1}, $WIN_STRIDE)) AS off
+       |    FROM documents WHERE doc_id % 3 = 2 AND length($payloadSql) >= $WIN_BYTES)
+       |  WHERE asset_id NOT IN (SELECT asset_id FROM mnr)),
+       |mfc AS (SELECT frame_md5, COUNT(*) AS m FROM mfh GROUP BY 1),
+       |mfrow AS (SELECT 'frame' AS family,
+       |  (SELECT COUNT(*) FROM mfc) AS n_keys,
+       |  (SELECT COALESCE(MAX(m), 0) FROM mfc) AS max_members,
+       |  (SELECT COUNT(*) FROM mfc WHERE m > $FRAME_DF_CAP) AS n_over_cap,
+       |  (SELECT COUNT(DISTINCT asset_id) FROM mfh
+       |   WHERE frame_md5 IN (SELECT frame_md5 FROM mfc WHERE m > $FRAME_DF_CAP))
+       |    AS n_carrier_docs),
+       |mlh AS (
+       |  SELECT v.asset_id, ll.l, md5(substr(v.p, 1, CAST(ll.l AS BIGINT))) AS ph
+       |  FROM (SELECT doc_id AS asset_id, $payloadSql AS p FROM documents
+       |        WHERE doc_id % 3 = 2
+       |          AND doc_id NOT IN (SELECT asset_id FROM mnr)) v,
+       |       (SELECT unnest([${(6 to 30).map(1L << _).mkString(", ")}]) AS l) ll
+       |  WHERE length(v.p) >= ll.l),
+       |mlc AS (SELECT l, ph, COUNT(*) AS m FROM mlh GROUP BY 1, 2),
+       |mlrow AS (SELECT 'prefix' AS family,
+       |  (SELECT COUNT(*) FROM mlc) AS n_keys,
+       |  (SELECT COALESCE(MAX(m), 0) FROM mlc) AS max_members,
+       |  (SELECT COUNT(*) FROM mlc WHERE m > $FRAME_DF_CAP) AS n_over_cap,
+       |  (SELECT COUNT(DISTINCT h.asset_id) FROM mlh h
+       |   JOIN (SELECT l, ph FROM mlc WHERE m > $FRAME_DF_CAP) o
+       |     ON h.l = o.l AND h.ph = o.ph) AS n_carrier_docs)""".stripMargin
 
   lazy val prefixGateAuditSql: String = {
     val ladderLens = (6 to 30).map(1L << _)

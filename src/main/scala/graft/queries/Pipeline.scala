@@ -3711,7 +3711,9 @@ object Pipeline {
 
   /** Index-health / boilerplate-screening report — the operational
     * audit behind every cap in the near-dup family: per blocking-key
-    * family (`shingle` df / `band` group / `cell` membership), the
+    * family (`shingle` df / `band` group / `cell` membership, plus
+    * the MEDIA pair: `frame` window df and `prefix` ladder entries,
+    * both under the multimodal FRAME_DF_CAP), the
     * total key count, the largest key's membership, how many keys sit
     * OVER the family's cap (boilerplate: capped-out of the index), and
     * how many documents carry at least one over-cap key (the docs
@@ -3720,23 +3722,30 @@ object Pipeline {
     * [[compactionSignal]]: the signal says "this batch crossed a cap",
     * this report says "here is the standing boilerplate mass the caps
     * are screening, and how concentrated the worst key is".
+    * MaintenanceOpsSpec pins the media rows on a corpus with a
+    * planted over-cap frame (a window shared past the cap counts as
+    * over-cap, its sharers as carriers).
     *
     * Scale shape: one explode/scan pass per family into a groupBy on
     * the family's blocking key (map-side partials absorb hot keys),
     * single-row aggregates over the per-key counts, and a broadcast
     * semi-join for the carrier counts (over-cap keys are few by
     * construction — that is what the caps are FOR). No pairwise
-    * anything; the report costs three bounded aggregation pipelines.
+    * anything; the report costs five bounded aggregation pipelines.
     */
   def indexHealth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def famRow(keyed: DataFrame, docCol: String, keyCols: Seq[String],
         cap: Long, fam: String): DataFrame = {
       val cnt = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("m"))
+      // zero-safe: an EMPTY family (a corpus with no media, say) reads
+      // 0/0/0/0, not NULL — the report is a fixed-spine operational
+      // table consumers read positionally
       val stats = cnt.agg(
         count(lit(1)).as("n_keys"),
-        max($"m").as("max_members"),
-        sum(when($"m" > cap, 1L).otherwise(0L)).as("n_over_cap"))
+        coalesce(max($"m"), lit(0L)).as("max_members"),
+        coalesce(sum(when($"m" > cap, 1L).otherwise(0L)), lit(0L))
+          .as("n_over_cap"))
       val over = cnt.filter($"m" > cap).select(keyCols.map(col): _*)
       val carriers = keyed
         .join(broadcast(over), keyCols, "left_semi")
@@ -3746,12 +3755,23 @@ object Pipeline {
           $"n_over_cap", $"n_carrier_docs")
     }
     val docs = Tables(s, dir, "documents")
+    val mm = graft.multimodal.Multimodal
     famRow(fingerprintBands(s, dir), "doc_id", Seq("band_idx", "band"),
         BAND_CAP, "band")
       .unionByName(famRow(Tables(s, dir, "embeddings"), "vec_id",
         Seq("label"), EMBED_CELL_CAP, "cell"))
       .unionByName(famRow(shinglesOf(docs), "doc_id", Seq("s"),
         SHINGLE_DF_CAP, "shingle"))
+      // the two MEDIA cap families (round 19): frame-window df and
+      // prefix-ladder entries, both screened by FRAME_DF_CAP — the
+      // last cap family without a boilerplate-visibility row. The
+      // keyed tables are the PRE-CAP feature frames the index builds
+      // actually filter (frameWindowsPreCap / ladderEntriesPreCap,
+      // one definition with the builds).
+      .unionByName(famRow(mm.frameWindowsPreCap(s, dir), "asset_id",
+        Seq("frame_md5"), mm.FRAME_DF_CAP, "frame"))
+      .unionByName(famRow(mm.ladderEntriesPreCap(s, docs), "asset_id",
+        Seq("l", "ph"), mm.FRAME_DF_CAP, "prefix"))
       .orderBy($"family")
   }
 
@@ -3760,7 +3780,7 @@ object Pipeline {
        |scnt AS (SELECT s, COUNT(*) AS m FROM shx GROUP BY 1),
        |shrow AS (SELECT 'shingle' AS family,
        |  (SELECT COUNT(*) FROM scnt) AS n_keys,
-       |  (SELECT MAX(m) FROM scnt) AS max_members,
+       |  (SELECT COALESCE(MAX(m), 0) FROM scnt) AS max_members,
        |  (SELECT COUNT(*) FROM scnt WHERE m > $SHINGLE_DF_CAP) AS n_over_cap,
        |  (SELECT COUNT(DISTINCT doc_id) FROM shx
        |   WHERE s IN (SELECT s FROM scnt WHERE m > $SHINGLE_DF_CAP)) AS n_carrier_docs),
@@ -3771,7 +3791,7 @@ object Pipeline {
        |bcnt AS (SELECT band_idx, band, COUNT(*) AS m FROM bands GROUP BY 1, 2),
        |brow AS (SELECT 'band' AS family,
        |  (SELECT COUNT(*) FROM bcnt) AS n_keys,
-       |  (SELECT MAX(m) FROM bcnt) AS max_members,
+       |  (SELECT COALESCE(MAX(m), 0) FROM bcnt) AS max_members,
        |  (SELECT COUNT(*) FROM bcnt WHERE m > $BAND_CAP) AS n_over_cap,
        |  (SELECT COUNT(DISTINCT b.doc_id) FROM bands b
        |   JOIN (SELECT band_idx, band FROM bcnt WHERE m > $BAND_CAP) o
@@ -3779,13 +3799,15 @@ object Pipeline {
        |ccnt AS (SELECT label, COUNT(*) AS m FROM embeddings GROUP BY 1),
        |crow AS (SELECT 'cell' AS family,
        |  (SELECT COUNT(*) FROM ccnt) AS n_keys,
-       |  (SELECT MAX(m) FROM ccnt) AS max_members,
+       |  (SELECT COALESCE(MAX(m), 0) FROM ccnt) AS max_members,
        |  (SELECT COUNT(*) FROM ccnt WHERE m > $EMBED_CELL_CAP) AS n_over_cap,
        |  (SELECT COUNT(DISTINCT vec_id) FROM embeddings
-       |   WHERE label IN (SELECT label FROM ccnt WHERE m > $EMBED_CELL_CAP)) AS n_carrier_docs)
+       |   WHERE label IN (SELECT label FROM ccnt WHERE m > $EMBED_CELL_CAP)) AS n_carrier_docs),
+       |${graft.multimodal.Multimodal.mediaHealthCtesSql}
        |SELECT family, n_keys, max_members, n_over_cap, n_carrier_docs
        |FROM (SELECT * FROM shrow UNION ALL SELECT * FROM brow
-       |      UNION ALL SELECT * FROM crow)
+       |      UNION ALL SELECT * FROM crow
+       |      UNION ALL SELECT * FROM mfrow UNION ALL SELECT * FROM mlrow)
        |ORDER BY family""".stripMargin
 
   // ------------------------------------------------------ compaction run

@@ -119,6 +119,42 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("indexHealth media rows: a window shared past FRAME_DF_CAP counts as over-cap with all its carriers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("index-health-media-").toString
+    try {
+      // 102 VIDEO assets (doc_id % 3 == 2) sharing their first 65
+      // payload bytes (magic + a 60-char text prefix) but with unique
+      // tails: distinct payloads survive the exact-dup pre-collapse,
+      // every asset contributes the SAME offset-0 window (df 102, two
+      // over the cap of 100) and the same l=64 ladder hash. Payloads
+      // stay under 112 bytes so offset 48 never yields a window. One
+      // extra long video carries two unique windows and one unique
+      // ladder entry, so key counts separate from carrier counts.
+      val prefix = "pp " * 20 // 60 chars -> payload prefix 65 bytes
+      val shared = (0 until 102).map(i =>
+        ((2 + 3 * i).toLong, s"$prefix u$i"))
+      val extra = Seq(((2 + 3 * 102).toLong,
+        (0 until 14).map(j => s"zq$j xw$j").mkString(" ")))
+      (shared ++ extra).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq((1L, 0, Seq(1.0f, 0.5f)), (2L, 1, Seq(0.5f, 1.0f)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val extraPayloadLen = 5 + extra.head._2.length
+      assert(extraPayloadLen >= 112,
+        s"long video must reach a second window: $extraPayloadLen")
+      val got = Pipeline.indexHealth(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(got("frame") == ((3L, 102L, 1L, 102L)),
+        s"one shared over-cap window + two unique: ${got("frame")}")
+      assert(got("prefix") == ((2L, 102L, 1L, 102L)),
+        s"one shared over-cap l=64 ladder hash + one unique: ${got("prefix")}")
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("bm25Incr: batch docs retrievable under stale base stats; base-unseen term scores at df-0 idf") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bm25-incr-").toString
