@@ -534,7 +534,7 @@ object Bench {
       graft.queries.Pipeline.ensureIvfLayout(spark, sfDir)
     val clusterFamily = Seq("dedup_clusters", "dedup_full", "cluster_sizes",
       "corpus_manifest", "manifest_stats", "filter_funnel", "dedup_semantic",
-      "dup_src_matrix", "shard_plan", "shard_stats")
+      "dup_src_matrix", "shard_plan", "shard_stats", "corpus_export")
     // one-time near-dup edge-graph build (setup for the dedup-cluster
     // family, same amortization: a real pipeline generates pairs once
     // and feeds clustering/keep-drop/reporting from the stored graph;

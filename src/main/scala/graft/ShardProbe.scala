@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** 1×/10×/30× scale probe for the round-18 packing/mix additions
+/** 1×/10×/30× scale probe for the packing/mix/export families
   * (`x_shard_plan`, `x_shard_shuffle`, `x_shard_append`,
-  * `x_source_cap`, `x_cap_realized`) — the measured backing for
+  * `x_source_cap`, `x_cap_realized`, and — round 19 — the
+  * `x_corpus_export` capstone, whose drive includes the distributed
+  * sink write and the shard read-back) — the measured backing for
   * their 100× claims, the [[ScaleProbe]]/[[RelProbe]] discipline:
   * the salted-copy fixture scales the corpus linearly with no new
   * hot keys (ids offset per copy, text lengths untouched, the
@@ -53,6 +55,22 @@ object ShardProbe {
     val tAppend = drive("x_shard_append")
     val tCap = drive("x_source_cap")
     val tCapEval = drive("x_cap_realized")
+    // the export capstone: manifest decision + permutation + packing
+    // + the distributed sink write + read-back, all inside the query.
+    // The manifest's keep-map rides the stored dedup artifacts — the
+    // SAME amortization Bench applies (one-time setup for the whole
+    // cluster/manifest family), so build them OUTSIDE the timing; the
+    // first ladder run measured the build inside and read 46/59/140 s
+    // where the export itself is a fraction of that
+    val tSetup = {
+      Sessions.isolateQueries(spark)
+      val t = System.nanoTime()
+      queries.Pipeline.ensureEdgeGraph(spark, dir)
+      queries.Pipeline.ensureSymEdges(spark, dir)
+      queries.Pipeline.ensureKeepMap(spark, dir)
+      secsSince(t)
+    }
+    val tExport = drive("x_corpus_export")
 
     // contracts AFTER the timings: both packings conserve the same
     // token mass; the append covers exactly the batch slice; the cap
@@ -72,14 +90,27 @@ object ShardProbe {
       .agg(count(lit(1)), sum(when(col("kept"), 1L).otherwise(0L))).head
     require(kept.getLong(1) > 0L && kept.getLong(1) < kept.getLong(0),
       s"cap must keep a strict partial slice: ${kept.getLong(1)}/${kept.getLong(0)}")
+    // export: the read-back is a strict kept slice, its prefix sum
+    // foots to its own token mass, and shard ids follow the budget
+    val exp = SparkEntry.queries("x_corpus_export")(spark, dir)
+      .agg(count(lit(1)), sum(col("n_tokens")),
+        max(col("cum_before") + col("n_tokens")),
+        sum(when(col("shard_id") =!= expr("cum_before div 4096"), 1L)
+          .otherwise(0L))).head
+    require(exp.getLong(0) > 0L && exp.getLong(0) < nDocs,
+      s"export must cover a strict kept slice: ${exp.getLong(0)}/$nDocs")
+    require(exp.getLong(1) == exp.getLong(2),
+      s"export prefix sum must foot: ${exp.getLong(1)} vs ${exp.getLong(2)}")
+    require(exp.getLong(3) == 0L, "export shard ids must follow the budget")
 
     println(
       s"""{"probe":"shard","factor":$factor,"docs":$nDocs,""" +
       s""""fixture_sec":$tFixture,"plan_sec":$tPlan,""" +
       s""""shuffle_sec":$tShuffle,"append_sec":$tAppend,""" +
       s""""cap_sec":$tCap,"cap_eval_sec":$tCapEval,""" +
+      s""""manifest_setup_sec":$tSetup,"export_sec":$tExport,""" +
       s""""tokens":$planTok,"batch_docs":${appendRows.getLong(0)},""" +
-      s""""kept_docs":${kept.getLong(1)}}""")
+      s""""kept_docs":${kept.getLong(1)},"export_docs":${exp.getLong(0)}}""")
   }
 
   private def secsSince(t: Long): Double =

@@ -5803,8 +5803,11 @@ object Pipeline {
       .orderBy($"source")
   }
 
-  lazy val epochPlanSql: String =
-    s"""WITH st AS (
+  /** The plan's CTE chain (st → pl → ep), shared by [[epochPlanSql]]
+    * and [[epochScheduleSql]] so planner and schedule cannot drift.
+    */
+  private lazy val epochPlanCtesSql: String =
+    s"""st AS (
        |  SELECT source, COUNT(*) AS n_docs,
        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
        |      AS n_tok
@@ -5821,13 +5824,119 @@ object Pipeline {
        |  SELECT *, CAST(least($MAX_EPOCHS_MILLI,
        |      CAST(target_tok AS HUGEINT) * 1000 // n_tok) AS BIGINT)
        |    AS epochs_milli
-       |  FROM pl)
+       |  FROM pl)""".stripMargin
+
+  lazy val epochPlanSql: String =
+    s"""WITH $epochPlanCtesSql
        |SELECT source, n_docs, n_tok, share_ppm, target_tok, epochs_milli,
        |  CAST(CAST(n_tok AS HUGEINT) * epochs_milli // 1000 AS BIGINT)
        |    AS realized_tok,
        |  CAST(target_tok - CAST(n_tok AS HUGEINT) * epochs_milli // 1000
        |    AS BIGINT) AS deficit_tok
        |FROM ep ORDER BY source""".stripMargin
+
+  /** The deterministic per-doc fractional-repeat coin in exact MILLI
+    * resolution — the [[capCoinCol]] discipline on its own salt: the
+    * schedule's repeat factor is an integer milli-epoch, so the coin
+    * resolves at the same grain (doc repeats once per full thousand,
+    * plus once more iff coin < the fractional remainder).
+    */
+  private def epochCoinCol: Column =
+    conv(substring(md5(concat(lit("epoch|"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 1000L
+
+  private def epochCoinSql(id: String): String =
+    s"('0x' || substr(md5('epoch|' || CAST($id AS VARCHAR)), 1, 8))::BIGINT % 1000"
+
+  /** The schedule's seeded per-copy shuffle key: 48 bits of md5 over
+    * the salted (doc_id, repeat index) pair — repeats of one document
+    * scatter across the whole permutation (adjacent copies of the
+    * same text in a training stream is exactly what a repeat schedule
+    * must avoid), deterministic and engine-agnostic like
+    * [[shuffleKeyCol]].
+    */
+  private def schedKeyCol(id: Column, k: Column): Column =
+    conv(substring(md5(concat(lit("epsh|"), id.cast("string"), lit("#"),
+      k.cast("string")).cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private def schedKeySql(id: String, k: String): String =
+    s"('0x' || substr(md5('epsh|' || CAST($id AS VARCHAR) || '#' || " +
+      s"CAST($k AS VARCHAR)), 1, 12))::BIGINT"
+
+  /** Epoch-schedule REALIZATION (`x_epoch_schedule`) — the transform
+    * dual [[epochPlan]] lacked (every other planner/audit here ships
+    * with its transform: span audit → span_strip, leakage audit →
+    * split_repair): materialize the planner's per-source milli-epoch
+    * repeat factors into the actual training stream. Each document
+    * repeats `epochs_milli div 1000` times, plus one more iff its
+    * [[epochCoinCol]] md5 coin lands under the fractional remainder —
+    * so the realized per-source token mass matches the plan's
+    * `realized_tok` EXACTLY on integral/capped sources and to the
+    * coin's binomial exactness on fractional ones (EpochScheduleSpec
+    * pins both, plus the fractional-repeat boundary, on an
+    * arithmetic-engineered corpus with a third-engine java-md5 coin).
+    * The expanded copies then go through the shard family's OWN
+    * packing core in seeded per-copy permutation order
+    * ([[schedKeyCol]] scatters a document's repeats across the
+    * stream; [[exclusivePrefixSumUniform]] assigns budget shards) —
+    * the complete plan→stream path a token-budgeted run feeds to
+    * training.
+    *
+    * Scale shape: the plan is a source-domain-bounded broadcast onto
+    * one narrow text pass; the expansion is a per-row `sequence`
+    * explode with fan-out ≤ [[MAX_EPOCHS_MILLI]]/1000 = 4; packing is
+    * the same narrow scan tree as [[shardShuffle]] (uniform 48-bit
+    * keys, ≤1024-row global window). No corpus-sized sort or window
+    * anywhere before the presentation order.
+    */
+  def epochSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val plan = epochPlan(s, dir).select($"source", $"epochs_milli")
+    val copies = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(words($"text")).cast("long").as("n_tokens"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("n_copies",
+        expr("epochs_milli div 1000") +
+          when(epochCoinCol < $"epochs_milli" % 1000L, 1L).otherwise(0L))
+      .filter($"n_copies" > 0)
+      .select($"doc_id", $"source", $"n_tokens",
+        explode(sequence(lit(0L), $"n_copies" - 1)).as("k"))
+      // MAX_EPOCHS_MILLI caps copies at 4, so doc_id*4 + k is a
+      // collision-free tie-breaker for the prefix-sum tree
+      .withColumn("copy_uid", $"doc_id" * 4 + $"k")
+      .withColumn("sched_key", schedKeyCol($"doc_id", $"k"))
+    exclusivePrefixSumUniform(copies, "sched_key", "copy_uid", "n_tokens")
+      .select($"doc_id", $"k", $"source", $"n_tokens", $"sched_key",
+        $"cum_before",
+        expr(s"cum_before div $SHARD_TOKEN_BUDGET").as("shard_id"))
+      .orderBy($"doc_id", $"k")
+  }
+
+  lazy val epochScheduleSql: String =
+    s"""WITH $epochPlanCtesSql,
+       |dc AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    ep.epochs_milli // 1000
+       |      + CASE WHEN ${epochCoinSql("d.doc_id")} < ep.epochs_milli % 1000
+       |        THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents d JOIN ep USING (source)),
+       |cp AS (
+       |  SELECT doc_id, source, n_tokens, CAST(k AS BIGINT) AS k,
+       |    ${schedKeySql("doc_id", "k")} AS sched_key
+       |  FROM (SELECT *, unnest(range(n_copies)) AS k
+       |        FROM dc WHERE n_copies > 0)),
+       |ps AS (
+       |  SELECT doc_id, k, source, n_tokens, sched_key,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      ORDER BY sched_key, doc_id * 4 + k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM cp)
+       |SELECT doc_id, k, source, n_tokens, sched_key, cum_before,
+       |  CAST(cum_before // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id
+       |FROM ps ORDER BY doc_id, k""".stripMargin
 
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24
@@ -6943,6 +7052,154 @@ object Pipeline {
        |  CAST(cb + t AS BIGINT) AS cum_before,
        |  CAST((cb + t) // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id
        |FROM c, bt ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ corpus export
+
+  /** Byte threshold per exported shard FILE — the sink-level rollover
+    * (the reference's `shard_size_bytes`, `writer.py:125,177-204`),
+    * distinct from [[SHARD_TOKEN_BUDGET]] (the PLAN-level token
+    * packing the `shard_id` column records): a training job reads
+    * shard ids from the column, a storage layer reads file sizes.
+    * 64 KiB ≈ 170 of sf0.1's ~380-byte rows, so at the bench-gated SF
+    * (2162 kept docs → ~540 per batch) every export batch rolls over
+    * 3-4 times in the SHIPPED configuration — the spec additionally
+    * drives a smaller threshold for its rollover pins.
+    */
+  private[graft] val EXPORT_SHARD_BYTES = 64L * 1024
+
+  /** Number of permutation-range micro-batches the export feeds the
+    * sink — the daily-pipeline shape (one `foreachBatch` delivery per
+    * key range, ascending, so the shard sequence carries the full
+    * permutation order end-to-end).
+    */
+  private[graft] val EXPORT_BATCHES = 4
+
+  /** The kept/shuffled/packed export stream, pre-sink — ONE
+    * definition shared by [[corpusExport]] and CorpusExportSpec's
+    * invariant pins: [[manifestCore]]'s kept slice, the
+    * [[shuffleKeyCol]] seeded permutation, and [[shardPlan]]'s
+    * running-token packing over the PERMUTATION order (the
+    * [[exclusivePrefixSumUniform]] tree — uniform 48-bit keys). The
+    * prefix sum runs over narrow (id, key, n_tokens) rows; text joins
+    * back on doc_id afterwards, so the scan tree's windows never
+    * carry the corpus's fat column.
+    */
+  private[graft] def exportPacked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = manifestCore(s, dir).filter($"reason" === "kept")
+      .select($"doc_id")
+    val docs = Tables(s, dir, "documents")
+      .join(kept, Seq("doc_id"), "left_semi")
+    val toks = docs.select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
+      size(words($"text")).cast("long").as("n_tokens"))
+    val assign = exclusivePrefixSumUniform(toks, "shuffle_key", "doc_id",
+        "n_tokens")
+      .withColumn("shard_id", expr(s"cum_before div $SHARD_TOKEN_BUDGET"))
+    docs.select($"doc_id", $"text").join(assign, Seq("doc_id"))
+      .select($"doc_id", $"shuffle_key", $"n_tokens", $"cum_before",
+        $"shard_id", $"text")
+  }
+
+  /** The export stream's sink schema (declared, not inferred — the
+    * reference's schema-first writer contract, `writer.py:119-125`).
+    */
+  private[graft] lazy val exportSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("shuffle_key", LongType),
+      StructField("n_tokens", LongType),
+      StructField("cum_before", LongType),
+      StructField("shard_id", LongType),
+      StructField("text", StringType)))
+  }
+
+  /** Drive a packed export stream through the DISTRIBUTED sink
+    * ([[graft.streaming.StreamingShardSink]] — byte-based rollover,
+    * sequential `{prefix}-{index}.parquet` naming, `writtenFiles`
+    * manifest: the `writer.py:177-204` semantics, `tests.py:50-86`
+    * shape) as [[EXPORT_BATCHES]] ascending permutation-range
+    * micro-batches, each sorted by (shuffle_key, doc_id) so the shard
+    * sequence holds the full corpus in permutation order. Returns the
+    * sink (manifest + shard counter) for the spec's invariant pins.
+    */
+  private[graft] def exportThroughSink(
+      s: SparkSession, packed: DataFrame, out: java.nio.file.Path,
+      shardBytes: Long): graft.streaming.StreamingShardSink = {
+    val sink = new graft.streaming.StreamingShardSink(
+      out, exportSchema, shardSizeBytes = shardBytes,
+      filePrefix = Some("corpus"), overwrite = true)
+    val rangeWidth = (1L << 48) / EXPORT_BATCHES
+    (0 until EXPORT_BATCHES).foreach { q =>
+      sink.addBatch(
+        packed.filter(expr(s"shuffle_key div $rangeWidth") === q)
+          .orderBy(col("shuffle_key"), col("doc_id")),
+        q.toLong)
+    }
+    sink
+  }
+
+  /** Curated-corpus EXPORT capstone (`x_corpus_export`) — the query
+    * that ties the repo's two halves together end-to-end: the
+    * curation pipeline's kept manifest slice ([[corpusManifest]]'s
+    * decision), the seeded training shuffle ([[shardShuffle]]'s
+    * permutation), and the token packing ([[shardPlan]]'s budget),
+    * WRITTEN THROUGH the reference-semantics distributed Parquet sink
+    * and read back. The returned frame is the READ-BACK — so the
+    * oracle hash-match (DuckDB derives the same kept/shuffled/packed
+    * rows straight from `documents`) proves the whole chain:
+    * curation decision ≡, permutation ≡, packing ≡, and
+    * sink write→read = identity on real pipeline output.
+    * CorpusExportSpec pins the file-level invariants the row hash
+    * can't see: contiguous `corpus-N.parquet` naming, per-batch
+    * byte rollover, the `writtenFiles` manifest (absolute, creation
+    * order, ≡ directory), and manifest-order = permutation-order.
+    *
+    * Scale shape: one [[manifestCore]] pass for the decision, the
+    * narrow prefix-sum scan tree for packing, text crossing exactly
+    * one doc_id-keyed join plus each batch's range sort into the
+    * sink's distributed writers — no driver collect anywhere
+    * (contrast the parity sink's deliberately single-process
+    * `roundtrip_*` family); the read-back is an ordinary parallel
+    * Parquet scan over the shard files.
+    */
+  def corpusExport(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-export")
+    java.nio.file.Files.createDirectories(root)
+    val out = root.resolve("corpus")
+    // materialize the packed stream ONCE before the sink fan-in: each
+    // micro-batch costs two jobs (the sink's row-size sample + the
+    // write), so an unmaterialized plan re-runs the manifest decision
+    // and the prefix-sum tree 2×EXPORT_BATCHES times — ShardProbe
+    // measured 18.6/33.1/55.0 s unmaterialized vs 5.5/9.9/17.3 s
+    // checkpointed at 1×/10×/30×. localCheckpoint stores in EXECUTOR
+    // storage (memory-and-disk, distributed) — at deployment scale
+    // the same move is a persisted staging table, never a driver
+    // collect.
+    val packed = exportPacked(s, dir).localCheckpoint()
+    try exportThroughSink(s, packed, out, EXPORT_SHARD_BYTES)
+    finally freeCheckpoint(packed)
+    s.read.schema(exportSchema).parquet(out.toString)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val corpusExportSql: String =
+    s"""WITH mc AS ($manifestCoreSql),
+       |ek AS (SELECT doc_id FROM mc WHERE reason = 'kept'),
+       |et AS (
+       |  SELECT d.doc_id, ${shuffleKeySql("d.doc_id")} AS shuffle_key,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, d.text
+       |  FROM documents d JOIN ek USING (doc_id)),
+       |ea AS (
+       |  SELECT doc_id, shuffle_key, n_tokens, text,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM et)
+       |SELECT doc_id, shuffle_key, n_tokens, cum_before,
+       |  CAST(cum_before // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id, text
+       |FROM ea ORDER BY doc_id""".stripMargin
 
   /** Documents per bucket of the [[vocabGrowth]] curve. */
   private val VOCAB_BUCKET_DOCS = 50
@@ -10317,6 +10574,7 @@ object Pipeline {
     "x_source_cap"     -> sourceCap _,
     "x_cap_realized"   -> capRealized _,
     "x_epoch_plan"     -> epochPlan _,
+    "x_epoch_schedule" -> epochSchedule _,
     "x_contam_strip"   -> contamStrip _,
     "x_cap_gate"       -> capGateAudit _,
     "x_shard_append"   -> shardAppend _,
@@ -10366,6 +10624,7 @@ object Pipeline {
     "x_pq_codes"       -> pqCodes _,
     "x_ann_pq"         -> annPq _,
     "x_ann_recall"     -> annRecall _,
+    "x_corpus_export"  -> corpusExport _,
     "x_corpus_manifest" -> corpusManifest _,
     "x_minhash_est"    -> minhashEst _,
     "x_embed_outliers" -> embedOutliers _,
@@ -10437,6 +10696,7 @@ object Pipeline {
     "x_source_cap"     -> sourceCapSql,
     "x_cap_realized"   -> capRealizedSql,
     "x_epoch_plan"     -> epochPlanSql,
+    "x_epoch_schedule" -> epochScheduleSql,
     "x_contam_strip"   -> contamStripSql,
     "x_cap_gate"       -> capGateSql,
     "x_shard_append"   -> shardAppendSql,
@@ -10486,6 +10746,7 @@ object Pipeline {
     "x_pq_codes"       -> pqCodesSql,
     "x_ann_pq"         -> annPqSql,
     "x_ann_recall"     -> annRecallSql,
+    "x_corpus_export"  -> corpusExportSql,
     "x_corpus_manifest" -> corpusManifestSql,
     "x_minhash_est"    -> minhashEstSql,
     "x_embed_outliers" -> embedOutliersSql,
