@@ -53,6 +53,29 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 19: the two new queries recorded and five entries
+    * re-recorded, from two identical-code quiet full-suite runs at
+    * the 158-query surface (totals 154.1 / 138.2 s; zero
+    * regressed/failed in both; canary p50 0.102/0.087, max ≤0.201 —
+    * both under the drift threshold; max-of-pair per protocol):
+    * x_corpus_export 4.17 (4.165/3.831 — manifest decision + packing
+    * + the distributed-sink write + read-back, all inside the query),
+    * x_epoch_schedule 1.12 (1.115/0.871). Re-recorded, work changed:
+    * x_contam_strip 2.49 → 2.14 and x_span_strip 5.05 → 2.11 (−58%,
+    * named — the staged coverage HOF plus a ceiling that predates the
+    * max-of-pair convention; StripAbProfile's A/B in BASELINE.md),
+    * x_index_health 2.47 → 2.24 (readings 2.234/1.574 — now includes
+    * the two media cap rows). Re-recorded, stale pair-max ceilings of
+    * sub-second queries (the round-18 adjudication's own rule,
+    * verdict task 2): x_quality_calibration 0.76 → 0.98 (+29%,
+    * named — quiet population {0.91 official r18, 0.982, 0.738}; the
+    * old ceiling was a pair-max that undercut the query's own band)
+    * and x_cap_gate 0.33 → 0.40 (+21%, named — readings 0.402/0.397
+    * plus the 1.1× official r18 reading on unchanged code).
+    * x_band_gate_recall adjudicated NO-CHANGE: 0.87×/0.93× in the
+    * same pair — its 1.02× official reading was inside the absolute
+    * noise floor, the ceiling stands.
+    *
     * Round 18 (3): x_shard_append 0.49 recorded (readings
     * 0.472/0.487 from two further identical-code quiet full-suite
     * runs, totals 136.3/140.3 s, canary p50 0.096/0.096), and
@@ -309,11 +332,12 @@ object Bench {
     "x_ann_ivfpq" -> 1.52,
     "x_shard_shuffle" -> 0.44,
     "x_shuffle_stats" -> 0.55,
-    "x_contam_strip" -> 2.49,
+    "x_contam_strip" -> 2.14, // re-recorded r19: staged coverage HOF
     "x_epoch_plan" -> 0.22,
-    "x_cap_gate" -> 0.33,
+    "x_epoch_schedule" -> 1.12,
+    "x_cap_gate" -> 0.40, // re-recorded r19 from quiet population
     "x_shard_append" -> 0.49,
-    "x_quality_calibration" -> 0.76, // re-recorded r17, same refactor
+    "x_quality_calibration" -> 0.98, // re-recorded r19 from quiet population
     "x_gate_chain" -> 2.87,
     "q_event_funnel" -> 2.07,
     "q_events_tumbling" -> 1.07,
@@ -360,6 +384,7 @@ object Bench {
     "x_chunk_windows" -> 0.51,
     "x_cluster_sizes" -> 0.36,
     "x_contamination" -> 2.95,
+    "x_corpus_export" -> 4.17,
     "x_corpus_manifest" -> 2.33,
     "x_dedup_clusters" -> 2.18,
     "x_dedup_docs" -> 0.44,
@@ -386,10 +411,10 @@ object Bench {
     "x_compaction_signal" -> 2.28,
     "x_compaction_run" -> 14.66, // re-recorded on the narrowed-radius code (+4.9%)
     "x_dup_spans" -> 4.06,
-    "x_span_strip" -> 5.05,
+    "x_span_strip" -> 2.11, // re-recorded r19: staged coverage HOF
     "x_recluster_stats" -> 1.84,
     "x_quality_sweep" -> 0.68,
-    "x_index_health" -> 2.47,
+    "x_index_health" -> 2.24, // re-recorded r19: +media cap rows
     "x_ivf_recluster" -> 1.80,
     "x_incr_media" -> 1.84,
     "x_keep_best" -> 1.04,
