@@ -5855,6 +5855,44 @@ object Pipeline {
     * must avoid), deterministic and engine-agnostic like
     * [[shuffleKeyCol]].
     */
+  /** The expanded repeat stream `(doc_id, source, n_tokens, k)` —
+    * ONE definition of the plan-to-copies expansion, shared by
+    * [[epochSchedule]] (which packs it) and [[epochRealized]] (which
+    * audits its mass): each document appears `epochs_milli div 1000`
+    * times plus once more iff its [[epochCoinCol]] lands under the
+    * fractional remainder, so schedule and audit cannot drift.
+    */
+  private def epochCopies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val plan = epochPlan(s, dir).select($"source", $"epochs_milli")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(words($"text")).cast("long").as("n_tokens"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("n_copies",
+        expr("epochs_milli div 1000") +
+          when(epochCoinCol < $"epochs_milli" % 1000L, 1L).otherwise(0L))
+      .filter($"n_copies" > 0)
+      .select($"doc_id", $"source", $"n_tokens",
+        explode(sequence(lit(0L), $"n_copies" - 1)).as("k"))
+  }
+
+  /** The expansion's DuckDB CTE twin (`dc` = per-doc copy counts,
+    * `cp0` = the exploded copies), shared by both oracle rows.
+    */
+  private lazy val epochCopiesCtesSql: String =
+    s"""dc AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    ep.epochs_milli // 1000
+       |      + CASE WHEN ${epochCoinSql("d.doc_id")} < ep.epochs_milli % 1000
+       |        THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents d JOIN ep USING (source)),
+       |cp0 AS (
+       |  SELECT doc_id, source, n_tokens, CAST(k AS BIGINT) AS k
+       |  FROM (SELECT *, unnest(range(n_copies)) AS k
+       |        FROM dc WHERE n_copies > 0))""".stripMargin
+
   private def schedKeyCol(id: Column, k: Column): Column =
     conv(substring(md5(concat(lit("epsh|"), id.cast("string"), lit("#"),
       k.cast("string")).cast("binary")), 1, 12), 16, 10).cast("long")
@@ -5891,17 +5929,7 @@ object Pipeline {
     */
   def epochSchedule(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val plan = epochPlan(s, dir).select($"source", $"epochs_milli")
-    val copies = Tables(s, dir, "documents")
-      .select($"doc_id", $"source",
-        size(words($"text")).cast("long").as("n_tokens"))
-      .join(broadcast(plan), Seq("source"))
-      .withColumn("n_copies",
-        expr("epochs_milli div 1000") +
-          when(epochCoinCol < $"epochs_milli" % 1000L, 1L).otherwise(0L))
-      .filter($"n_copies" > 0)
-      .select($"doc_id", $"source", $"n_tokens",
-        explode(sequence(lit(0L), $"n_copies" - 1)).as("k"))
+    val copies = epochCopies(s, dir)
       // MAX_EPOCHS_MILLI caps copies at 4, so doc_id*4 + k is a
       // collision-free tie-breaker for the prefix-sum tree
       .withColumn("copy_uid", $"doc_id" * 4 + $"k")
@@ -5915,18 +5943,11 @@ object Pipeline {
 
   lazy val epochScheduleSql: String =
     s"""WITH $epochPlanCtesSql,
-       |dc AS (
-       |  SELECT d.doc_id, d.source,
-       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-       |    ep.epochs_milli // 1000
-       |      + CASE WHEN ${epochCoinSql("d.doc_id")} < ep.epochs_milli % 1000
-       |        THEN 1 ELSE 0 END AS n_copies
-       |  FROM documents d JOIN ep USING (source)),
+       |$epochCopiesCtesSql,
        |cp AS (
-       |  SELECT doc_id, source, n_tokens, CAST(k AS BIGINT) AS k,
+       |  SELECT doc_id, source, n_tokens, k,
        |    ${schedKeySql("doc_id", "k")} AS sched_key
-       |  FROM (SELECT *, unnest(range(n_copies)) AS k
-       |        FROM dc WHERE n_copies > 0)),
+       |  FROM cp0),
        |ps AS (
        |  SELECT doc_id, k, source, n_tokens, sched_key,
        |    CAST(COALESCE(SUM(n_tokens) OVER (
@@ -5937,6 +5958,58 @@ object Pipeline {
        |SELECT doc_id, k, source, n_tokens, sched_key, cum_before,
        |  CAST(cum_before // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id
        |FROM ps ORDER BY doc_id, k""".stripMargin
+
+  /** Epoch-schedule calibration eval (`x_epoch_realized`) — the
+    * report that ships with [[epochSchedule]], the
+    * [[mixRealized]]/[[capRealized]] discipline applied to the repeat
+    * coin: per source, the planned milli-epochs and realized token
+    * target next to the SCHEDULED copy count and token mass, the
+    * realized milli-epochs the schedule actually delivers
+    * (`sched_tok·1000 div n_tok`), and the signed deviation from the
+    * plan in exact milli. Integral and capped sources must read
+    * dev_milli ≈ 0 by construction (only integer-division truncation,
+    * never the coin); fractional sources show the md5 coin's binomial
+    * noise — the number that tells a pipeline owner whether the
+    * up-sampling coin is calibrated before a token-budgeted run
+    * trusts it. Cost: the shared [[epochCopies]] expansion collapsed
+    * to a source-domain-bounded aggregate joined onto the plan —
+    * no packing, no corpus-sized state.
+    */
+  def epochRealized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val real = epochCopies(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_copies"), sum($"n_tokens").as("sched_tok"))
+    epochPlan(s, dir)
+      .select($"source", $"n_tok", $"epochs_milli", $"realized_tok")
+      .join(real, Seq("source"), "left")
+      .select($"source", $"epochs_milli", $"realized_tok",
+        coalesce($"n_copies", lit(0L)).as("n_copies"),
+        coalesce($"sched_tok", lit(0L)).as("sched_tok"),
+        expr("coalesce(sched_tok, 0) * 1000 div n_tok").as("realized_milli"),
+        (expr("coalesce(sched_tok, 0) * 1000 div n_tok") - $"epochs_milli")
+          .as("dev_milli"))
+      .orderBy($"source")
+  }
+
+  lazy val epochRealizedSql: String =
+    s"""WITH $epochPlanCtesSql,
+       |$epochCopiesCtesSql,
+       |rl AS (
+       |  SELECT source, COUNT(*) AS n_copies,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sched_tok
+       |  FROM cp0 GROUP BY source)
+       |SELECT ep.source, ep.epochs_milli,
+       |  CAST(CAST(ep.n_tok AS HUGEINT) * ep.epochs_milli // 1000 AS BIGINT)
+       |    AS realized_tok,
+       |  CAST(COALESCE(rl.n_copies, 0) AS BIGINT) AS n_copies,
+       |  CAST(COALESCE(rl.sched_tok, 0) AS BIGINT) AS sched_tok,
+       |  CAST(COALESCE(rl.sched_tok, 0) * 1000 // ep.n_tok AS BIGINT)
+       |    AS realized_milli,
+       |  CAST(COALESCE(rl.sched_tok, 0) * 1000 // ep.n_tok
+       |    - ep.epochs_milli AS BIGINT) AS dev_milli
+       |FROM ep LEFT JOIN rl USING (source)
+       |ORDER BY ep.source""".stripMargin
 
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 24
@@ -10574,6 +10647,7 @@ object Pipeline {
     "x_source_cap"     -> sourceCap _,
     "x_cap_realized"   -> capRealized _,
     "x_epoch_plan"     -> epochPlan _,
+    "x_epoch_realized" -> epochRealized _,
     "x_epoch_schedule" -> epochSchedule _,
     "x_contam_strip"   -> contamStrip _,
     "x_cap_gate"       -> capGateAudit _,
@@ -10696,6 +10770,7 @@ object Pipeline {
     "x_source_cap"     -> sourceCapSql,
     "x_cap_realized"   -> capRealizedSql,
     "x_epoch_plan"     -> epochPlanSql,
+    "x_epoch_realized" -> epochRealizedSql,
     "x_epoch_schedule" -> epochScheduleSql,
     "x_contam_strip"   -> contamStripSql,
     "x_cap_gate"       -> capGateSql,

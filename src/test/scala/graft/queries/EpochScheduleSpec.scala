@@ -116,6 +116,20 @@ class EpochScheduleSpec extends AnyFunSuite {
       }
       assert(!adjacentOnly,
         "the per-copy key must scatter at least one doc's repeats")
+
+      // the calibration eval over the same corpus: integral/capped
+      // sources read dev_milli = 0 exactly; the fractional source's
+      // realized milli is the coin expansion's, to the division grain
+      val real = Pipeline.epochRealized(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+      assert(real("srcA") == ((4L, 24L, 4000L, 0L)), s"srcA: ${real("srcA")}")
+      assert(real("srcD") == ((40L, 400L, 4000L, 0L)), s"srcD: ${real("srcD")}")
+      assert(real("srcC") == ((226L, 452L, 2000L, 0L)), s"srcC: ${real("srcC")}")
+      val bMass = 360L + 8L * winners
+      val bMilli = bMass * 1000L / 120L
+      assert(real("srcB") == (((45L + winners, bMass, bMilli,
+        bMilli - 3766L))), s"srcB: ${real("srcB")} vs coin expansion")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
 }

@@ -403,6 +403,26 @@ class PlanSpec extends AnyFunSuite {
       "final plan must ride the checkpointed narrow frame:\n" + p.take(2000))
   }
 
+  test("x_epoch_schedule: broadcast plan join + uniform-key tree — the expanded stream never meets a single-task window") {
+    val p = plan("x_epoch_schedule")
+    // every SinglePartition exchange in this plan is BOUNDED: the
+    // epoch plan's source-domain OVER() windows (≤ n_src rows, once
+    // per tree branch — the prefix tree reads its input twice) and
+    // the tree's global super-bucket window (≤ 1024 totals). The
+    // corpus-scale expanded stream itself only ever meets the
+    // b1-partitioned running sum. Pin the exact census so a new
+    // unbounded global window cannot hide among the known tiny ones.
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 4,
+      s"expected the 4 known bounded SinglePartition exchanges, got $single:\n" + p.take(3000))
+    assert("Window .*windowspecdefinition\\(b1#".r.findFirstIn(p).isDefined,
+      "per-copy running sum must partition by b1:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the source-domain plan must broadcast onto the text pass:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-scale may shuffle-join:\n" + p.take(2000))
+  }
+
   test("x_shard_shuffle: uniform-key scan tree — corpus rows never meet a single-task window") {
     val p = plan("x_shard_shuffle")
     val single = "Exchange SinglePartition".r.findAllIn(p).length
