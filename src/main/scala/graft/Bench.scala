@@ -60,7 +60,9 @@ object Bench {
     * both under the drift threshold; max-of-pair per protocol):
     * x_corpus_export 4.17 (4.165/3.831 — manifest decision + packing
     * + the distributed-sink write + read-back, all inside the query),
-    * x_epoch_schedule 1.12 (1.115/0.871). Re-recorded, work changed:
+    * x_epoch_schedule 1.12 (1.115/0.871), and — from the round's two
+    * later quiet sweeps (150.7/151.4 s totals, canary p50
+    * 0.098/0.096, zero flags) — x_epoch_realized 0.66 (0.525/0.657). Re-recorded, work changed:
     * x_contam_strip 2.49 → 2.14 and x_span_strip 5.05 → 2.11 (−58%,
     * named — the staged coverage HOF plus a ceiling that predates the
     * max-of-pair convention; StripAbProfile's A/B in BASELINE.md),
@@ -334,6 +336,7 @@ object Bench {
     "x_shuffle_stats" -> 0.55,
     "x_contam_strip" -> 2.14, // re-recorded r19: staged coverage HOF
     "x_epoch_plan" -> 0.22,
+    "x_epoch_realized" -> 0.66, // recorded r19 (readings 0.525/0.657)
     "x_epoch_schedule" -> 1.12,
     "x_cap_gate" -> 0.40, // re-recorded r19 from quiet population
     "x_shard_append" -> 0.49,
