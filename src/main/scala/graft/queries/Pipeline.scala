@@ -7159,19 +7159,46 @@ object Pipeline {
     */
   private[graft] def exportPacked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val kept = manifestCore(s, dir).filter($"reason" === "kept")
-      .select($"doc_id")
-    val docs = Tables(s, dir, "documents")
-      .join(kept, Seq("doc_id"), "left_semi")
-    val toks = docs.select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
-      size(words($"text")).cast("long").as("n_tokens"))
-    val assign = exclusivePrefixSumUniform(toks, "shuffle_key", "doc_id",
-        "n_tokens")
-      .withColumn("shard_id", expr(s"cum_before div $SHARD_TOKEN_BUDGET"))
-    docs.select($"doc_id", $"text").join(assign, Seq("doc_id"))
+    // materialize the kept base ONCE: the returned plan reads this
+    // frame in three branches (the prefix tree reads its input twice,
+    // the text join once), and the manifest decision under it is
+    // itself a multi-scan subtree — unmaterialized, the whole
+    // manifest + text pass replicates into every branch (a measured
+    // 24-scan plan, 20 of them carrying the corpus text column;
+    // ExportAbProfile holds the one-JVM A/B). The checkpoint's
+    // lifecycle follows the incrDelta returned-checkpoint contract:
+    // the caller's harness (or [[corpusExport]]'s freeCheckpoint of
+    // the pre-checkpoint plan) reclaims it.
+    val base = Tables(s, dir, "documents")
+      .join(manifestKeptIds(s, dir), Seq("doc_id"), "left_semi")
+      .select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
+        size(words($"text")).cast("long").as("n_tokens"), $"text")
+      .localCheckpoint()
+    val assign = exportPrefixSum(
+      base.select($"doc_id", $"shuffle_key", $"n_tokens"))
+    base.select($"doc_id", $"shuffle_key", $"text").join(assign, Seq("doc_id"))
       .select($"doc_id", $"shuffle_key", $"n_tokens", $"cum_before",
         $"shard_id", $"text")
   }
+
+  /** The manifest's kept doc-id slice (ExportAbProfile shares it with
+    * the profile's A arm).
+    */
+  private[graft] def manifestKeptIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifestCore(s, dir).filter($"reason" === "kept").select($"doc_id")
+  }
+
+  /** The export's seeded permutation key / packing tree, exposed for
+    * ExportAbProfile's A arm.
+    */
+  private[graft] def exportShuffleKey(id: Column): Column = shuffleKeyCol(id)
+
+  private[graft] def exportPrefixSum(toks: DataFrame): DataFrame =
+    exclusivePrefixSumUniform(toks, "shuffle_key", "doc_id", "n_tokens")
+      .withColumn("shard_id", expr(s"cum_before div $SHARD_TOKEN_BUDGET"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        col("shard_id"))
 
   /** The export stream's sink schema (declared, not inferred — the
     * reference's schema-first writer contract, `writer.py:119-125`).
@@ -7250,7 +7277,11 @@ object Pipeline {
     // storage (memory-and-disk, distributed) — at deployment scale
     // the same move is a persisted staging table, never a driver
     // collect.
-    val packed = exportPacked(s, dir).localCheckpoint()
+    val pre = exportPacked(s, dir)
+    val packed = pre.localCheckpoint()
+    // free the base pin exportPacked left (found in the PRE-checkpoint
+    // plan — packed's own lineage is truncated), then the outer pin
+    freeCheckpoint(pre)
     try exportThroughSink(s, packed, out, EXPORT_SHARD_BYTES)
     finally freeCheckpoint(packed)
     s.read.schema(exportSchema).parquet(out.toString)
