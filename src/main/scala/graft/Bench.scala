@@ -76,7 +76,13 @@ object Bench {
     * plus the 1.1× official r18 reading on unchanged code).
     * x_band_gate_recall adjudicated NO-CHANGE: 0.87×/0.93× in the
     * same pair — its 1.02× official reading was inside the absolute
-    * noise floor, the ceiling stands.
+    * noise floor, the ceiling stands. Late-round re-record:
+    * x_corpus_export 4.17 → 3.06 (−27%, named — measured work
+    * changed: the kept base is materialized once before the
+    * tree/join fan-out, ExportAbProfile's A/B and the re-run ladder
+    * in BASELINE.md; readings 2.825/3.056 from two further quiet
+    * sweeps at the 159-query surface, totals 136.1/133.5 s, canary
+    * p50 0.085/0.086, zero flags).
     *
     * Round 18 (3): x_shard_append 0.49 recorded (readings
     * 0.472/0.487 from two further identical-code quiet full-suite
@@ -387,7 +393,7 @@ object Bench {
     "x_chunk_windows" -> 0.51,
     "x_cluster_sizes" -> 0.36,
     "x_contamination" -> 2.95,
-    "x_corpus_export" -> 4.17,
+    "x_corpus_export" -> 3.06, // re-recorded r19: staged kept base
     "x_corpus_manifest" -> 2.33,
     "x_dedup_clusters" -> 2.18,
     "x_dedup_docs" -> 0.44,
