@@ -7189,6 +7189,49 @@ object Pipeline {
     manifestCore(s, dir).filter($"reason" === "kept").select($"doc_id")
   }
 
+  /** Fill audit over the EXPORT packing (`x_export_stats`) — the eval
+    * [[corpusExport]] ships with, per the pairing discipline (a
+    * transform ships with its eval: `x_shard_shuffle` →
+    * `x_shuffle_stats`, here the curated slice's packing): per shard
+    * of the kept/shuffled stream, the assigned document count, token
+    * total, and fill ratio against [[SHARD_TOKEN_BUDGET]] in integer
+    * ppm, on the shared [[shardFillStats]] core and explode spine
+    * (zero-fill shards visible). Because the export packs the KEPT
+    * slice only, this is also the report that shows how the curation
+    * decision reshapes shard fill vs the whole-corpus
+    * `x_shuffle_stats`. Cost: the narrow kept text pass + the scan
+    * tree — no checkpoint, no sink, no text join (the audit never
+    * needs the text column past the token count).
+    */
+  def exportStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .join(manifestKeptIds(s, dir), Seq("doc_id"), "left_semi")
+      .select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
+        size(words($"text")).cast("long").as("n_tokens"))
+    shardFillStats(exportPrefixSum(toks))
+  }
+
+  /** The export assignment as a parenthesized DuckDB FROM source
+    * (the [[shuffledAssignSql]] shape over the kept slice).
+    */
+  private lazy val exportAssignSql: String =
+    s"""(SELECT doc_id, n_tokens, cum_before,
+       |  cum_before // $SHARD_TOKEN_BUDGET AS shard_id
+       |FROM (
+       |  SELECT doc_id, shuffle_key, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM (
+       |    SELECT d.doc_id, ${shuffleKeySql("d.doc_id")} AS shuffle_key,
+       |      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |    FROM documents d
+       |    JOIN (SELECT doc_id FROM ($manifestCoreSql)
+       |          WHERE reason = 'kept') ek USING (doc_id))))""".stripMargin
+
+  lazy val exportStatsSql: String = shardStatsSqlFrom(exportAssignSql)
+
   /** The export's seeded permutation key / packing tree, exposed for
     * ExportAbProfile's A arm.
     */
@@ -10730,6 +10773,7 @@ object Pipeline {
     "x_ann_pq"         -> annPq _,
     "x_ann_recall"     -> annRecall _,
     "x_corpus_export"  -> corpusExport _,
+    "x_export_stats"   -> exportStats _,
     "x_corpus_manifest" -> corpusManifest _,
     "x_minhash_est"    -> minhashEst _,
     "x_embed_outliers" -> embedOutliers _,
@@ -10853,6 +10897,7 @@ object Pipeline {
     "x_ann_pq"         -> annPqSql,
     "x_ann_recall"     -> annRecallSql,
     "x_corpus_export"  -> corpusExportSql,
+    "x_export_stats"   -> exportStatsSql,
     "x_corpus_manifest" -> corpusManifestSql,
     "x_minhash_est"    -> minhashEstSql,
     "x_embed_outliers" -> embedOutliersSql,

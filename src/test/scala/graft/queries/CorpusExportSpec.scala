@@ -104,4 +104,25 @@ class CorpusExportSpec extends AnyFunSuite {
     val maxCum = rows.map(r => r.getLong(1) + r.getLong(0)).max
     assert(maxCum == total, "prefix sum must foot to the total token mass")
   }
+
+  test("exportStats ≡ the packed stream: same docs, tokens, and shard spine") {
+    val (_, packed, _) = exported
+    val stats = Pipeline.exportStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val pk = packed.select("shard_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stats.map(_._2).sum == pk.length,
+      "audit doc count must equal the packed stream's")
+    assert(stats.map(_._3).sum == pk.map(_._2).sum,
+      "audit token mass must equal the packed stream's")
+    // the spine covers 0..max contiguously (touched-but-empty shards
+    // report zero rows instead of vanishing)
+    assert(stats.map(_._1) == (0L to stats.map(_._1).max).toList,
+      s"contiguous shard spine: ${stats.map(_._1)}")
+    val byShard = pk.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    stats.foreach { case (sid, _, tok) =>
+      assert(byShard.getOrElse(sid, 0L) == tok,
+        s"shard $sid: audit $tok vs packed ${byShard.getOrElse(sid, 0L)}")
+    }
+  }
 }
