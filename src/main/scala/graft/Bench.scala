@@ -60,9 +60,7 @@ object Bench {
     * both under the drift threshold; max-of-pair per protocol):
     * x_corpus_export 4.17 (4.165/3.831 — manifest decision + packing
     * + the distributed-sink write + read-back, all inside the query),
-    * x_epoch_schedule 1.12 (1.115/0.871), and — from the round's two
-    * later quiet sweeps (150.7/151.4 s totals, canary p50
-    * 0.098/0.096, zero flags) — x_epoch_realized 0.66 (0.525/0.657). Re-recorded, work changed:
+    * x_epoch_schedule 1.12 (1.115/0.871). Re-recorded, work changed:
     * x_contam_strip 2.49 → 2.14 and x_span_strip 5.05 → 2.11 (−58%,
     * named — the staged coverage HOF plus a ceiling that predates the
     * max-of-pair convention; StripAbProfile's A/B in BASELINE.md),
@@ -76,13 +74,18 @@ object Bench {
     * plus the 1.1× official r18 reading on unchanged code).
     * x_band_gate_recall adjudicated NO-CHANGE: 0.87×/0.93× in the
     * same pair — its 1.02× official reading was inside the absolute
-    * noise floor, the ceiling stands. Late-round re-record:
-    * x_corpus_export 4.17 → 3.06 (−27%, named — measured work
+    * noise floor, the ceiling stands. Late-round re-records:
+    * x_corpus_export 4.17 → 3.35 (−20%, named — measured work
     * changed: the kept base is materialized once before the
     * tree/join fan-out, ExportAbProfile's A/B and the re-run ladder
-    * in BASELINE.md; readings 2.825/3.056 from two further quiet
-    * sweeps at the 159-query surface, totals 136.1/133.5 s, canary
-    * p50 0.085/0.086, zero flags).
+    * in BASELINE.md; the first re-record took the pair-max 3.06 from
+    * readings 2.825/3.056 and the NEXT two quiet sweeps promptly read
+    * 3.295/3.338 — the round-18 pair-max trap on a sink-bound query
+    * whose band is ±9% — so the entry is footed on the four-reading
+    * quiet population max per the standing rule); x_export_stats 2.37
+    * recorded (readings 2.287/2.364, same two sweeps — totals
+    * 141.2/149.5 s at the 160-query surface, canary p50 0.094/0.098);
+    * x_epoch_realized 0.66 (0.525/0.657, the two sweeps before).
     *
     * Round 18 (3): x_shard_append 0.49 recorded (readings
     * 0.472/0.487 from two further identical-code quiet full-suite
@@ -342,6 +345,7 @@ object Bench {
     "x_shuffle_stats" -> 0.55,
     "x_contam_strip" -> 2.14, // re-recorded r19: staged coverage HOF
     "x_epoch_plan" -> 0.22,
+    "x_export_stats" -> 2.37,
     "x_epoch_realized" -> 0.66, // recorded r19 (readings 0.525/0.657)
     "x_epoch_schedule" -> 1.12,
     "x_cap_gate" -> 0.40, // re-recorded r19 from quiet population
@@ -393,7 +397,7 @@ object Bench {
     "x_chunk_windows" -> 0.51,
     "x_cluster_sizes" -> 0.36,
     "x_contamination" -> 2.95,
-    "x_corpus_export" -> 3.06, // re-recorded r19: staged kept base
+    "x_corpus_export" -> 3.35, // re-recorded r19: staged base, population-max
     "x_corpus_manifest" -> 2.33,
     "x_dedup_clusters" -> 2.18,
     "x_dedup_docs" -> 0.44,
