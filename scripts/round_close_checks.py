@@ -16,6 +16,11 @@ as a script, so a false claim can't ship.
    `Bench.BaselineSec` entry (the ceiling protocol: recorded the same
    round the query lands), and no ceiling may be orphaned.
 
+0. Input freshness — the oracle_sql.json handed in must carry exactly
+   the SURVEY §2.3 surface; a stale pre-refresh dump fails loudly
+   ("stale oracle_sql.json?") instead of confidently mis-reporting
+   the new queries as orphaned ceilings (round-19 judge finding).
+
 4. Round-close artifact trail — the CURRENT round's TESTS_rN.json and
    CHECKS_rN.txt must exist at HEAD (round 18 shipped its "255/255,
    gates clean" claim only in commit messages; the judge had to re-run
@@ -181,11 +186,41 @@ def check_artifacts(rnd):
     return missing
 
 
+def check_freshness(oracle_path):
+    """Stale-input gate (round-20, closing the round-19 judge finding):
+    a pre-refresh oracle_sql.json silently validated last round's
+    surface and reported the NEW queries as ORPHANED ceilings — a gate
+    that can consume stale input isn't a gate. The dump must carry
+    exactly the SURVEY §2.3 surface before any orphan/coverage verdict
+    is trusted; on mismatch, fail loudly naming the likely cause.
+    """
+    declared, _ = survey_names()
+    registry = set(json.load(open(oracle_path)))
+    if registry != declared:
+        print(f"stale oracle_sql.json? ({len(registry)} dump vs "
+              f"{len(declared)} survey) — re-run "
+              "`sbt \"runMain graft.Verify <sfDir> <outDir>\"` at HEAD "
+              f"before trusting orphan/coverage results from {oracle_path}",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+USAGE = ("usage: python3 scripts/round_close_checks.py "
+         "[path/to/oracle_sql.json] [--round N]")
+
+
 def main():
     args = list(sys.argv[1:])
     rnd = None
     if "--round" in args:
         i = args.index("--round")
+        # a bare or non-numeric --round must print usage, not a
+        # traceback (round-19 advisory)
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            print(USAGE, file=sys.stderr)
+            print("--round requires a numeric value", file=sys.stderr)
+            return 2
         rnd = int(args[i + 1])
         del args[i:i + 2]
     if rnd is None:
@@ -197,6 +232,7 @@ def main():
               "`sbt \"runMain graft.Verify <sfDir> <outDir>\"` first",
               file=sys.stderr)
         return 2
+    bad += check_freshness(oracle)
     bad += check_survey(oracle)
     bad += check_ceilings(oracle)
     bad += check_artifacts(rnd)

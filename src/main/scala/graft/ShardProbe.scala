@@ -95,7 +95,8 @@ object ShardProbe {
     val exp = SparkEntry.queries("x_corpus_export")(spark, dir)
       .agg(count(lit(1)), sum(col("n_tokens")),
         max(col("cum_before") + col("n_tokens")),
-        sum(when(col("shard_id") =!= expr("cum_before div 4096"), 1L)
+        sum(when(col("shard_id") =!=
+            expr(s"cum_before div ${graft.queries.Pipeline.SHARD_TOKEN_BUDGET}"), 1L)
           .otherwise(0L))).head
     require(exp.getLong(0) > 0L && exp.getLong(0) < nDocs,
       s"export must cover a strict kept slice: ${exp.getLong(0)}/$nDocs")

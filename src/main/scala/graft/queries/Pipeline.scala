@@ -6819,8 +6819,12 @@ object Pipeline {
       .drop("b1", "b2", "off1", "off2", "off3")
   }
 
-  /** Token budget per training shard in [[shardPlan]]. */
-  private val SHARD_TOKEN_BUDGET = 4096L
+  /** Token budget per training shard in [[shardPlan]].
+    * `private[graft]` so ShardProbe and the export/epoch specs track
+    * the constant instead of restating the literal — a future budget
+    * change must not fail them for a stale reason.
+    */
+  private[graft] val SHARD_TOKEN_BUDGET = 4096L
 
   /** The unordered shard assignment — shared core of [[shardPlan]]
     * (the per-document plan) and [[shardStats]] (its fill audit).

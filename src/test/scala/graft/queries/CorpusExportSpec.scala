@@ -25,12 +25,16 @@ class CorpusExportSpec extends AnyFunSuite {
 
   // one export at a small rollover threshold (the shipped 64 KiB
   // threshold needs sf0.1-sized batches to roll over; the semantics
-  // under test are threshold-independent), shared by the tests below
+  // under test are threshold-independent), shared by the tests below.
+  // NOTE: this 4096 is a FILE-BYTE threshold — numerically equal to
+  // but distinct from Pipeline.SHARD_TOKEN_BUDGET (the plan-level
+  // token packing), which the packing assertions reference directly.
+  private val SHARD_BYTES = 4096L
   private lazy val exported = {
     val out = Files.createTempDirectory("corpus-export-spec-")
       .resolve("corpus")
     val packed = Pipeline.exportPacked(spark, dir).localCheckpoint()
-    val sink = Pipeline.exportThroughSink(spark, packed, out, 4096L)
+    val sink = Pipeline.exportThroughSink(spark, packed, out, SHARD_BYTES)
     (out, packed, sink)
   }
 
@@ -68,7 +72,7 @@ class CorpusExportSpec extends AnyFunSuite {
     // file sizes sit near the threshold: no file more than ~3x over
     // (the estimator is documented approximate), none zero
     val sizes = sink.writtenFiles.map(Files.size(_))
-    assert(sizes.forall(sz => sz > 0 && sz <= 3 * 4096L),
+    assert(sizes.forall(sz => sz > 0 && sz <= 3 * SHARD_BYTES),
       s"file bytes near threshold: ${sizes.sorted.reverse.take(5)}")
   }
 
@@ -98,7 +102,8 @@ class CorpusExportSpec extends AnyFunSuite {
     // (total token mass - last doc's span) div budget, and every
     // row's shard_id == cum_before div budget
     val rows = packed.select("n_tokens", "cum_before", "shard_id").collect()
-    assert(rows.forall(r => r.getLong(2) == r.getLong(1) / 4096L),
+    assert(rows.forall(r =>
+        r.getLong(2) == r.getLong(1) / Pipeline.SHARD_TOKEN_BUDGET),
       "shard_id must be cum_before div SHARD_TOKEN_BUDGET")
     val total = rows.map(_.getLong(0)).sum
     val maxCum = rows.map(r => r.getLong(1) + r.getLong(0)).max
