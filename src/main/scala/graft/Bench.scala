@@ -572,7 +572,8 @@ object Bench {
       graft.queries.Pipeline.ensureIvfLayout(spark, sfDir)
     val clusterFamily = Seq("dedup_clusters", "dedup_full", "cluster_sizes",
       "corpus_manifest", "manifest_stats", "filter_funnel", "dedup_semantic",
-      "dup_src_matrix", "shard_plan", "shard_stats", "corpus_export")
+      "dup_src_matrix", "shard_plan", "shard_stats", "corpus_export",
+      "export_append")
     // one-time near-dup edge-graph build (setup for the dedup-cluster
     // family, same amortization: a real pipeline generates pairs once
     // and feeds clustering/keep-drop/reporting from the stored graph;
@@ -613,7 +614,14 @@ object Bench {
       graft.queries.Pipeline.ensureShingleIndex(spark, sfDir)
       graft.queries.Pipeline.ensureFingerprints(spark, sfDir)
     }
-    if (needed("band_gate")) {
+    if (needed("export_append")) {
+      // one-time build of YESTERDAY'S export (setup for
+      // x_export_append — the measured query is the append itself;
+      // yesterday's export is the stored state a daily job starts
+      // from, the same amortization as every other incremental row)
+      graft.queries.Pipeline.ensureBaseExport(spark, sfDir)
+    }
+    if (needed("band_gate", "stream_export", "gate_chain")) {
       // yesterday's banded-MinHash index + stop-shingle set (setup for
       // x_band_gate — the measured query is the arrival scoring
       // against the stored stale index, the state a daily-ingest
@@ -712,6 +720,25 @@ object Bench {
     val canarySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // subset-warmup discipline (round 20): a targeted `only` run pays
+    // cold-session costs the full sweep amortizes over 160 queries —
+    // measured 15-25% inflation on the subset's first readings, which
+    // generated two rounds of ceiling-adjudication cycles
+    // (x_incr_split_leakage r17, x_corpus_export r19). Run ONE untimed
+    // warmup pass (the canary target plus the subset's first query)
+    // before the clock so targeted readings compare to full-sweep
+    // ceilings without a mental discount; the JSON carries
+    // `context: "subset"` so the artifact names its own protocol.
+    if (only.nonEmpty) {
+      canaryProbe(spark, sfDir)
+      sweep.headOption.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+      }
+      Sessions.isolateQueries(spark)
+    }
     val measured = sweep.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx % CanaryEvery == 0) canarySecs += canaryProbe(spark, sfDir)
       val secs = (1 to 2).map(_ => attempt(name, fn))
@@ -796,8 +823,9 @@ object Bench {
       else (cs(cs.size / 2 - 1) + cs(cs.size / 2)) / 2.0
     val canaryJson =
       s"""{"n":${cs.size},"min":${r3(cs.head)},"p50":${r3(canaryP50)},"max":${r3(cs.last)}}"""
+    val context = if (only.isEmpty) "full" else "subset"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"requeued":$requeuedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","context":"$context","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"requeued":$requeuedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: the driver captures a log tail,
     // and one truncated capture already cost a round its per-query

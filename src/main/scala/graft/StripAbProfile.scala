@@ -31,17 +31,33 @@ object StripAbProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).getOrElse("2").toInt
+    // optional third arg: dense-contamination share in [0,1] — plant a
+    // per-doc benchmark 3-gram into that fraction of training docs and
+    // run the CONTAM arms over the dirty corpus (the round-19 A/B
+    // honestly recorded a wash because the real fixture's flagged set
+    // is sparse; the shipped claim — inline cost scales with
+    // contamination density, staged caps the lambda at 1× — needs the
+    // dense arm to be evidence, not assertion)
+    val dirtyShare = args.lift(2).map(_.toDouble)
     val spark = Sessions.builder("graft-strip-ab").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)")
       .write.format("noop").mode("overwrite").save()
 
     import graft.queries.Pipeline
+    val contamDir = dirtyShare.map(buildDirty(spark, dir, _)).getOrElse(dir)
+    if (dirtyShare.isDefined) {
+      val base = Pipeline.contamFlaggedBase(spark, contamDir)
+      val n = base.count()
+      val fl = base.filter(col("fl").isNotNull).count()
+      println(s"""{"probe":"strip_ab_fixture","share":${dirtyShare.get},""" +
+        s""""docs":$n,"flagged":$fl}""")
+    }
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "contam_inline" -> (() =>
-        inlineProjection(Pipeline.contamFlaggedBase(spark, dir), 3)),
+        inlineProjection(Pipeline.contamFlaggedBase(spark, contamDir), 3)),
       "contam_staged" -> (() =>
-        Pipeline.stripCoverageProjection(Pipeline.contamFlaggedBase(spark, dir), 3)),
+        Pipeline.stripCoverageProjection(Pipeline.contamFlaggedBase(spark, contamDir), 3)),
       "span_inline" -> (() =>
         inlineProjection(Pipeline.spanFlaggedBase(spark, dir), 5)),
       "span_staged" -> (() =>
@@ -66,6 +82,35 @@ object StripAbProfile {
       s""""$name":[${readings(name).mkString(",")}]""" }.mkString(",")
     println(s"""{"probe":"strip_ab","reps":$reps,$body}""")
     spark.stop()
+  }
+
+  /** Dense-contamination fixture: copy the corpus with a PER-DOC
+    * benchmark 3-gram (the nearest benchmark doc's leading shingle —
+    * per-doc-distinct so the plants stay under SHINGLE_DF_CAP and
+    * actually flag, where one shared shingle would be boilerplate-
+    * dropped by the cap) appended to `share` of the training docs.
+    * Measurement artifact, not production code.
+    */
+  private def buildDirty(spark: SparkSession, dir: String,
+      share: Double): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-dirty-corpus-")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench3 = docs.filter(col("doc_id") % 50 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(expr("doc_id div 50").as("bkey"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("plant"))
+    val pct = math.round(share * 100).toInt
+    docs.withColumn("bkey", expr("doc_id div 50"))
+      .join(broadcast(bench3), Seq("bkey"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 50 =!= 0 &&
+            pmod(xxhash64(col("doc_id")), lit(100)) < pct &&
+            col("plant").isNotNull,
+          concat(col("text"), lit(" "), col("plant")))
+          .otherwise(col("text")))
+      .drop("bkey", "plant")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out.toString
   }
 
   /** The round-18 inline double-evaluation projection, kept here as

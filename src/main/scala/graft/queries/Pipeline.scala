@@ -7161,25 +7161,47 @@ object Pipeline {
     * back on doc_id afterwards, so the scan tree's windows never
     * carry the corpus's fat column.
     */
-  private[graft] def exportPacked(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def exportPacked(s: SparkSession, dir: String): DataFrame =
+    exportPackedSlice(s, dir, lit(true), lit(0L))
+
+  /** [[exportPacked]]'s core generalized for the daily-append shape
+    * (`x_export_append`): the kept slice restricted by `pred`, packed
+    * among itself in permutation order, with every `cum_before` offset
+    * by `offsetTokens` (yesterday's token total riding as ONE scalar —
+    * the x_shard_append discipline; `lit(0)`/`lit(true)` constant-fold
+    * away for the full export, so the batch capstone's plan is
+    * unchanged). Materializes the kept base ONCE: the returned plan
+    * reads this frame in three branches (the prefix tree reads its
+    * input twice, the text join once), and the manifest decision under
+    * it is itself a multi-scan subtree — unmaterialized, the whole
+    * manifest + text pass replicates into every branch (a measured
+    * 24-scan plan, 20 of them carrying the corpus text column;
+    * ExportAbProfile holds the one-JVM A/B). The checkpoint's
+    * lifecycle follows the incrDelta returned-checkpoint contract:
+    * the caller's harness (or [[corpusExport]]'s freeCheckpoint of
+    * the pre-checkpoint plan) reclaims it.
+    */
+  private[graft] def exportPackedSlice(s: SparkSession, dir: String,
+      pred: Column, offsetTokens: Column): DataFrame =
+    packKept(s, dir, manifestKeptIds(s, dir), pred, offsetTokens)
+
+  /** [[exportPackedSlice]] with the keep-set itself as a parameter —
+    * the manifest decision for the batch capstone/append, the
+    * composed admission chain's survivors for [[streamExport]].
+    */
+  private def packKept(s: SparkSession, dir: String, keeps: DataFrame,
+      pred: Column, offsetTokens: Column): DataFrame = {
     import s.implicits._
-    // materialize the kept base ONCE: the returned plan reads this
-    // frame in three branches (the prefix tree reads its input twice,
-    // the text join once), and the manifest decision under it is
-    // itself a multi-scan subtree — unmaterialized, the whole
-    // manifest + text pass replicates into every branch (a measured
-    // 24-scan plan, 20 of them carrying the corpus text column;
-    // ExportAbProfile holds the one-JVM A/B). The checkpoint's
-    // lifecycle follows the incrDelta returned-checkpoint contract:
-    // the caller's harness (or [[corpusExport]]'s freeCheckpoint of
-    // the pre-checkpoint plan) reclaims it.
     val base = Tables(s, dir, "documents")
-      .join(manifestKeptIds(s, dir), Seq("doc_id"), "left_semi")
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .filter(pred)
       .select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
         size(words($"text")).cast("long").as("n_tokens"), $"text")
       .localCheckpoint()
     val assign = exportPrefixSum(
-      base.select($"doc_id", $"shuffle_key", $"n_tokens"))
+        base.select($"doc_id", $"shuffle_key", $"n_tokens"))
+      .withColumn("cum_before", col("cum_before") + offsetTokens)
+      .withColumn("shard_id", expr(s"cum_before div $SHARD_TOKEN_BUDGET"))
     base.select($"doc_id", $"shuffle_key", $"text").join(assign, Seq("doc_id"))
       .select($"doc_id", $"shuffle_key", $"n_tokens", $"cum_before",
         $"shard_id", $"text")
@@ -7308,31 +7330,53 @@ object Pipeline {
     * sink's distributed writers — no driver collect anywhere
     * (contrast the parity sink's deliberately single-process
     * `roundtrip_*` family); the read-back is an ordinary parallel
-    * Parquet scan over the shard files.
+    * Parquet scan over the shard files. READ side at 100 TB: a
+    * training job reads ONE plan-shard, so the consumer layout is
+    * [[writePartitionedExport]] (`shard_id=K/` directories) — a
+    * single-shard read prunes statically to that shard's files,
+    * which CorpusExportSpec pins by executed scan metrics.
     */
-  def corpusExport(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-export")
-    java.nio.file.Files.createDirectories(root)
+  def corpusExport(s: SparkSession, dir: String): DataFrame =
+    exportAndReadBack(s, exportPacked(s, dir))
+
+  /** Drive a packed pre-sink stream through the distributed sink into
+    * a PER-INVOCATION unique temp dir and return the materialized
+    * read-back — the shared capstone tail of [[corpusExport]] and
+    * [[streamExport]]. Unique dir + materialize + delete (round-19
+    * advisory): a fixed shared path raced two concurrent JVMs (bench
+    * + oracle run, or parallel suites) — one JVM's overwrite-delete
+    * could run while another was writing or reading back — and the
+    * shards persisted after the query returned; here the read-back is
+    * localCheckpoint-ed (executor storage) before the finally-block
+    * deletes the directory, so the returned frame never touches the
+    * files again and nothing outlives the call.
+    *
+    * The packed stream itself is materialized ONCE before the sink
+    * fan-in: each micro-batch costs two jobs (the sink's row-size
+    * sample + the write), so an unmaterialized plan re-runs the
+    * keep decision and the prefix-sum tree 2×EXPORT_BATCHES times —
+    * ShardProbe measured 18.6/33.1/55.0 s unmaterialized vs
+    * 5.5/9.9/17.3 s checkpointed at 1×/10×/30×. localCheckpoint
+    * stores in EXECUTOR storage (memory-and-disk, distributed) — at
+    * deployment scale the same move is a persisted staging table,
+    * never a driver collect.
+    */
+  private def exportAndReadBack(s: SparkSession, pre: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-export-")
     val out = root.resolve("corpus")
-    // materialize the packed stream ONCE before the sink fan-in: each
-    // micro-batch costs two jobs (the sink's row-size sample + the
-    // write), so an unmaterialized plan re-runs the manifest decision
-    // and the prefix-sum tree 2×EXPORT_BATCHES times — ShardProbe
-    // measured 18.6/33.1/55.0 s unmaterialized vs 5.5/9.9/17.3 s
-    // checkpointed at 1×/10×/30×. localCheckpoint stores in EXECUTOR
-    // storage (memory-and-disk, distributed) — at deployment scale
-    // the same move is a persisted staging table, never a driver
-    // collect.
-    val pre = exportPacked(s, dir)
     val packed = pre.localCheckpoint()
-    // free the base pin exportPacked left (found in the PRE-checkpoint
+    // free the base pin packKept left (found in the PRE-checkpoint
     // plan — packed's own lineage is truncated), then the outer pin
     freeCheckpoint(pre)
-    try exportThroughSink(s, packed, out, EXPORT_SHARD_BYTES)
-    finally freeCheckpoint(packed)
-    s.read.schema(exportSchema).parquet(out.toString)
-      .orderBy(col("doc_id"))
+    try {
+      exportThroughSink(s, packed, out, EXPORT_SHARD_BYTES)
+      s.read.schema(exportSchema).parquet(out.toString)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      freeCheckpoint(packed)
+      deleteTree(root)
+    }
   }
 
   lazy val corpusExportSql: String =
@@ -7342,6 +7386,244 @@ object Pipeline {
        |  SELECT d.doc_id, ${shuffleKeySql("d.doc_id")} AS shuffle_key,
        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, d.text
        |  FROM documents d JOIN ek USING (doc_id)),
+       |ea AS (
+       |  SELECT doc_id, shuffle_key, n_tokens, text,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM et)
+       |SELECT doc_id, shuffle_key, n_tokens, cum_before,
+       |  CAST(cum_before // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id, text
+       |FROM ea ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------ incremental export append
+
+  /** One-time build of YESTERDAY'S export — the stored state a daily
+    * export-append starts from: the kept base slice
+    * ([[defaultBatchPred]] excluded) packed and written through the
+    * distributed sink, commit log included. Amortized setup per the
+    * house artifact pattern (the from-scratch export itself stays
+    * measured as `x_corpus_export`).
+    */
+  private[graft] def ensureBaseExport(
+      s: SparkSession, dir: String): java.nio.file.Path =
+    ensureArtifact("graft-base-export", dir, "documents",
+        s"|v1|b$EXPORT_SHARD_BYTES") { staging =>
+      java.nio.file.Files.createDirectories(staging)
+      val pre = exportPackedSlice(s, dir, !defaultBatchPred, lit(0L))
+      val packed = pre.localCheckpoint()
+      freeCheckpoint(pre)
+      try exportThroughSink(s, packed, staging.resolve("corpus"),
+        EXPORT_SHARD_BYTES)
+      finally freeCheckpoint(packed)
+    }
+
+  /** Resume the sink over yesterday's export at `out` and append
+    * today's packed batch as [[EXPORT_BATCHES]] ascending
+    * permutation-range micro-batches — the shard file index continues
+    * from the restored commit log, and batchIds continue from
+    * [[graft.streaming.StreamingShardSink.nextBatchId]] so a replayed
+    * id is skipped exactly-once like any other.
+    */
+  private[graft] def appendThroughSink(
+      s: SparkSession, packed: DataFrame,
+      out: java.nio.file.Path): graft.streaming.StreamingShardSink = {
+    val sink = new graft.streaming.StreamingShardSink(
+      out, exportSchema, shardSizeBytes = EXPORT_SHARD_BYTES,
+      filePrefix = Some("corpus"), resume = true)
+    val rangeWidth = (1L << 48) / EXPORT_BATCHES
+    val first = sink.nextBatchId
+    (0 until EXPORT_BATCHES).foreach { q =>
+      sink.addBatch(
+        packed.filter(expr(s"shuffle_key div $rangeWidth") === q)
+          .orderBy(col("shuffle_key"), col("doc_id")),
+        first + q)
+    }
+    sink
+  }
+
+  /** Copy a directory tree (the spec shares it to stage its own
+    * yesterday-copies).
+    */
+  private[graft] def copyDirTree(
+      from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(from)
+    val paths = try st.iterator.asScala.toSeq finally st.close()
+    paths.foreach { p =>
+      val dest = to.resolve(from.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dest)
+      else java.nio.file.Files.copy(p, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Incremental corpus-export APPEND (`x_export_append`) — the daily
+    * shape the batch capstone rewrites away: yesterday's export
+    * STANDS (its shard files are never rewritten — ExportAppendSpec
+    * pins byte-identity), today's kept batch ([[defaultBatchPred]])
+    * is packed among itself in permutation order OFFSET by
+    * yesterday's token total (one scalar, one narrow agg — no re-pack
+    * of history, the x_shard_append discipline), and appends through
+    * the RESUMED distributed sink: shard file index and batchIds
+    * continue from the restored commit log. The returned frame is the
+    * read-back of old+new; the oracle derives both slices straight
+    * from `documents`, so the green hash proves yesterday's packing
+    * ≡, today's offset packing ≡, and that the append disturbed
+    * neither.
+    *
+    * Scale shape: the measured work is O(today's batch) plus the
+    * manifest decision — history enters the query only as a file COPY
+    * (per-invocation isolation so repeated runs don't mutate the
+    * stored artifact; a real daily job appends in place, no copy) and
+    * one token-total scalar; at 100 TB the append costs today's
+    * slice, never the corpus.
+    */
+  def exportAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseExport = ensureBaseExport(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-export-append-")
+    val out = root.resolve("corpus")
+    copyDirTree(baseExport.resolve("corpus"), out)
+    val baseTotal = Tables(s, dir, "documents")
+      .join(manifestKeptIds(s, dir), Seq("doc_id"), "left_semi")
+      .filter(!defaultBatchPred)
+      .agg(coalesce(sum(size(words($"text")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val pre = exportPackedSlice(s, dir, defaultBatchPred, lit(baseTotal))
+    val packed = pre.localCheckpoint()
+    freeCheckpoint(pre)
+    try {
+      appendThroughSink(s, packed, out)
+      s.read.schema(exportSchema).parquet(out.toString)
+        .orderBy(col("doc_id")).localCheckpoint()
+    } finally {
+      freeCheckpoint(packed)
+      deleteTree(root)
+    }
+  }
+
+  lazy val exportAppendSql: String =
+    s"""WITH mc AS ($manifestCoreSql),
+       |ek AS (SELECT doc_id FROM mc WHERE reason = 'kept'),
+       |base AS (
+       |  SELECT d.doc_id, ${shuffleKeySql("d.doc_id")} AS shuffle_key,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, d.text
+       |  FROM documents d JOIN ek USING (doc_id)
+       |  WHERE NOT (d.doc_id % 10 = 7)),
+       |bt AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t
+       |       FROM base),
+       |bp AS (
+       |  SELECT doc_id, shuffle_key, n_tokens, text,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM base),
+       |btch AS (
+       |  SELECT d.doc_id, ${shuffleKeySql("d.doc_id")} AS shuffle_key,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, d.text
+       |  FROM documents d JOIN ek USING (doc_id)
+       |  WHERE d.doc_id % 10 = 7),
+       |ap AS (
+       |  SELECT doc_id, shuffle_key, n_tokens, text,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + (SELECT t FROM bt) AS BIGINT) AS cum_before
+       |  FROM btch)
+       |SELECT doc_id, shuffle_key, n_tokens, cum_before,
+       |  CAST(cum_before // $SHARD_TOKEN_BUDGET AS BIGINT) AS shard_id, text
+       |FROM (SELECT * FROM bp UNION ALL SELECT * FROM ap)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Consumer-side PARTITIONED layout of a packed export
+    * (`shard_id=K/` directories) — the read-side twin of the sink's
+    * sequential shard files. The sink's `corpus-N.parquet` sequence
+    * is the WRITE contract (reference rollover semantics, manifest
+    * order); a training job reads by PLAN shard, and at 100 TB it
+    * must scan only its own shard's files — directory partitioning
+    * hands Spark that statically (`PartitionFilters` on `shard_id`,
+    * no footer touched outside the shard). CorpusExportSpec pins the
+    * single-shard scan's file count against the shard directory.
+    */
+  private[graft] def writePartitionedExport(
+      packed: DataFrame, dest: java.nio.file.Path): Unit =
+    packed.write.mode("overwrite").partitionBy("shard_id")
+      .parquet(dest.toString)
+
+  // --------------------------------------------------- streaming export
+
+  /** Pack ONE arriving micro-batch among itself in permutation order,
+    * offset by `offsetTokens` (the committed token total — the
+    * `x_export_append` discipline applied per micro-batch), and
+    * append it through the sink under `batchId`. The batch frame
+    * needs `doc_id` and `text`; the base is checkpointed for the
+    * pack's multi-branch read and freed before returning. Callers
+    * skip replayed ids up front
+    * ([[graft.streaming.StreamingShardSink.isCommitted]]) so no
+    * derivation runs for a frame addBatch would discard.
+    */
+  private[graft] def packAndAppendBatch(batch: DataFrame,
+      offsetTokens: Long, sink: graft.streaming.StreamingShardSink,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val base = batch
+      .select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
+        size(words($"text")).cast("long").as("n_tokens"), $"text")
+      .localCheckpoint()
+    try {
+      val assign = exclusivePrefixSumUniform(
+          base.select($"doc_id", $"shuffle_key", $"n_tokens"),
+          "shuffle_key", "doc_id", "n_tokens")
+        .withColumn("cum_before", col("cum_before") + lit(offsetTokens))
+        .withColumn("shard_id", expr(s"cum_before div $SHARD_TOKEN_BUDGET"))
+        // drop the tree's own key copy — the text side carries it, and
+        // a duplicate column would make the post-join select ambiguous
+        .select($"doc_id", $"n_tokens", $"cum_before", $"shard_id")
+      val packed = base.select($"doc_id", $"shuffle_key", $"text")
+        .join(assign, Seq("doc_id"))
+        .select($"doc_id", $"shuffle_key", $"n_tokens", $"cum_before",
+          $"shard_id", $"text")
+        .orderBy($"shuffle_key", $"doc_id")
+      sink.addBatch(packed, batchId)
+    } finally freeCheckpoint(base)
+  }
+
+  /** Streaming-export audit row (`x_stream_export`) — the
+    * deterministic batch twin of the production STREAMING export
+    * shape (ExportStreamSpec drives the real stream:
+    * [[graft.streaming.Streams.toPackedExportSink]], gate chain →
+    * per-micro-batch packing → sink across a kill/restart): the
+    * composed admission chain's surviving arrivals
+    * ([[gateChainFlags]] all-pass — the same flags `x_gate_chain`
+    * reports), packed in permutation order and written through the
+    * distributed sink, read back. Deterministic because every chain
+    * member is stateless and scores only against yesterday's
+    * artifacts, never against other arrivals — so the keep-set (and
+    * with it the export) is a pure function of the fixture and DuckDB
+    * re-derives it from `documents` alone. One green hash proves the
+    * composed admission decision ≡, the permutation ≡, the packing ≡,
+    * and write→read identity — the streaming half's own capstone,
+    * completing what `x_corpus_export` proved for the batch half.
+    */
+  def streamExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keeps = gateChainFlags(s, dir)
+      .filter($"pq" && $"pn" && $"pf" && $"pd" && $"pb" && $"pc")
+      .select($"doc_id")
+    exportAndReadBack(s, packKept(s, dir, keeps, lit(true), lit(0L)))
+  }
+
+  lazy val streamExportSql: String =
+    s"""WITH $gateChainFlagsCtesSql,
+       |kept AS (
+       |  SELECT doc_id FROM flags
+       |  WHERE pq AND pn AND pf AND pd AND pb AND pc),
+       |et AS (
+       |  SELECT d.doc_id, ${shuffleKeySql("d.doc_id")} AS shuffle_key,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, d.text
+       |  FROM documents d JOIN kept USING (doc_id)),
        |ea AS (
        |  SELECT doc_id, shuffle_key, n_tokens, text,
        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
@@ -9394,7 +9676,14 @@ object Pipeline {
     * family (the battery's), the two stale-index join probes, one
     * 1-row aggregate, 6 output rows at any corpus size.
     */
-  def gateChainFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-arrival verdicts of THE composed admission chain — doc_id
+    * plus each member's pass flag (battery pq/pn/pf/pd, band pb, cdc
+    * pc), ONE derivation shared by [[gateChainFunnel]] (the staged
+    * attrition report) and [[streamExport]] (the keep-set the
+    * streaming export ships), so the funnel and the export cannot
+    * disagree about who survived.
+    */
+  private[graft] def gateChainFlags(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = gateBatteryVerdicts(s, dir)
     val bandRoot = ensureBandIndex(s, dir)
@@ -9410,13 +9699,18 @@ object Pipeline {
         ($"gate_ppm".isNull || $"gate_ppm" < JACCARD_DUP_MIN_PPM).as("pb"))
     val pc = cdcGateScored(s, arrivals, store)
       .select($"doc_id", ($"gate_known" * 2 < $"gate_np").as("pc"))
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     v.join(pb, Seq("doc_id"), "left")
       .join(pc, Seq("doc_id"), "left")
-      .select($"p_quality".as("pq"), $"p_novelty".as("pn"),
+      .select($"doc_id", $"p_quality".as("pq"), $"p_novelty".as("pn"),
         $"p_fluency".as("pf"), $"p_qdir".as("pd"),
         coalesce($"pb", lit(true)).as("pb"),
         coalesce($"pc", lit(true)).as("pc"))
+  }
+
+  def gateChainFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    gateChainFlags(s, dir)
       .agg(count(lit(1)).as("k0"),
         cnt($"pq").as("k1"),
         cnt($"pq" && $"pn").as("k2"),
@@ -9445,8 +9739,13 @@ object Pipeline {
     * audits' own per-doc derivations, folded through the same ordered
     * prefix conjunctions.
     */
-  lazy val gateChainSql: String =
-    s"""WITH ${gateVerdictCtesSql(1L, BIGRAM_STATS_MAX_ENTRIES)},
+  /** The composed chain's per-arrival flag derivation as a WITH-body
+    * fragment (ends at `flags`: doc_id, pq, pn, pf, pd, pb, pc) — ONE
+    * SQL definition shared by [[gateChainSql]] and
+    * [[streamExportSql]], mirroring [[gateChainFlags]] exactly.
+    */
+  private lazy val gateChainFlagsCtesSql: String =
+    s"""${gateVerdictCtesSql(1L, BIGRAM_STATS_MAX_ENTRIES)},
        |base AS (
        |  SELECT doc_id, text FROM documents WHERE NOT ($defaultBatchCondSql)),
        |arr AS (SELECT doc_id, text FROM documents WHERE $defaultBatchCondSql),
@@ -9475,7 +9774,10 @@ object Pipeline {
        |    (sc.maxppm IS NULL OR sc.maxppm < $JACCARD_DUP_MIN_PPM) AS pb,
        |    COALESCE(csc.known * 2 < csc.np, TRUE) AS pc
        |  FROM gv LEFT JOIN scored sc ON gv.doc_id = sc.a_id
-       |          LEFT JOIN csc ON gv.doc_id = csc.doc_id),
+       |          LEFT JOIN csc ON gv.doc_id = csc.doc_id)""".stripMargin
+
+  lazy val gateChainSql: String =
+    s"""WITH $gateChainFlagsCtesSql,
        |fa AS (
        |  SELECT COUNT(*) AS k0,
        |    SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS k1,
@@ -10777,6 +11079,8 @@ object Pipeline {
     "x_ann_pq"         -> annPq _,
     "x_ann_recall"     -> annRecall _,
     "x_corpus_export"  -> corpusExport _,
+    "x_export_append"  -> exportAppend _,
+    "x_stream_export"  -> streamExport _,
     "x_export_stats"   -> exportStats _,
     "x_corpus_manifest" -> corpusManifest _,
     "x_minhash_est"    -> minhashEst _,
@@ -10901,6 +11205,8 @@ object Pipeline {
     "x_ann_pq"         -> annPqSql,
     "x_ann_recall"     -> annRecallSql,
     "x_corpus_export"  -> corpusExportSql,
+    "x_export_append"  -> exportAppendSql,
+    "x_stream_export"  -> streamExportSql,
     "x_export_stats"   -> exportStatsSql,
     "x_corpus_manifest" -> corpusManifestSql,
     "x_minhash_est"    -> minhashEstSql,

@@ -176,6 +176,34 @@ final class StreamingShardSink(
   /** Absolute shard paths in creation order. */
   def writtenFiles: Seq[Path] = manifest.toSeq
 
+  /** The next unused batchId (max committed + 1) — a resumed daily
+    * append must CONTINUE the id sequence: re-using yesterday's ids
+    * would make every append a silent exactly-once no-op.
+    */
+  def nextBatchId: Long =
+    committed.keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
+
+  /** Whether `batchId` is already committed — callers doing per-batch
+    * derivation work (packing offsets) can skip it entirely on a
+    * replay instead of computing a frame [[addBatch]] will discard.
+    */
+  def isCommitted(batchId: Long): Boolean = synchronized {
+    committed.contains(batchId)
+  }
+
+  /** Shard files committed by batches with id strictly below
+    * `batchId`, in creation order — the packing-offset derivation for
+    * the streaming export: committed files are immutable, so a
+    * restart replay of `batchId` recomputes the SAME offset its first
+    * attempt used, keeping the packed layout deterministic across
+    * crashes.
+    */
+  def filesCommittedBefore(batchId: Long): Seq[Path] = synchronized {
+    committed.iterator.collect { case (b, (start, n)) if b < batchId =>
+      (start until start + n).map(i => path.resolve(s"$prefix-$i.parquet"))
+    }.flatten.toSeq
+  }
+
   /** `foreachBatch`-compatible entry point: exactly-once under
     * micro-batch replay — an already-committed batchId is a no-op.
     */

@@ -26,6 +26,43 @@ object Streams {
       .foreachBatch((batch: DataFrame, id: Long) => sink.addBatch(batch, id))
       .start()
 
+  /** The STREAMING production shape of the export capstone: a gated
+    * stream (compose [[ingestGateChain]] upstream) packed into the
+    * token-budget shard spine and written through the distributed
+    * sink, all inside one `foreachBatch`. Each micro-batch packs
+    * among itself in permutation order, offset by the token total of
+    * everything the sink has ALREADY committed — derived here from
+    * the committed shard files' own `n_tokens` column
+    * ([[StreamingShardSink.filesCommittedBefore]]); at deployment
+    * scale the scalar rides the shard manifest instead of a re-read,
+    * the `x_shard_append` stored-total discipline. Committed files
+    * are immutable, so a restart replay of a batch recomputes the
+    * SAME offset its first attempt used, and
+    * [[StreamingShardSink.addBatch]]'s id skip keeps the on-disk
+    * layout byte-stable across crashes; ExportStreamSpec pins
+    * exactly-once and packing continuity across a kill mid-stream,
+    * and the batch twin `x_stream_export` carries the oracle hash.
+    */
+  def toPackedExportSink(df: DataFrame, sink: StreamingShardSink,
+      checkpoint: Path): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint.toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!sink.isCommitted(id)) {
+          val s = batch.sparkSession
+          val prior = sink.filesCommittedBefore(id)
+          val offset =
+            if (prior.isEmpty) 0L
+            else s.read.schema(sink.schema)
+              .parquet(prior.map(_.toString): _*)
+              .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+              .head.getLong(0)
+          graft.queries.Pipeline.packAndAppendBatch(batch, offset, sink, id)
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: emit only the first row seen per key,
     * dropping replays that arrive within `watermarkDelay` of the
     * stream's event-time frontier. State is the seen-key set BOUNDED

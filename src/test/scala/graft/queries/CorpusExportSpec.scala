@@ -110,6 +110,48 @@ class CorpusExportSpec extends AnyFunSuite {
     assert(maxCum == total, "prefix sum must foot to the total token mass")
   }
 
+  test("read-side shard pruning: a single-shard read scans only that shard's files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+    val (_, packed, _) = exported
+    val dest = Files.createTempDirectory("corpus-export-parts-")
+      .resolve("by_shard")
+    Pipeline.writePartitionedExport(packed, dest)
+    def parquetFilesUnder(p: java.nio.file.Path): Long = {
+      val st = Files.walk(p)
+      try st.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+      finally st.close()
+    }
+    val totalFiles = parquetFilesUnder(dest)
+    val k = packed.agg(org.apache.spark.sql.functions.max("shard_id"))
+      .head.getLong(0)
+    assert(k > 0, "fixture must pack multiple shards")
+    val read = spark.read.parquet(dest.toString)
+      .filter(col("shard_id") === k)
+    // static partition pruning must reach the scan…
+    val planStr = read.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("shard_id")),
+      "expected PartitionFilters on shard_id, got:\n" + planStr.take(1500))
+    // …and the executed scan must touch exactly shard K's files
+    // (collect THIS frame — a separate count() would execute its own
+    // plan and leave this one's metrics at zero)
+    val rows = read.collect()
+    assert(rows.length.toLong == packed.filter(col("shard_id") === k).count())
+    val phys = read.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = phys.collect { case f: FileSourceScanExec => f }.head
+    val scanned = scan.metrics("numFiles").value
+    val inShard = parquetFilesUnder(dest.resolve(s"shard_id=$k"))
+    assert(scanned == inShard && scanned < totalFiles,
+      s"single-shard read must scan only shard $k's files: " +
+        s"scanned=$scanned shardFiles=$inShard total=$totalFiles")
+  }
+
   test("exportStats ≡ the packed stream: same docs, tokens, and shard spine") {
     val (_, packed, _) = exported
     val stats = Pipeline.exportStats(spark, dir).collect()

@@ -132,4 +132,64 @@ class EpochScheduleSpec extends AnyFunSuite {
         bMilli - 3766L))), s"srcB: ${real("srcB")} vs coin expansion")
     } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("scheduled copies export through the sink: manifest order carries the permutation with duplicate doc_ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the full pre-training path keep → epochs → shuffle → pack → sink:
+    // the schedule's per-copy key IS the permutation; map it onto the
+    // export frame (text joined back by doc_id) and drive the SAME sink
+    // entry the batch capstone uses, at a small threshold so rollover
+    // fires. The repeat stream exercises the one property the
+    // kept-slice export can't: manifest order ≡ permutation order with
+    // DUPLICATE doc_ids present.
+    val dir = Files.createTempDirectory("epoch-export-").toString
+    try {
+      def toks(id: Long, n: Int): String =
+        (0 until n).map(j => s"d${id}w$j").mkString(" ")
+      // the first test's engineered corpus: srcA/srcD cap at 4 copies,
+      // so duplicates are guaranteed by construction
+      val docs = Seq(1L).map(id => (id, toks(id, 6), "srcA")) ++
+        (10L until 25L).map(id => (id, toks(id, 8), "srcB")) ++
+        (100L until 213L).map(id => (id, toks(id, 2), "srcC")) ++
+        (300L until 310L).map(id => (id, toks(id, 10), "srcD"))
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("xx"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val text = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val packed = Pipeline.epochSchedule(spark, dir)
+        .withColumnRenamed("sched_key", "shuffle_key")
+        .join(text, Seq("doc_id"))
+        .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
+          col("cum_before"), col("shard_id"), col("text"))
+        .localCheckpoint()
+      val out = Files.createTempDirectory("epoch-export-sink-")
+        .resolve("corpus")
+      val sink = Pipeline.exportThroughSink(spark, packed, out, 2048L)
+
+      // the CorpusExportSpec invariants, now on the repeat stream
+      val files = sink.writtenFiles
+      assert(files.nonEmpty && files.map(_.getFileName.toString) ==
+        files.indices.map(i => s"corpus-$i.parquet"))
+      val keysAndIds = files.flatMap { f =>
+        spark.read.schema(Pipeline.exportSchema).parquet(f.toString)
+          .select("shuffle_key", "doc_id").coalesce(1).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(keysAndIds == keysAndIds.sorted,
+        "manifest order must carry the schedule permutation")
+      val ids = keysAndIds.map(_._2)
+      assert(ids.distinct.size < ids.size,
+        "the repeat stream must carry duplicate doc_ids")
+      // write → read identity on the repeat stream
+      val back = spark.read.schema(Pipeline.exportSchema)
+        .parquet(out.toString).collect().map(_.toString).sorted
+      val src = packed.collect().map(_.toString).sorted
+      assert(back.length == src.length && back.sameElements(src))
+    } finally Pipeline.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
