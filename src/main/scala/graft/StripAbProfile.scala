@@ -85,12 +85,19 @@ object StripAbProfile {
   }
 
   /** Dense-contamination fixture: copy the corpus with a PER-DOC
-    * benchmark 3-gram (the nearest benchmark doc's leading shingle —
-    * per-doc-distinct so the plants stay under SHINGLE_DF_CAP and
-    * actually flag, where one shared shingle would be boilerplate-
-    * dropped by the cap) appended to `share` of the training docs.
-    * Measurement artifact, not production code.
+    * benchmark 3-gram — the nearest benchmark doc's trigram at a
+    * doc-keyed offset, so plants are (mostly) per-doc-distinct and
+    * stay under SHINGLE_DF_CAP where one shared shingle would be
+    * boilerplate-dropped — appended [[PLANT_REPEATS]] times to
+    * `share` of the training docs. The sf0.1 corpus's FLAGGED-DOC
+    * share is already ~98% natural (the fixture line reports it), so
+    * the density lever the inline-vs-staged claim turns on is flagged
+    * SPANS PER DOC (the coverage lambda is O(tokens × |fl|) per
+    * evaluation), which the repeats raise directly. Measurement
+    * artifact, not production code.
     */
+  private val PLANT_REPEATS = 20
+
   private def buildDirty(spark: SparkSession, dir: String,
       share: Double): String = {
     val out = java.nio.file.Files.createTempDirectory("graft-dirty-corpus-")
@@ -98,17 +105,22 @@ object StripAbProfile {
     val bench3 = docs.filter(col("doc_id") % 50 === 0)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(expr("doc_id div 50").as("bkey"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("plant"))
+        expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+          .as("tris"))
     val pct = math.round(share * 100).toInt
     docs.withColumn("bkey", expr("doc_id div 50"))
       .join(broadcast(bench3), Seq("bkey"), "left")
+      .withColumn("plant", expr(
+        "tris[CAST(pmod(xxhash64(CAST(doc_id AS STRING)), size(tris)) AS INT)]"))
       .withColumn("text",
         when(col("doc_id") % 50 =!= 0 &&
             pmod(xxhash64(col("doc_id")), lit(100)) < pct &&
             col("plant").isNotNull,
-          concat(col("text"), lit(" "), col("plant")))
+          concat(col("text"), lit(" "),
+            expr(s"array_join(array_repeat(plant, $PLANT_REPEATS), ' ')")))
           .otherwise(col("text")))
-      .drop("bkey", "plant")
+      .drop("bkey", "tris", "plant")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     out.toString
   }
