@@ -71,6 +71,20 @@ object ShardProbe {
       secsSince(t)
     }
     val tExport = drive("x_corpus_export")
+    // round-20 spine extensions: yesterday's-export artifact and the
+    // band index ride the SAME out-of-clock amortization Bench
+    // applies (ensureBaseExport for the append; ensureBandIndex for
+    // the stream export's gate chain — its CDC store builds in-query,
+    // matching x_gate_chain's treatment)
+    val tSpineSetup = {
+      Sessions.isolateQueries(spark)
+      val t = System.nanoTime()
+      queries.Pipeline.ensureBaseExport(spark, dir)
+      queries.Pipeline.ensureBandIndex(spark, dir)
+      secsSince(t)
+    }
+    val tExportAppend = drive("x_export_append")
+    val tStreamExport = drive("x_stream_export")
 
     // contracts AFTER the timings: both packings conserve the same
     // token mass; the append covers exactly the batch slice; the cap
@@ -103,6 +117,28 @@ object ShardProbe {
     require(exp.getLong(1) == exp.getLong(2),
       s"export prefix sum must foot: ${exp.getLong(1)} vs ${exp.getLong(2)}")
     require(exp.getLong(3) == 0L, "export shard ids must follow the budget")
+    // append: the union read-back's prefix sum foots to old+new mass
+    // (today's offset packing starts exactly at yesterday's total)
+    val app = SparkEntry.queries("x_export_append")(spark, dir)
+      .agg(count(lit(1)), sum(col("n_tokens")),
+        max(col("cum_before") + col("n_tokens"))).head
+    require(app.getLong(0) == exp.getLong(0),
+      s"append union must cover exactly the kept corpus: " +
+        s"${app.getLong(0)} vs ${exp.getLong(0)}")
+    require(app.getLong(1) == app.getLong(2),
+      s"append prefix sum must foot across old+new: ${app.getLong(1)} vs ${app.getLong(2)}")
+    // stream export: the gate-chain keep-set packs from zero and
+    // foots. On THIS fixture the keep-set is legitimately EMPTY —
+    // every salted-copy arrival is an exact near-duplicate of base
+    // text, so the admission chain drops all of them (the correct
+    // decision); the measured seconds are the gate battery + the
+    // band/CDC stale-index probes over the full arrival slice, which
+    // IS the query's dominant cost at any keep rate.
+    val se = SparkEntry.queries("x_stream_export")(spark, dir)
+      .agg(count(lit(1)), sum(col("n_tokens")),
+        max(col("cum_before") + col("n_tokens"))).head
+    require(se.getLong(0) == 0L || se.getLong(1) == se.getLong(2),
+      s"stream export must pack its keep-set: ${se.getLong(1)} vs ${se.getLong(2)}")
 
     println(
       s"""{"probe":"shard","factor":$factor,"docs":$nDocs,""" +
@@ -110,8 +146,12 @@ object ShardProbe {
       s""""shuffle_sec":$tShuffle,"append_sec":$tAppend,""" +
       s""""cap_sec":$tCap,"cap_eval_sec":$tCapEval,""" +
       s""""manifest_setup_sec":$tSetup,"export_sec":$tExport,""" +
+      s""""spine_setup_sec":$tSpineSetup,""" +
+      s""""export_append_sec":$tExportAppend,""" +
+      s""""stream_export_sec":$tStreamExport,""" +
       s""""tokens":$planTok,"batch_docs":${appendRows.getLong(0)},""" +
-      s""""kept_docs":${kept.getLong(1)},"export_docs":${exp.getLong(0)}}""")
+      s""""kept_docs":${kept.getLong(1)},"export_docs":${exp.getLong(0)},""" +
+      s""""append_docs":${app.getLong(0)},"stream_docs":${se.getLong(0)}}""")
   }
 
   private def secsSince(t: Long): Double =
