@@ -232,8 +232,16 @@ def main():
               "`sbt \"runMain graft.Verify <sfDir> <outDir>\"` first",
               file=sys.stderr)
         return 2
-    bad += check_freshness(oracle)
-    bad += check_survey(oracle)
+    # a survey↔registry mismatch SHORT-CIRCUITS the ceiling check:
+    # running it on a (likely stale) dump would print misleading
+    # ORPHANED lines — the round-19 incident the freshness gate exists
+    # to prevent. check_survey still runs first so a GENUINE drift
+    # shows its per-name detail; the stale hint names the likely cause.
+    if check_survey(oracle):
+        check_freshness(oracle)
+        print("RESULT: survey/registry mismatch — ceiling check skipped "
+              "(stale oracle_sql.json? re-dump at HEAD and re-run)")
+        return 1
     bad += check_ceilings(oracle)
     bad += check_artifacts(rnd)
     print("RESULT:", "clean" if bad == 0 else f"{bad} problem(s)")

@@ -365,7 +365,7 @@ object Bench {
     "q_date_funcs" -> 0.85,
     "q_retention_cohorts" -> 0.91, // re-recorded r17 after the single-scan rewrite
     "q_correlated_agg" -> 2.43, // re-recorded r17 after the explicit-aggregate rewrite
-    "x_incr_split_leakage" -> 11.71, // re-recorded r20: eight-sweep pop max 8.36 x 1.4 — this query WAS the r17 cross-session incident (checkpoint materialization in its measured work) and its quiet readings walked 6.16 -> 8.36 within this session alone
+    "x_incr_split_leakage" -> 11.71, // re-recorded r20: session pop max 8.36 x 1.4 — this query WAS the r17 cross-session incident (checkpoint materialization in its measured work) and its quiet readings walked 6.16 -> 8.36 within this session alone
     "x_rep_strip" -> 0.6,
     "x_source_cap" -> 0.67,
     "x_cap_realized" -> 0.93,
@@ -374,7 +374,7 @@ object Bench {
     "x_shuffle_stats" -> 1.38,
     "x_contam_strip" -> 4.25, // re-recorded r19: staged coverage HOF
     "x_epoch_plan" -> 0.64,
-    "x_export_stats" -> 5.16, // re-recorded r20: eight-sweep pop max 3.69 x the blanket 1.4 allowance (see the Round 20 docstring note; the r19 2-reading pair sat far under this session's walking I/O band)
+    "x_export_stats" -> 5.16, // re-recorded r20: session pop max 3.69 x the blanket 1.4 allowance (see the Round 20 docstring note; the r19 2-reading pair sat far under this session's walking I/O band)
     "x_epoch_realized" -> 1.44, // recorded r19 (readings 0.525/0.657)
     "x_epoch_schedule" -> 2.04,
     "x_cap_gate" -> 0.76, // re-recorded r19 from quiet population
@@ -426,9 +426,9 @@ object Bench {
     "x_chunk_windows" -> 0.63,
     "x_cluster_sizes" -> 0.48,
     "x_contamination" -> 4.05,
-    "x_corpus_export" -> 8.05, // re-recorded r20 under the SINK-BOUND rule (BASELINE.md): six-sweep quiet pop max 5.75 {3.50,3.60,3.00,3.90,5.75,3.91} x 1.4 cross-session allowance; closes the r19 driver-context conflict (official 4.39 = 1.31x the old 3.35)
-    "x_export_append" -> 7.64, // recorded r20 at birth under the sink-bound rule: six-sweep pop max 5.45 {2.71,2.69,5.45,2.79,2.60} x 1.4 — the 2.6-5.5 spread IS this copy+append+read-back query's band under the session's dropped page cache
-    "x_stream_export" -> 5.89, // recorded r20 at birth under the sink-bound rule: six-sweep pop max 4.21 {2.53,2.74,2.88,4.21} x 1.4
+    "x_corpus_export" -> 8.05, // re-recorded r20 under the SINK-BOUND rule (BASELINE.md): session quiet pop max 5.75 (readings 3.00-5.75 across the round-20 sweeps) x 1.4 cross-session allowance; closes the r19 driver-context conflict (official 4.39 = 1.31x the old 3.35)
+    "x_export_append" -> 7.64, // recorded r20 at birth under the sink-bound rule: session pop max 5.45 {2.71,2.69,5.45,2.79,2.60,...} x 1.4 — the 2.6-5.5 spread IS this copy+append+read-back query's band under the session's dropped page cache
+    "x_stream_export" -> 5.89, // recorded r20 at birth under the sink-bound rule: session pop max 4.21 (readings 2.53-4.21 across the sweeps it ran in) x 1.4
     "x_corpus_manifest" -> 3.06,
     "x_dedup_clusters" -> 2.45,
     "x_dedup_docs" -> 1.58,

@@ -7298,14 +7298,25 @@ object Pipeline {
     val sink = new graft.streaming.StreamingShardSink(
       out, exportSchema, shardSizeBytes = shardBytes,
       filePrefix = Some("corpus"), overwrite = true)
+    driveRanges(sink, packed, firstBatchId = 0L)
+    sink
+  }
+
+  /** The [[EXPORT_BATCHES]] ascending permutation-range drive — ONE
+    * definition of the range split shared by [[exportThroughSink]]
+    * (batchIds from 0) and [[appendThroughSink]] (batchIds continuing
+    * from the restored commit log), so the two paths cannot
+    * desynchronize on the split geometry.
+    */
+  private def driveRanges(sink: graft.streaming.StreamingShardSink,
+      packed: DataFrame, firstBatchId: Long): Unit = {
     val rangeWidth = (1L << 48) / EXPORT_BATCHES
     (0 until EXPORT_BATCHES).foreach { q =>
       sink.addBatch(
         packed.filter(expr(s"shuffle_key div $rangeWidth") === q)
           .orderBy(col("shuffle_key"), col("doc_id")),
-        q.toLong)
+        firstBatchId + q)
     }
-    sink
   }
 
   /** Curated-corpus EXPORT capstone (`x_corpus_export`) — the query
@@ -7362,20 +7373,26 @@ object Pipeline {
     * never a driver collect.
     */
   private def exportAndReadBack(s: SparkSession, pre: DataFrame): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-export-")
-    val out = root.resolve("corpus")
-    val packed = pre.localCheckpoint()
+    // checkpoint BEFORE creating the temp dir, and free the base pin
+    // even when materialization itself fails — otherwise an executor
+    // failure mid-tree leaves packKept's eager base checkpoint pinned
+    // for the session and an empty graft-export-* dir per retry
+    val packed =
+      try pre.localCheckpoint()
+      catch { case e: Throwable => freeCheckpoint(pre); throw e }
     // free the base pin packKept left (found in the PRE-checkpoint
     // plan — packed's own lineage is truncated), then the outer pin
     freeCheckpoint(pre)
+    val root = java.nio.file.Files.createTempDirectory("graft-export-")
+    val out = root.resolve("corpus")
     try {
       exportThroughSink(s, packed, out, EXPORT_SHARD_BYTES)
       s.read.schema(exportSchema).parquet(out.toString)
         .orderBy(col("doc_id"))
         .localCheckpoint()
     } finally {
-      freeCheckpoint(packed)
-      deleteTree(root)
+      // independent cleanups: a failed unpersist must not strand the dir
+      try freeCheckpoint(packed) finally deleteTree(root)
     }
   }
 
@@ -7431,14 +7448,7 @@ object Pipeline {
     val sink = new graft.streaming.StreamingShardSink(
       out, exportSchema, shardSizeBytes = EXPORT_SHARD_BYTES,
       filePrefix = Some("corpus"), resume = true)
-    val rangeWidth = (1L << 48) / EXPORT_BATCHES
-    val first = sink.nextBatchId
-    (0 until EXPORT_BATCHES).foreach { q =>
-      sink.addBatch(
-        packed.filter(expr(s"shuffle_key div $rangeWidth") === q)
-          .orderBy(col("shuffle_key"), col("doc_id")),
-        first + q)
-    }
+    driveRanges(sink, packed, firstBatchId = sink.nextBatchId)
     sink
   }
 
@@ -7486,11 +7496,13 @@ object Pipeline {
     val root = java.nio.file.Files.createTempDirectory("graft-export-append-")
     val out = root.resolve("corpus")
     copyDirTree(baseExport.resolve("corpus"), out)
-    val baseTotal = Tables(s, dir, "documents")
-      .join(manifestKeptIds(s, dir), Seq("doc_id"), "left_semi")
-      .filter(!defaultBatchPred)
-      .agg(coalesce(sum(size(words($"text")).cast("long")), lit(0L)))
-      .as[Long].head()
+    // yesterday's token total rides from yesterday's OWN files — one
+    // narrow column scan of the just-copied shards (the stored-
+    // manifest-number shape a real daily job reads), never a second
+    // manifest-decision pass over the corpus: the decision runs
+    // exactly once below, for today's slice
+    val baseTotal = s.read.schema(exportSchema).parquet(out.toString)
+      .agg(coalesce(sum($"n_tokens"), lit(0L))).as[Long].head()
     val pre = exportPackedSlice(s, dir, defaultBatchPred, lit(baseTotal))
     val packed = pre.localCheckpoint()
     freeCheckpoint(pre)
@@ -7561,11 +7573,14 @@ object Pipeline {
     * pack's multi-branch read and freed before returning. Callers
     * skip replayed ids up front
     * ([[graft.streaming.StreamingShardSink.isCommitted]]) so no
-    * derivation runs for a frame addBatch would discard.
+    * derivation runs for a frame addBatch would discard. Returns the
+    * batch's token mass (one narrow agg over the checkpointed base)
+    * so the caller can advance its committed-total accumulator
+    * without re-reading history.
     */
   private[graft] def packAndAppendBatch(batch: DataFrame,
       offsetTokens: Long, sink: graft.streaming.StreamingShardSink,
-      batchId: Long): Unit = {
+      batchId: Long): Long = {
     val s = batch.sparkSession
     import s.implicits._
     val base = batch
@@ -7587,6 +7602,7 @@ object Pipeline {
           $"shard_id", $"text")
         .orderBy($"shuffle_key", $"doc_id")
       sink.addBatch(packed, batchId)
+      base.agg(coalesce(sum($"n_tokens"), lit(0L))).as[Long].head()
     } finally freeCheckpoint(base)
   }
 

@@ -180,8 +180,9 @@ final class StreamingShardSink(
     * append must CONTINUE the id sequence: re-using yesterday's ids
     * would make every append a silent exactly-once no-op.
     */
-  def nextBatchId: Long =
+  def nextBatchId: Long = synchronized {
     committed.keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
+  }
 
   /** Whether `batchId` is already committed — callers doing per-batch
     * derivation work (packing offsets) can skip it entirely on a

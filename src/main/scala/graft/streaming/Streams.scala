@@ -31,37 +31,53 @@ object Streams {
     * token-budget shard spine and written through the distributed
     * sink, all inside one `foreachBatch`. Each micro-batch packs
     * among itself in permutation order, offset by the token total of
-    * everything the sink has ALREADY committed — derived here from
-    * the committed shard files' own `n_tokens` column
-    * ([[StreamingShardSink.filesCommittedBefore]]); at deployment
-    * scale the scalar rides the shard manifest instead of a re-read,
-    * the `x_shard_append` stored-total discipline. Committed files
-    * are immutable, so a restart replay of a batch recomputes the
-    * SAME offset its first attempt used, and
+    * everything the sink has ALREADY committed. The total is derived
+    * from the committed shard files' own `n_tokens` column
+    * ([[StreamingShardSink.filesCommittedBefore]]) exactly ONCE — at
+    * the first live batch after start/restart — then advanced in
+    * memory per committed batch from the pack's own narrow aggregate:
+    * O(1) I/O per batch where a per-batch history re-read would be
+    * quadratic over a long stream's lifetime; at deployment scale the
+    * same scalar rides the shard manifest, the `x_shard_append`
+    * stored-total discipline. Committed files are immutable, so the
+    * one derivation is crash/replay-deterministic: a restart replay of
+    * a committed batch is skipped before any derivation, and the
+    * restored accumulator re-derives from the same immutable files —
     * [[StreamingShardSink.addBatch]]'s id skip keeps the on-disk
-    * layout byte-stable across crashes; ExportStreamSpec pins
+    * layout byte-stable across crashes. ExportStreamSpec pins
     * exactly-once and packing continuity across a kill mid-stream,
     * and the batch twin `x_stream_export` carries the oracle hash.
     */
   def toPackedExportSink(df: DataFrame, sink: StreamingShardSink,
-      checkpoint: Path): StreamingQuery =
+      checkpoint: Path): StreamingQuery = {
+    // committed-token accumulator; -1 = not yet derived. foreachBatch
+    // invocations are serialized per query, so plain state suffices.
+    var committedTokens = -1L
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint.toString)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!sink.isCommitted(id)) {
-          val s = batch.sparkSession
-          val prior = sink.filesCommittedBefore(id)
-          val offset =
-            if (prior.isEmpty) 0L
-            else s.read.schema(sink.schema)
-              .parquet(prior.map(_.toString): _*)
-              .agg(coalesce(sum(col("n_tokens")), lit(0L)))
-              .head.getLong(0)
-          graft.queries.Pipeline.packAndAppendBatch(batch, offset, sink, id)
+          if (committedTokens < 0L) {
+            val s = batch.sparkSession
+            val prior = sink.filesCommittedBefore(id)
+            committedTokens =
+              if (prior.isEmpty) 0L
+              else s.read.schema(sink.schema)
+                .parquet(prior.map(_.toString): _*)
+                .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+                .head.getLong(0)
+          }
+          // on ANY failure, force a re-derivation from the committed
+          // files next batch — a throw between addBatch's commit and
+          // the token agg must not leave the accumulator behind disk
+          try committedTokens += graft.queries.Pipeline
+            .packAndAppendBatch(batch, committedTokens, sink, id)
+          catch { case e: Throwable => committedTokens = -1L; throw e }
         }
       }
       .start()
+  }
 
   /** Streaming exact dedup: emit only the first row seen per key,
     * dropping replays that arrive within `watermarkDelay` of the

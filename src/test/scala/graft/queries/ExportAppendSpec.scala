@@ -29,10 +29,16 @@ class ExportAppendSpec extends AnyFunSuite {
 
   private def shardFiles(out: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val st = Files.list(out)
+    // numeric sort — a lexicographic one orders corpus-10 before
+    // corpus-2 and would silently misorder any future order-dependent
+    // assertion (ExportStreamSpec's copy sorts the same way)
     try st.iterator.asScala.filter { p =>
       val n = p.getFileName.toString
       n.startsWith("corpus-") && n.endsWith(".parquet")
-    }.toSeq.sortBy(_.getFileName.toString) finally st.close()
+    }.toSeq.sortBy(
+      _.getFileName.toString.stripPrefix("corpus-")
+        .stripSuffix(".parquet").toInt)
+    finally st.close()
   }
 
   // one append run (the query's own steps, with handles kept so the
