@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.VectorFunctions.injections.foreach(ext.injectFunction)
     graft.functions.CdcFunctions.injections.foreach(ext.injectFunction)
     graft.functions.RepStripFunctions.injections.foreach(ext.injectFunction)
+    graft.functions.StripCoverageFunctions.injections.foreach(ext.injectFunction)
   }
 }

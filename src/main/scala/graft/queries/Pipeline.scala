@@ -313,26 +313,31 @@ object Pipeline {
   /** Span-coverage strip projection over a (doc_id, text, fl) frame:
     * rewrite each flagged document with every token covered by a
     * flagged `spanLen`-token span start cut out, emitting `clean_text`
-    * and exact `n_removed`. The coverage filter is the row's expensive
-    * HOF (O(tokens × |fl|) interpreted lambda), so it is STAGED once
-    * as a projection column and BOTH outputs derive from it — the
-    * house rule BASELINE.md records (CollapseProject keeps non-cheap
-    * multi-referenced aliases, so `kept` is computed once per row; the
-    * when() guard skips the lambda entirely on the unflagged
-    * majority, which also passes its ORIGINAL text through with no
-    * split/rejoin round trip). ONE definition shared by
-    * [[contamStrip]] (spanLen 3) and [[spanStrip]] (spanLen 5);
-    * `StripAbProfile` holds the one-JVM A/B vs the former inline
-    * double-evaluation form.
+    * and exact `n_removed`. The coverage cut runs in the NATIVE
+    * [[graft.functions.StripCoverageTokens]] kernel (r21): the staged
+    * HOF it replaces was O(tokens × |fl|) interpreted lambda
+    * dispatches per row — quadratic exactly on the heavily-flagged
+    * documents the strip exists to clean — where the kernel is one
+    * difference-array pass (O(tokens + |fl|)) that keeps the stage in
+    * whole-stage codegen (the RepStripTokens/CdcStarts rationale;
+    * StripCoverageSpec pins kernel ≡ HOF parity). The kernel column is
+    * still STAGED once and BOTH outputs derive from it (CollapseProject
+    * keeps non-cheap multi-referenced aliases); the when() guard skips
+    * it entirely on the unflagged majority, which also passes its
+    * ORIGINAL text through with no split/rejoin round trip. ONE
+    * definition shared by [[contamStrip]] (spanLen 3) and
+    * [[spanStrip]] (spanLen 5); `StripAbProfile` holds the one-JVM
+    * A/B of the staging decision.
     */
   private[graft] def stripCoverageProjection(
       base: DataFrame, spanLen: Int): DataFrame = {
-    val cover = spanLen - 1L
+    val cover = spanLen - 1
     base
       .select(col("doc_id"), col("text"), col("fl"),
-        when(col("fl").isNotNull, filter(words(col("text")),
-          (t, j) => !exists(col("fl"), x => j.cast("long") >= x &&
-            j.cast("long") <= x + cover))).as("kept"))
+        when(col("fl").isNotNull,
+          graft.functions.StripCoverageFunctions.stripCoverage(
+            base.sparkSession, words(col("text")), col("fl"),
+            lit(cover))).as("kept"))
       .select(col("doc_id"),
         when(col("fl").isNull, col("text")).otherwise(
           concat_ws(" ", col("kept"))).as("clean_text"),
@@ -2249,8 +2254,17 @@ object Pipeline {
     // caller's pins (the incrDelta lesson) — so an iterative call
     // leaves behind only its result, not O(rounds) of dead
     // block-manager state
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // fused init (r21): label₀ = min(id, min neighbor) in ONE
+    // aggregation over the already-src-partitioned edge set. Starting
+    // from identity labels, the loop's first round computes exactly
+    // this (propagation over identity labels is the min-neighbor id;
+    // the pointer-jump is a no-op against identity labels), so seeding
+    // with it drops one full join+checkpoint+count round from every
+    // components call at identical fixpoint — measured one round saved
+    // on every consumer (dedup clusters, split family, incremental
+    // sub-graphs).
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var round = 0
@@ -3889,7 +3903,8 @@ object Pipeline {
     * its members' sub-blocking — each family's divergence is confined
     * to pairs with an endpoint in its own affected set).
     */
-  private def affectedDocs(s: SparkSession, adir: String): DataFrame = {
+  private def affectedDocs(
+      s: SparkSession, adir: String, demoted: DataFrame): DataFrame = {
     import s.implicits._
     val docs = Tables(s, adir, "documents")
     val sh = shinglesOf(docs)
@@ -3907,14 +3922,10 @@ object Pipeline {
     // reorders — the old boundary member re-enters and gains pairs —
     // with NO batch member in the group for the arrival predicate to
     // see. Flag the base-side over-cap groups the demoted reps leave;
-    // their FULL-corpus members join the blast radius.
-    val demoted = docs
-      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
-      .groupBy($"h")
-      .agg(min($"doc_id").as("full_min"),
-        min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
-      .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
-      .select($"base_min".as("doc_id"))
+    // their FULL-corpus members join the blast radius. `demoted` is
+    // the caller's checkpointed demotion frame — the repair derives it
+    // ONCE for the blast radius and the delta (r21: it was previously
+    // re-derived here, a second full md5-over-text corpus scan).
     val baseBands = fingerprintBands(s, ensureBaseCorpus(s, adir).toString)
     val depGroups = capKeyCounts(baseBands, "doc_id", "band_idx", "band")
       .filter($"n_full" > BAND_CAP)
@@ -4000,22 +4011,99 @@ object Pipeline {
     */
   private[graft] def compactionRepair(s: SparkSession, adir: String): DataFrame = {
     import s.implicits._
+    val docs = Tables(s, adir, "documents")
+    // ONE demotion derivation for the whole repair — the blast radius
+    // (affectedDocs) and the delta below both consume it; before r21
+    // each re-derived it (two full md5-over-text corpus scans for a
+    // handful of rows). Pin lifecycle: the caller's harness
+    // (incrDelta's returned-checkpoint contract).
+    val demoted = docs
+      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("full_min"),
+        min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
+      .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
+      .select($"base_min".as("doc_id"))
+      .localCheckpoint()
     // small by construction (crossed-key members only); pinned because
     // five consumers would otherwise re-run the crossing aggregations.
-    // The pin's lifecycle belongs to the caller's harness (incrDelta's
-    // returned-checkpoint contract).
-    val aff = affectedDocs(s, adir).localCheckpoint()
-    val maintained = incrEdges(s, adir).select($"a_id", $"b_id")
+    val aff = affectedDocs(s, adir, demoted).localCheckpoint()
+    val batch = docs.filter(isBatchId($"doc_id")).select($"doc_id")
+    val hasEmb = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(adir, "embeddings.parquet"))
+    // FUSED touching runs (r21): before, each family pipeline ran
+    // TWICE — once inside incrDelta (the maintained graph's delta,
+    // touch = batch ∪ demoted for jaccard / batch for simhash and
+    // semantic) and once for the rebuild stage (touch = aff) — so the
+    // repair paid the posting-group collect + one-sided explode twice
+    // per family. Run each family ONCE over the union touch set and
+    // take exact endpoint-membership slices. Exactness: the one-sided
+    // generators emit, for touch set T, precisely the family's
+    // above-threshold pairs with ≥1 endpoint in T — the shared-count
+    // c, sizes na/nb, band-cap survivors, and cell sub-blocking are
+    // all functions of the CORPUS structures, not of T (group pruning
+    // keeps surviving groups' membership intact; the both-touched
+    // orientation rule only dedups row multiplicity) — so for S ⊆ T,
+    // { p ∈ pairs(T) : endpoint(p) ∩ S ≠ ∅ } = pairs(S). The union
+    // sets here are disjointness-safe: .distinct() guards the overlap
+    // (aff contains batch carriers), since the touching cores key a
+    // row-multiplying join on the touch frame.
+    val pJac = jacPairsTouching(s, adir,
+        batch.union(demoted).union(aff).distinct())
+      .localCheckpoint()
+    val pSim = simPairsTouching(s, adir, batch.union(aff).distinct())
+      .localCheckpoint()
+    val pSem =
+      if (hasEmb) Some(semPairsTouching(s, adir, batch.union(aff).distinct())
+        .localCheckpoint())
+      else None
+    // endpoint-membership slices over the materialized pair sets —
+    // batch membership is a row-local predicate, demoted/aff are
+    // bounded broadcast lookups
+    val isBatchPair = isBatchId($"a_id") || isBatchId($"b_id")
+    def endpointIn(p: DataFrame, ids: DataFrame): DataFrame =
+      p.join(broadcast(ids.select($"doc_id".as("a_id"), lit(true).as("_fa"))),
+          Seq("a_id"), "left")
+        .join(broadcast(ids.select($"doc_id".as("b_id"), lit(true).as("_fb"))),
+          Seq("b_id"), "left")
+        .filter($"_fa".isNotNull || $"_fb".isNotNull)
+        .select($"a_id", $"b_id")
+    // the maintained graph's delta, exactly incrDelta's derivation
+    // over the fused slices: plus = batch-endpoint pairs of every
+    // family; minus = demotion-touched base lex edges no longer
+    // jaccard-supported
+    val lexPlus = pJac.filter(isBatchPair).union(pSim.filter(isBatchPair))
+    val plus =
+      pSem.fold(lexPlus)(ps => lexPlus.union(ps.filter(isBatchPair))).distinct()
+    val jacTouch = pJac.filter(isBatchPair)
+      .union(endpointIn(pJac, demoted))
+      .distinct()
+    val baseEdges = s.read.parquet(
+      ensureEdgeGraph(s, ensureBaseCorpus(s, adir).toString).toString)
+    val baseLex = baseEdges.filter($"fam" === "lex").select($"a_id", $"b_id")
+    val touchDem = baseLex
+      .join(demoted.select($"doc_id".as("a_id")), Seq("a_id"), "left_semi")
+      .select($"a_id", $"b_id")
+      .union(baseLex
+        .join(demoted.select($"doc_id".as("b_id")), Seq("b_id"), "left_semi")
+        .select($"a_id", $"b_id"))
+      .distinct()
+    val minus = touchDem.except(jacTouch)
+    // maintained = incrEdges over the same delta: base lex minus the
+    // retractions, non-lex rows through, plus the batch-endpoint pairs
+    // (plus ∩ base = ∅ — every plus pair has a batch endpoint, absent
+    // from the base corpus)
+    val maintained = baseLex.except(minus)
+      .union(baseEdges.filter($"fam" =!= "lex").select($"a_id", $"b_id"))
+      .distinct()
+      .union(plus)
     val kept = maintained
       .join(broadcast(aff.select($"doc_id".as("a_id"))), Seq("a_id"), "left_anti")
       .join(broadcast(aff.select($"doc_id".as("b_id"))), Seq("b_id"), "left_anti")
-    val hasEmb = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(adir, "embeddings.parquet"))
-    val lexRebuilt = jacPairsTouching(s, adir, aff)
-      .unionByName(simPairsTouching(s, adir, aff))
+    val lexRebuilt = endpointIn(pJac, aff).unionByName(endpointIn(pSim, aff))
     val rebuilt =
-      (if (hasEmb) lexRebuilt.unionByName(semPairsTouching(s, adir, aff))
-       else lexRebuilt).distinct()
+      pSem.fold(lexRebuilt)(ps => lexRebuilt.unionByName(endpointIn(ps, aff)))
+        .distinct()
     kept.select($"a_id", $"b_id", lit(false).as("repaired"))
       .unionByName(rebuilt.select($"a_id", $"b_id", lit(true).as("repaired")))
       .orderBy($"a_id", $"b_id")
@@ -7225,9 +7313,14 @@ object Pipeline {
     * (zero-fill shards visible). Because the export packs the KEPT
     * slice only, this is also the report that shows how the curation
     * decision reshapes shard fill vs the whole-corpus
-    * `x_shuffle_stats`. Cost: the narrow kept text pass + the scan
-    * tree — no checkpoint, no sink, no text join (the audit never
-    * needs the text column past the token count).
+    * `x_shuffle_stats`. Cost: ONE narrow kept text pass + the scan
+    * tree — no sink, no text join (the audit never needs the text
+    * column past the token count). The narrow (id, key, n_tokens)
+    * frame is materialized once (r21): the prefix tree reads its
+    * input twice, and the manifest decision under it is itself a
+    * multi-scan subtree — unmaterialized, the whole decision + token
+    * pass replicated into both branches (the packKept discipline;
+    * before-plan: 18 scans, after: the decision runs once).
     */
   def exportStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -7235,6 +7328,7 @@ object Pipeline {
       .join(manifestKeptIds(s, dir), Seq("doc_id"), "left_semi")
       .select($"doc_id", shuffleKeyCol($"doc_id").as("shuffle_key"),
         size(words($"text")).cast("long").as("n_tokens"))
+      .localCheckpoint()
     shardFillStats(exportPrefixSum(toks))
   }
 
@@ -7511,8 +7605,9 @@ object Pipeline {
       s.read.schema(exportSchema).parquet(out.toString)
         .orderBy(col("doc_id")).localCheckpoint()
     } finally {
-      freeCheckpoint(packed)
-      deleteTree(root)
+      // a throwing unpersist must not strand the temp copy dir — the
+      // exportAndReadBack discipline
+      try freeCheckpoint(packed) finally deleteTree(root)
     }
   }
 
@@ -9610,6 +9705,12 @@ object Pipeline {
           "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b)) " +
           "ELSE array() END")).as("p"))
       .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    // NOTE (r21): the base-bigram subtree appears 3× in the initial
+    // plan, but materializing it with a localCheckpoint measured
+    // SLOWER (gate battery 1.8 → 2.7 s, capped and chain likewise) —
+    // AQE's runtime exchange reuse already dedups the identical
+    // aggregate subtrees, so the pin only added a serialized
+    // materialization job. Reverted; left as the measured record.
     val cabBase = bi.filter(!defaultBatchPred)
       .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
     val caBase = cabBase.groupBy($"a").agg(sum($"cab").as("ca"))
