@@ -3404,20 +3404,28 @@ object Pipeline {
     // the same pair is vec-level, untouched by demotion, and must
     // survive exactly as it does in a full rebuild
     val minus = touchDem.except(jacTouch.select($"a_id", $"b_id"))
+    // ONE fused materialization for both delta sides (r21): plus and
+    // minus ride a single tagged checkpoint instead of two sequential
+    // checkpoint jobs — the returned frames are cheap filters over the
+    // materialized rows, so every consumer still reads materialized
+    // data while the delta pays one job fewer per invocation.
+    val delta = plus.select($"a_id", $"b_id", lit(true).as("added"))
+      .unionByName(minus.select($"a_id", $"b_id", lit(false).as("added")))
+      .localCheckpoint()
     // the intermediate pins (demoted, jacTouch) have no consumer once
-    // plus/minus are themselves materialized — free their blocks here
-    // rather than stranding 2 RDDs per invocation in the block manager
+    // the delta is materialized — free their blocks here rather than
+    // stranding 2 RDDs per invocation in the block manager
     // (localCheckpoint is eager, so ordering is safe). Freed DIRECTLY
     // from each pin's own plan, never by diffing the context-global
     // registry: a second concurrent incrDelta would land inside the
     // diff window and have its pins freed out from under it. The
-    // RETURNED checkpoints' lifecycle belongs to the caller's harness:
+    // RETURNED checkpoint's lifecycle belongs to the caller's harness:
     // Bench/Verify unpersist every persistent RDD after each query,
     // which is where those blocks are reclaimed.
-    val out = (plus.localCheckpoint(), minus.localCheckpoint())
     freeCheckpoint(demoted)
     freeCheckpoint(jacTouch)
-    out
+    (delta.filter($"added").select($"a_id", $"b_id"),
+      delta.filter(!$"added").select($"a_id", $"b_id"))
   }
 
   /** Unpersist the backing RDD of an eagerly `localCheckpoint`ed
