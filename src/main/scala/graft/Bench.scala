@@ -53,6 +53,38 @@ object Bench {
     * that commit's message — so the gate never silently absorbs a
     * slowdown introduced by the same change that re-recorded it.
     *
+    * Round 21 (optimization round) — the r20 ADVICE correction plus
+    * the optimization re-records, from this round's four full-sweep
+    * population (pre-change baseline 170.1 s; post-change sweeps
+    * 174.2 / 171.9 / 147.8 s; canary p50 0.087–0.111, i.e. quiet by
+    * the recorded band — the 147.8 s close pair member is the
+    * zero-flag close record). Three entry classes, each named in its
+    * inline comment:
+    * (1) CHANGED-WORK re-records (the 11 queries the optimization
+    * round restructured — fused compaction repair, native strip
+    * kernel, one-aggregation components init, fused delta checkpoint,
+    * exportStats materialization): quiet post-change population max,
+    * >20% moves all named in OPTIMIZATION_r21.md with before/after
+    * plans. The two I/O-incident rows among them
+    * (x_compaction_run — driver r20 read 15.9 s vs 7.05 quiet, the
+    * largest context factor of any query — and x_incr_split_leakage,
+    * the r17 cross-session incident) keep the ×1.4 allowance.
+    * (2) The r20 BLANKET ×1.4 NARROWED to the sink-/I-O-bound rows
+    * (x_corpus_export / x_export_append / x_stream_export keep their
+    * r20 values), per the r20 ADVICE medium item: every other entry
+    * the blanket raised is restored to
+    * max(r19 value, r20 session-population max, r21 quiet population
+    * max) — so a genuine regression no longer hides under ~1.4× of
+    * blanket slack on CPU-bound rows, while no entry undercuts any
+    * quiet reading this container has actually produced. This also
+    * retires the stale inline comments the ADVICE low item flagged
+    * (every adjusted entry carries a fresh r21 comment).
+    * (3) x_incremental_dedup re-footed on the CROSS-SESSION population
+    * per the r20 VERDICT task 1 (0.64 was builder-footed and
+    * under-read three other contexts): builder 0.33, judge
+    * adjudication 0.76/1.12, driver 1.48 (noise-flagged) → 1.25, the
+    * max non-flagged cross-context reading plus margin.
+    *
     * Round 20 — full re-record at session-population-max × 1.4
     * (raise-only), i.e. the round-8 blanket allowance REVIVED at the
     * measured magnitude. Two findings forced it, in escalation:
@@ -362,168 +394,168 @@ object Bench {
     */
   private val BaselineSec: Map[String, Double] = Map(
     "q_cube" -> 0.96,
-    "q_date_funcs" -> 0.85,
-    "q_retention_cohorts" -> 0.91, // re-recorded r17 after the single-scan rewrite
-    "q_correlated_agg" -> 2.43, // re-recorded r17 after the explicit-aggregate rewrite
-    "x_incr_split_leakage" -> 11.71, // re-recorded r20: session pop max 8.36 x 1.4 — this query WAS the r17 cross-session incident (checkpoint materialization in its measured work) and its quiet readings walked 6.16 -> 8.36 within this session alone
-    "x_rep_strip" -> 0.6,
-    "x_source_cap" -> 0.67,
-    "x_cap_realized" -> 0.93,
-    "x_ann_ivfpq" -> 3.09,
-    "x_shard_shuffle" -> 0.95,
-    "x_shuffle_stats" -> 1.38,
-    "x_contam_strip" -> 4.25, // re-recorded r19: staged coverage HOF
-    "x_epoch_plan" -> 0.64,
-    "x_export_stats" -> 5.16, // re-recorded r20: session pop max 3.69 x the blanket 1.4 allowance (see the Round 20 docstring note; the r19 2-reading pair sat far under this session's walking I/O band)
-    "x_epoch_realized" -> 1.44, // recorded r19 (readings 0.525/0.657)
-    "x_epoch_schedule" -> 2.04,
-    "x_cap_gate" -> 0.76, // re-recorded r19 from quiet population
-    "x_shard_append" -> 0.79,
-    "x_quality_calibration" -> 1.88, // re-recorded r19 from quiet population
-    "x_gate_chain" -> 5.66,
+    "q_date_funcs" -> 0.82, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_retention_cohorts" -> 0.71, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_correlated_agg" -> 2.14, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_incr_split_leakage" -> 9.41, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max x1.4 io-incident
+    "x_rep_strip" -> 0.43, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_source_cap" -> 0.48, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_cap_realized" -> 0.67, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_ivfpq" -> 2.21, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_shard_shuffle" -> 0.68, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_shuffle_stats" -> 0.99, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_contam_strip" -> 1.87, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_epoch_plan" -> 0.46, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_export_stats" -> 3.05, // r21 re-record: work changed; four-reading post-change population {1.70,1.82,2.41,3.05} — an I/O-band row (corpus + keep-map scans), footed on the full quiet population per the r18 rule
+    "x_epoch_realized" -> 1.03, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_epoch_schedule" -> 1.46, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_cap_gate" -> 0.55, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_shard_append" -> 0.57, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_quality_calibration" -> 1.35, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_gate_chain" -> 4.05, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "q_event_funnel" -> 2.07,
     "q_events_tumbling" -> 1.07,
-    "q_grouping_sets" -> 1.43,
-    "q_join_orders" -> 1.09,
-    "q_json_funcs" -> 1.58,
-    "q_lateral_topn" -> 0.99,
-    "q_local_supplier" -> 2.41,
-    "q_moving_window" -> 1.31,
-    "q_outer_join" -> 1.27,
-    "q_pivot" -> 0.66,
-    "q_pricing_summary" -> 2.09,
-    "q_range_join" -> 1.27,
+    "q_grouping_sets" -> 1.03, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_join_orders" -> 0.94, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_json_funcs" -> 1.36, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_lateral_topn" -> 0.71, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_local_supplier" -> 1.97, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_moving_window" -> 1.11, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_outer_join" -> 0.97, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_pivot" -> 0.59, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_pricing_summary" -> 1.73, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_range_join" -> 1.1, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "q_rollup" -> 1.01,
-    "q_scalar_funcs" -> 0.6,
+    "q_scalar_funcs" -> 0.5, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "q_scalar_subquery" -> 0.82,
-    "q_semi_anti" -> 0.85,
-    "q_setops" -> 0.81,
+    "q_semi_anti" -> 0.63, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_setops" -> 0.64, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "q_skew_join" -> 0.74,
     "q_topk" -> 0.40,
-    "q_unpivot" -> 1.77,
-    "q_window_rank" -> 0.88,
-    "roundtrip_cast" -> 2.08,
-    "roundtrip_distributed" -> 1.54,
-    "roundtrip_identity" -> 1.59,
-    "roundtrip_order" -> 0.86,
-    "roundtrip_rowgroups" -> 3.2,
-    "roundtrip_sharded" -> 1.24,
-    "x_ann_incr" -> 2.13,
-    "x_ann_ivf" -> 1.33,
-    "x_ann_ivf_nprobe" -> 1.26,
-    "x_ann_ivf_pruned" -> 0.95,
-    "x_ann_lsh" -> 0.56,
-    "x_ann_lsh_multiprobe" -> 0.71,
-    "x_ann_pq" -> 2.46,
-    "x_ann_recall" -> 8.68, // re-recorded r18 (+ivfpq arm; old doubled-protocol ceiling re-footed)
-    "x_asof_join" -> 1.02,
-    "x_bigram_fluency" -> 2.02,
+    "q_unpivot" -> 1.68, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "q_window_rank" -> 0.81, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "roundtrip_cast" -> 2.04, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "roundtrip_distributed" -> 1.35, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "roundtrip_identity" -> 1.37, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "roundtrip_order" -> 0.71, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "roundtrip_rowgroups" -> 2.29, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "roundtrip_sharded" -> 1.2, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_incr" -> 1.53, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_ivf" -> 0.95, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_ivf_nprobe" -> 0.95, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_ivf_pruned" -> 0.91, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_lsh" -> 0.41, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_lsh_multiprobe" -> 0.51, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_pq" -> 2.11, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ann_recall" -> 6.2, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_asof_join" -> 0.95, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_bigram_fluency" -> 1.9, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_bm25_batch" -> 1.64,
     "x_bm25_search" -> 0.97,
-    "x_centroids" -> 0.44,
-    "x_chunk_clean" -> 1.47,
-    "x_chunk_dedup" -> 1.37,
-    "x_chunk_windows" -> 0.63,
-    "x_cluster_sizes" -> 0.48,
-    "x_contamination" -> 4.05,
+    "x_centroids" -> 0.37, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_chunk_clean" -> 1.15, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_chunk_dedup" -> 0.98, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_chunk_windows" -> 0.51, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_cluster_sizes" -> 0.36, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_contamination" -> 2.95, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_corpus_export" -> 8.05, // re-recorded r20 under the SINK-BOUND rule (BASELINE.md): session quiet pop max 5.75 (readings 3.00-5.75 across the round-20 sweeps) x 1.4 cross-session allowance; closes the r19 driver-context conflict (official 4.39 = 1.31x the old 3.35)
     "x_export_append" -> 7.64, // recorded r20 at birth under the sink-bound rule: session pop max 5.45 {2.71,2.69,5.45,2.79,2.60,...} x 1.4 — the 2.6-5.5 spread IS this copy+append+read-back query's band under the session's dropped page cache
     "x_stream_export" -> 5.89, // recorded r20 at birth under the sink-bound rule: session pop max 4.21 (readings 2.53-4.21 across the sweeps it ran in) x 1.4
-    "x_corpus_manifest" -> 3.06,
-    "x_dedup_clusters" -> 2.45,
-    "x_dedup_docs" -> 1.58,
-    "x_dedup_full" -> 5.4,
-    "x_dedup_recall" -> 4.59, // re-recorded after the recall-pair artifact amortization (13.68 -> 1.35, -90%)
-    "x_dedup_semantic" -> 3.81,
-    "x_dup_src_matrix" -> 1.03,
-    "x_dup_stats" -> 0.57,
-    "x_embed_near_dup" -> 1.78,
-    "x_embed_quality" -> 1.25, // re-recorded r17 after the one-text-pass refactor (1.32 -> 0.77, -42%)
-    "x_gate_battery" -> 7.49,
-    "x_embed_outliers" -> 0.77,
-    "x_embed_quantize" -> 0.89,
-    "x_exact_dedup" -> 0.56,
-    "x_filter_funnel" -> 2.48,
+    "x_corpus_manifest" -> 2.33, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_dedup_clusters" -> 1.18, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_dedup_docs" -> 1.13, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_dedup_full" -> 1.72, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_dedup_recall" -> 3.28, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_dedup_semantic" -> 1.54, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_dup_src_matrix" -> 0.74, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_dup_stats" -> 0.43, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_embed_near_dup" -> 1.67, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_embed_quality" -> 0.9, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_gate_battery" -> 5.35, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_embed_outliers" -> 0.69, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_embed_quantize" -> 0.75, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_exact_dedup" -> 0.44, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_filter_funnel" -> 2.41, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_filter_agreement" -> 1.77,
     "x_fingerprint" -> 1.61,
-    "x_frame_sample" -> 0.33,
+    "x_frame_sample" -> 0.32, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_hash_sample" -> 0.32,
     "x_heuristic_filters" -> 1.80,
     "x_mix_realized" -> 0.42,
-    "x_mix_temperature" -> 0.45,
-    "x_rep_quality" -> 0.79,
-    "x_compaction_signal" -> 2.97,
-    "x_compaction_run" -> 19.65, // re-recorded on the narrowed-radius code (+4.9%)
-    "x_dup_spans" -> 4.17,
-    "x_span_strip" -> 4.94, // re-recorded r19: staged coverage HOF
-    "x_recluster_stats" -> 1.99,
-    "x_quality_sweep" -> 1.03,
-    "x_index_health" -> 3.35, // re-recorded r19: +media cap rows
-    "x_ivf_recluster" -> 1.91,
-    "x_incr_media" -> 2.0,
+    "x_mix_temperature" -> 0.37, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_rep_quality" -> 0.78, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_compaction_signal" -> 2.28, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_compaction_run" -> 10.56, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max x1.4 io-incident
+    "x_dup_spans" -> 4.06, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_span_strip" -> 2.59, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_recluster_stats" -> 1.84, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_quality_sweep" -> 0.74, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_index_health" -> 2.49, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ivf_recluster" -> 1.8, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_incr_media" -> 1.84, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_keep_best" -> 1.04,
     "x_keep_best_incr" -> 1.90,
     "x_hybrid_rank" -> 1.83,
     "x_bm25_incr" -> 1.85,
     "x_bpe_merges" -> 1.29,
-    "x_bpe_drift" -> 2.27,
-    "x_edit_verify" -> 8.3, // round-16 re-record (banded kernel)
+    "x_bpe_drift" -> 2.22, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_edit_verify" -> 6.49, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_band_gate"    -> 3.06,
-    "x_gate_battery_capped" -> 3.79,
+    "x_gate_battery_capped" -> 2.92, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_prefix_gate"  -> 1.34,
-    "x_band_gate_recall" -> 2.34, // round-16 re-record (stored index)
+    "x_band_gate_recall" -> 1.68, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_cdc_chunks"   -> 3.15,
     "x_cdc_dedup"    -> 2.17,
     "x_cdc_resync"   -> 1.73,
     "x_cdc_gate"     -> 0.48,
-    "x_cdc_gate_recall" -> 1.19,
+    "x_cdc_gate_recall" -> 0.85, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_cdc_novelty"  -> 0.38,
-    "x_split_leakage" -> 2.45,
-    "x_split_repair" -> 3.05,
+    "x_split_leakage" -> 1.12, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_split_repair" -> 1.31, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
     "x_containment"  -> 3.61,
     "x_bpe_segment" -> 1.60,
     "x_ivf_drift" -> 1.26, // round-12 re-record (learned-quantizer assignment)
-    "x_incr_clusters" -> 10.82, // re-recorded after the touching-core prunes (15.51 -> 9.41, -39%)
-    "x_incremental_dedup" -> 0.64,
+    "x_incr_clusters" -> 5.99, // r21 re-record: measured work changed (OPTIMIZATION_r21.md), quiet post-change population max
+    "x_incremental_dedup" -> 1.25, // r21 re-foot on the cross-session population (r20 VERDICT #1): builder 0.33 / judge 0.76,1.12 / driver 1.48-flagged
     "x_incremental_neardup" -> 1.67,
-    "x_jaccard_sweep" -> 4.38,
-    "x_kmeans_converge" -> 2.67,
-    "x_kmeans_iter" -> 0.89,
-    "x_kmeans_moves" -> 1.28,
+    "x_jaccard_sweep" -> 4.06, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_kmeans_converge" -> 2.56, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_kmeans_iter" -> 0.82, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_kmeans_moves" -> 0.92, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_lang_confusion" -> 0.69,
-    "x_lang_id" -> 0.87,
-    "x_len_percentiles" -> 0.42,
+    "x_lang_id" -> 0.74, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_len_percentiles" -> 0.39, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_manifest_stats" -> 2.42,
-    "x_media_decode" -> 0.68,
+    "x_media_decode" -> 0.64, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_media_dedup" -> 0.73,
     "x_media_meta" -> 0.40,
-    "x_media_neardup" -> 2.76,
-    "x_media_recall" -> 5.44, // re-recorded after the containment-linking change (windows at stride 48)
+    "x_media_neardup" -> 1.98, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_media_recall" -> 3.89, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
 
-    "x_minhash_est" -> 5.9,
-    "x_minhash_lsh" -> 5.63,
-    "x_ngram_jaccard" -> 5.78,
+    "x_minhash_est" -> 4.84, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_minhash_lsh" -> 5.12, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_ngram_jaccard" -> 4.56, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_pq_codes" -> 1.58,
-    "x_quality_score" -> 0.74,
-    "x_redact" -> 0.94,
-    "x_repetition" -> 1.34,
-    "x_session_window" -> 1.38,
-    "x_sessionize" -> 1.36,
+    "x_quality_score" -> 0.57, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_redact" -> 0.87, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_repetition" -> 0.96, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_session_window" -> 1.13, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_sessionize" -> 1.32, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_shard_plan" -> 0.99,
     "x_shard_stats" -> 1.21,
     "x_shingle_novelty" -> 1.97,
-    "x_sim_search" -> 0.48,
-    "x_simhash" -> 3.5,
-    "x_simhash_pairs" -> 3.66,
-    "x_stratified_sample" -> 0.58,
-    "x_text_stats" -> 0.51,
-    "x_tfidf_terms" -> 1.53,
-    "x_token_count" -> 0.72,
-    "x_token_rarity" -> 1.21,
-    "x_token_sketch" -> 2.23,
-    "x_top_ngrams" -> 1.27,
+    "x_sim_search" -> 0.35, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_simhash" -> 3.11, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_simhash_pairs" -> 3.56, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_stratified_sample" -> 0.42, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_text_stats" -> 0.37, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_tfidf_terms" -> 1.1, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_token_count" -> 0.52, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_token_rarity" -> 0.87, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_token_sketch" -> 4.46, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_top_ngrams" -> 1.16, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_vocab_growth" -> 2.41,
-    "x_weighted_mix" -> 0.4)
+    "x_weighted_mix" -> 0.3) // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
 
   private val RegressionFactor = 3.0
 
