@@ -552,7 +552,7 @@ object Bench {
     "x_tfidf_terms" -> 1.1, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_token_count" -> 0.52, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_token_rarity" -> 0.87, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
-    "x_token_sketch" -> 4.46, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
+    "x_token_sketch" -> 2.23, // r22: ADVICE correction — the r21 4.46 was an accidental 2.00x of the r20 value; no recorded reading supports it (r21 sweeps read 0.63/0.79 s, the 2.49 s outlier was adjudicated environment). Restored to the r20 value 2.23 = max(r19 1.60, recorded populations).
     "x_top_ngrams" -> 1.16, // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)
     "x_vocab_growth" -> 2.41,
     "x_weighted_mix" -> 0.3) // r21: r20 blanket x1.4 narrowed (ADVICE) — max(r19, r20 pop, r21 quiet pop)

@@ -3748,21 +3748,189 @@ object Pipeline {
     * planted over-cap frame (a window shared past the cap counts as
     * over-cap, its sharers as carriers).
     *
-    * Scale shape: one explode/scan pass per family into a groupBy on
-    * the family's blocking key (map-side partials absorb hot keys),
-    * single-row aggregates over the per-key counts, and a broadcast
-    * semi-join for the carrier counts (over-cap keys are few by
-    * construction — that is what the caps are FOR). No pairwise
-    * anything; the report costs five bounded aggregation pipelines.
+    * Scale shape (r22 fusion): the five keyed frames ride ONE
+    * normalized union `(family, k1, k2, doc)` — key components cast
+    * to string (injective per family; `family` is part of every
+    * grouping and join key, so cross-family collisions cannot merge
+    * groups) — so the whole report is ONE per-key count aggregation
+    * (map-side partials absorb hot keys; its exchange carries per-key
+    * partial counts, never raw postings), tiny per-family rollups
+    * over those counts, and ONE broadcast semi-join carrier pass
+    * (over-cap keys are few by construction — that is what the caps
+    * are FOR). Before r22 this ran as five independent famRow
+    * pipelines — same two logical passes per source, but 10 separate
+    * scan jobs and ~55 exchanges of scheduling overhead; the driver's
+    * r21 bench read it 2.6× FASTER at 8 cores than 32, the many-tiny-
+    * stages signature. No pairwise anything; no corpus-sized shuffle.
     */
   def indexHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mm = graft.multimodal.Multimodal
+    val docs = Tables(s, dir, "documents")
+    val fams: Seq[(String, DataFrame)] = Seq(
+      "band" -> normKeyed(fingerprintBands(s, dir), "band",
+        col("band_idx"), col("band"), col("doc_id")),
+      "cell" -> normKeyed(Tables(s, dir, "embeddings"), "cell",
+        col("label"), lit(""), col("vec_id")),
+      "frame" -> normKeyed(mm.frameWindowsPreCap(s, dir), "frame",
+        col("frame_md5"), lit(""), col("asset_id")),
+      "prefix" -> normKeyed(mm.ladderEntriesPreCap(s, docs), "prefix",
+        col("l"), col("ph"), col("asset_id")),
+      "shingle" -> normKeyed(shinglesOf(docs), "shingle",
+        col("s"), lit(""), col("doc_id")))
+    val u = fams.map(_._2).reduce(_ unionByName _)
+    // ONE per-key count over the union, MATERIALIZED (localCheckpoint,
+    // the exportStats discipline): the stats rollup, the over-cap key
+    // set, and the final report all read these rows instead of each
+    // re-deriving the five keyed frames. O(distinct keys) narrow rows,
+    // disk-spilling storage — the "index stats" table itself. Pin
+    // lifecycle: the caller's harness (the incrDelta returned-
+    // checkpoint contract).
+    val cnt = u.groupBy($"family", $"k1", $"k2")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cap", indexHealthCapOf)
+      .localCheckpoint()
+    val stats = cnt.groupBy($"family").agg(
+      count(lit(1)).as("n_keys"),
+      max($"m").as("max_members"),
+      sum(when($"m" > $"cap", 1L).otherwise(0L)).as("n_over_cap"))
+    // over-cap keys are bounded by construction (that is what the
+    // caps are FOR — they'd ship as a broadcast anyway), so COLLECT
+    // them and prune the carrier pass to the families that actually
+    // have over-cap keys: in the designed-common case (none — the
+    // caps are doing their job) the second derivation of the keyed
+    // frames disappears entirely, and otherwise only the affected
+    // families pay it. Data-adaptive plan construction, same class as
+    // AQE: the decision input is computed from the inputs inside the
+    // query, nothing crosses runs.
+    val overRows = cnt.filter($"m" > $"cap")
+      .select($"family", $"k1", $"k2").collect()
+    val overFams = overRows.map(_.getString(0)).toSet
+    val carriers: Option[DataFrame] =
+      if (overFams.isEmpty) None
+      else {
+        val overDf = broadcast(s.createDataFrame(
+          java.util.Arrays.asList(overRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("family",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("k1",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("k2",
+              org.apache.spark.sql.types.StringType)))))
+        Some(fams.filter(f => overFams(f._1)).map(_._2)
+          .reduce(_ unionByName _)
+          .join(overDf, Seq("family", "k1", "k2"), "left_semi")
+          .groupBy($"family").agg(countDistinct($"doc").as("n_carrier_docs")))
+      }
+    // zero-safe: an EMPTY family (a corpus with no media, say) reads
+    // 0/0/0/0, not NULL, and never loses its row — the report is a
+    // fixed-spine operational table consumers read positionally
+    val spine = Seq("band", "cell", "frame", "prefix", "shingle").toDF("family")
+    val withStats = spine.join(broadcast(stats), Seq("family"), "left")
+    carriers.fold(withStats.withColumn("n_carrier_docs", lit(0L)))(c =>
+        withStats.join(broadcast(c), Seq("family"), "left"))
+      .select($"family",
+        coalesce($"n_keys", lit(0L)).as("n_keys"),
+        coalesce($"max_members", lit(0L)).as("max_members"),
+        coalesce($"n_over_cap", lit(0L)).as("n_over_cap"),
+        coalesce($"n_carrier_docs", lit(0L)).as("n_carrier_docs"))
+      .orderBy($"family")
+  }
+
+  private def normKeyed(keyed: DataFrame, fam: String, k1: Column,
+      k2: Column, doc: Column): DataFrame =
+    keyed.select(lit(fam).as("family"), k1.cast("string").as("k1"),
+      k2.cast("string").as("k2"), doc.cast("long").as("doc"))
+
+  private def indexHealthCapOf: Column =
+    when(col("family") === "band", lit(BAND_CAP.toLong))
+      .when(col("family") === "cell", lit(EMBED_CELL_CAP))
+      .when(col("family") === "shingle", lit(SHINGLE_DF_CAP.toLong))
+      .otherwise(lit(graft.multimodal.Multimodal.FRAME_DF_CAP.toLong))
+
+  /** The r22 two-pass fused shape WITHOUT the checkpoint+prune tail,
+    * kept as the `fused` A/B arm.
+    */
+  private[graft] def indexHealthFusedNoCkpt(s: SparkSession, dir: String): DataFrame =
+    indexHealthFrom(s, indexHealthUnion(s, dir))
+
+  /** The five cap families as ONE normalized frame
+    * `(family, k1: string, k2: string, doc: long)` — key components
+    * cast to string (injective per family; `family` is part of every
+    * grouping and join key, so cross-family collisions cannot merge
+    * groups). A missing second key component is the non-null sentinel
+    * `""` (never produced by a cast of a numeric component), NOT
+    * null — the carrier semi-join must match on it; a genuinely-null
+    * key component stays null so it keeps falling out of the
+    * semi-join exactly as it did under the per-family joins.
+    */
+  private[graft] def indexHealthUnion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val mm = graft.multimodal.Multimodal
+    normKeyed(fingerprintBands(s, dir), "band",
+        col("band_idx"), col("band"), col("doc_id"))
+      .unionByName(normKeyed(Tables(s, dir, "embeddings"), "cell",
+        col("label"), lit(""), col("vec_id")))
+      .unionByName(normKeyed(shinglesOf(docs), "shingle",
+        col("s"), lit(""), col("doc_id")))
+      // the two MEDIA cap families (round 19): frame-window df and
+      // prefix-ladder entries, both screened by FRAME_DF_CAP — the
+      // keyed tables are the PRE-CAP feature frames the index builds
+      // actually filter (frameWindowsPreCap / ladderEntriesPreCap,
+      // one definition with the builds).
+      .unionByName(normKeyed(mm.frameWindowsPreCap(s, dir), "frame",
+        col("frame_md5"), lit(""), col("asset_id")))
+      .unionByName(normKeyed(mm.ladderEntriesPreCap(s, docs), "prefix",
+        col("l"), col("ph"), col("asset_id")))
+  }
+
+  /** The report body over [[indexHealthUnion]]'s normalized frame —
+    * split out so the A/B profiler can drive variant frames through
+    * the identical tail.
+    */
+  private[graft] def indexHealthFrom(s: SparkSession, u: DataFrame): DataFrame = {
+    import s.implicits._
+    val mm = graft.multimodal.Multimodal
+    val capOf = when($"family" === "band", lit(BAND_CAP.toLong))
+      .when($"family" === "cell", lit(EMBED_CELL_CAP))
+      .when($"family" === "shingle", lit(SHINGLE_DF_CAP.toLong))
+      .otherwise(lit(mm.FRAME_DF_CAP.toLong))
+    // ONE per-key count; `stats` and `over` both hang off this frame,
+    // so its exchange is planned once and reused (identical subtree)
+    val cnt = u.groupBy($"family", $"k1", $"k2")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cap", capOf)
+    val stats = cnt.groupBy($"family").agg(
+      count(lit(1)).as("n_keys"),
+      max($"m").as("max_members"),
+      sum(when($"m" > $"cap", 1L).otherwise(0L)).as("n_over_cap"))
+    val over = cnt.filter($"m" > $"cap").select($"family", $"k1", $"k2")
+    val carriers = u.join(broadcast(over), Seq("family", "k1", "k2"), "left_semi")
+      .groupBy($"family").agg(countDistinct($"doc").as("n_carrier_docs"))
+    // zero-safe: an EMPTY family (a corpus with no media, say) reads
+    // 0/0/0/0, not NULL, and never loses its row — the report is a
+    // fixed-spine operational table consumers read positionally
+    val spine = Seq("band", "cell", "frame", "prefix", "shingle").toDF("family")
+    spine.join(broadcast(stats), Seq("family"), "left")
+      .join(broadcast(carriers), Seq("family"), "left")
+      .select($"family",
+        coalesce($"n_keys", lit(0L)).as("n_keys"),
+        coalesce($"max_members", lit(0L)).as("max_members"),
+        coalesce($"n_over_cap", lit(0L)).as("n_over_cap"),
+        coalesce($"n_carrier_docs", lit(0L)).as("n_carrier_docs"))
+      .orderBy($"family")
+  }
+
+  /** The pre-r22 five-pipeline shape of [[indexHealth]], kept ONLY as
+    * the A arm of `graft.IndexHealthAbProfile` (measurement artifact,
+    * not production code — the declared query runs the fused form).
+    */
+  private[graft] def indexHealthLegacy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def famRow(keyed: DataFrame, docCol: String, keyCols: Seq[String],
         cap: Long, fam: String): DataFrame = {
       val cnt = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("m"))
-      // zero-safe: an EMPTY family (a corpus with no media, say) reads
-      // 0/0/0/0, not NULL — the report is a fixed-spine operational
-      // table consumers read positionally
       val stats = cnt.agg(
         count(lit(1)).as("n_keys"),
         coalesce(max($"m"), lit(0L)).as("max_members"),
@@ -3784,12 +3952,6 @@ object Pipeline {
         Seq("label"), EMBED_CELL_CAP, "cell"))
       .unionByName(famRow(shinglesOf(docs), "doc_id", Seq("s"),
         SHINGLE_DF_CAP, "shingle"))
-      // the two MEDIA cap families (round 19): frame-window df and
-      // prefix-ladder entries, both screened by FRAME_DF_CAP — the
-      // last cap family without a boilerplate-visibility row. The
-      // keyed tables are the PRE-CAP feature frames the index builds
-      // actually filter (frameWindowsPreCap / ladderEntriesPreCap,
-      // one definition with the builds).
       .unionByName(famRow(mm.frameWindowsPreCap(s, dir), "asset_id",
         Seq("frame_md5"), mm.FRAME_DF_CAP, "frame"))
       .unionByName(famRow(mm.ladderEntriesPreCap(s, docs), "asset_id",
