@@ -3369,19 +3369,24 @@ object Pipeline {
       .groupBy($"h")
       .agg(min($"doc_id").as("full_min"),
         min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
-    // pinned: `demoted` is otherwise re-evaluated lazily by the touch
-    // broadcast AND each of touchDem's two semi-joins — three full
-    // md5-over-text corpus scans for a handful of rows
+    // UNPINNED (r22): demoted and jacTouch used to ride their own
+    // eager localCheckpoints — two SERIALIZED materialization jobs
+    // before the delta job. Since r21 fused plus and minus into ONE
+    // delta checkpoint, every consumer of both frames lives inside
+    // that single job, where AQE's runtime exchange reuse dedups the
+    // identical subtrees (mins ends at its groupBy(h) exchange, the
+    // jaccard touching core at its pair-aggregation exchange — each
+    // is planned once and its shuffle output shared by all its
+    // consumers; only the cheap post-exchange projections re-run).
+    // The r22 IncrAbProfile read the incr pair as ~76 serialized
+    // sub-second jobs — job COUNT, not compute, owns the seconds —
+    // and dropping the two pins lets the jaccard, simhash, semantic
+    // and retraction subtrees schedule CONCURRENTLY inside the one
+    // delta job instead of queueing behind two pin barriers.
     val demoted = mins
       .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
       .select($"base_min".as("doc_id"))
-      .localCheckpoint()
-    // pinned: jacTouch feeds BOTH plus (filter) and minus (except);
-    // without its own checkpoint each of those two checkpoint jobs
-    // re-runs the whole jaccard touching pipeline — the "one fused
-    // touching run" contract is this materialization
     val jacTouch = jacPairsTouching(s, dir, batch.union(demoted))
-      .localCheckpoint()
     val lexPlus = jacTouch
       .filter(isBatchId($"a_id") || isBatchId($"b_id"))
       .union(simPairsTouching(s, dir, batch))
@@ -3412,18 +3417,10 @@ object Pipeline {
     val delta = plus.select($"a_id", $"b_id", lit(true).as("added"))
       .unionByName(minus.select($"a_id", $"b_id", lit(false).as("added")))
       .localCheckpoint()
-    // the intermediate pins (demoted, jacTouch) have no consumer once
-    // the delta is materialized — free their blocks here rather than
-    // stranding 2 RDDs per invocation in the block manager
-    // (localCheckpoint is eager, so ordering is safe). Freed DIRECTLY
-    // from each pin's own plan, never by diffing the context-global
-    // registry: a second concurrent incrDelta would land inside the
-    // diff window and have its pins freed out from under it. The
-    // RETURNED checkpoint's lifecycle belongs to the caller's harness:
-    // Bench/Verify unpersist every persistent RDD after each query,
-    // which is where those blocks are reclaimed.
-    freeCheckpoint(demoted)
-    freeCheckpoint(jacTouch)
+    // The RETURNED checkpoint's lifecycle belongs to the caller's
+    // harness: Bench/Verify unpersist every persistent RDD after each
+    // query, which is where its blocks are reclaimed. (The former
+    // demoted/jacTouch pins are gone — nothing to free.)
     (delta.filter($"added").select($"a_id", $"b_id"),
       delta.filter(!$"added").select($"a_id", $"b_id"))
   }
@@ -4185,19 +4182,26 @@ object Pipeline {
     // ONE demotion derivation for the whole repair — the blast radius
     // (affectedDocs) and the delta below both consume it; before r21
     // each re-derived it (two full md5-over-text corpus scans for a
-    // handful of rows). Pin lifecycle: the caller's harness
-    // (incrDelta's returned-checkpoint contract).
-    val demoted = docs
+    // handful of rows).
+    val demoted0 = docs
       .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("h"))
       .groupBy($"h")
       .agg(min($"doc_id").as("full_min"),
         min(when(!isBatchId($"doc_id"), $"doc_id")).as("base_min"))
       .filter($"base_min".isNotNull && $"full_min" =!= $"base_min")
       .select($"base_min".as("doc_id"))
+    // ONE fused materialization for the two bounded id sets (r22):
+    // demoted and the blast radius used to ride two SERIALIZED eager
+    // pins; tagged onto a single checkpoint they materialize in one
+    // job, inside which the demotion frame's aggregation subtree is
+    // planned once and shared (runtime exchange reuse) by the radius
+    // derivation — the incrDelta fused-checkpoint discipline.
+    val ids = demoted0.select($"doc_id", lit("d").as("set"))
+      .unionByName(affectedDocs(s, adir, demoted0)
+        .select($"doc_id", lit("a").as("set")))
       .localCheckpoint()
-    // small by construction (crossed-key members only); pinned because
-    // five consumers would otherwise re-run the crossing aggregations.
-    val aff = affectedDocs(s, adir, demoted).localCheckpoint()
+    val demoted = ids.filter($"set" === "d").select($"doc_id")
+    val aff = ids.filter($"set" === "a").select($"doc_id")
     val batch = docs.filter(isBatchId($"doc_id")).select($"doc_id")
     val hasEmb = java.nio.file.Files.exists(
       java.nio.file.Paths.get(adir, "embeddings.parquet"))
@@ -4218,14 +4222,27 @@ object Pipeline {
     // sets here are disjointness-safe: .distinct() guards the overlap
     // (aff contains batch carriers), since the touching cores key a
     // row-multiplying join on the touch frame.
-    val pJac = jacPairsTouching(s, adir,
-        batch.union(demoted).union(aff).distinct())
-      .localCheckpoint()
-    val pSim = simPairsTouching(s, adir, batch.union(aff).distinct())
-      .localCheckpoint()
+    // the three fused family runs ride ONE tagged checkpoint (r22) —
+    // one materialization job instead of three serialized ones, with
+    // the family pipelines scheduling concurrently inside it; every
+    // slice below is a row-local filter over the materialized pairs
+    val pairsAll = {
+      val pj = jacPairsTouching(s, adir,
+          batch.union(demoted).union(aff).distinct())
+        .select($"a_id", $"b_id", lit("j").as("fam"))
+      val ps = simPairsTouching(s, adir, batch.union(aff).distinct())
+        .select($"a_id", $"b_id", lit("s").as("fam"))
+      val all =
+        if (hasEmb) pj.unionByName(ps)
+          .unionByName(semPairsTouching(s, adir, batch.union(aff).distinct())
+            .select($"a_id", $"b_id", lit("e").as("fam")))
+        else pj.unionByName(ps)
+      all.localCheckpoint()
+    }
+    val pJac = pairsAll.filter($"fam" === "j").select($"a_id", $"b_id")
+    val pSim = pairsAll.filter($"fam" === "s").select($"a_id", $"b_id")
     val pSem =
-      if (hasEmb) Some(semPairsTouching(s, adir, batch.union(aff).distinct())
-        .localCheckpoint())
+      if (hasEmb) Some(pairsAll.filter($"fam" === "e").select($"a_id", $"b_id"))
       else None
     // endpoint-membership slices over the materialized pair sets —
     // batch membership is a row-local predicate, demoted/aff are
@@ -4274,9 +4291,17 @@ object Pipeline {
     val rebuilt =
       pSem.fold(lexRebuilt)(ps => lexRebuilt.unionByName(endpointIn(ps, aff)))
         .distinct()
-    kept.select($"a_id", $"b_id", lit(false).as("repaired"))
+    // materialize the repaired edge set (bounded: the corpus's edge
+    // graph) and FREE the intermediate pins — before r22 up to six
+    // pinned RDDs per invocation were left to the caller's harness
+    // (the r21 ADVICE item); now the returned frame is the only
+    // surviving pin (the incrDelta returned-checkpoint contract).
+    val out = kept.select($"a_id", $"b_id", lit(false).as("repaired"))
       .unionByName(rebuilt.select($"a_id", $"b_id", lit(true).as("repaired")))
-      .orderBy($"a_id", $"b_id")
+      .localCheckpoint()
+    freeCheckpoint(ids)
+    freeCheckpoint(pairsAll)
+    out.orderBy($"a_id", $"b_id")
   }
 
   /** DuckDB twin: derive the identical planted corpus as CTEs, then
