@@ -8751,9 +8751,19 @@ object Pipeline {
     * through the chained E/M CTEs ([[learnedCellsCteSql]]), so the
     * hash match pins training AND probe semantics.
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfFrom(s, dir, learnedCentroids(s, dir))
+
+  /** [[annIvf]] over a pre-collected quantizer — the metadata is a
+    * plan CONSTANT either way, so the probe plan is byte-identical;
+    * [[annRecall]] collects the index metadata once and feeds all
+    * seven arms instead of paying one driver job per arm per
+    * artifact (the r22 attribution read the recall eval as 55
+    * serialized sub-second jobs with 2+ s of driver gaps).
+    */
+  private def annIvfFrom(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Long])]): DataFrame = {
     import s.implicits._
-    val cents = learnedCentroids(s, dir)
     val e = Tables(s, dir, "embeddings")
       .withColumn("cell",
         learnedCellCol(s, microVec(s, $"embedding"), cents))
@@ -9423,9 +9433,12 @@ object Pipeline {
     * is tie-free — both engines get the identical integer. Output is
     * cells × [[PQ_M]] rows regardless of corpus size.
     */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebookFrom(s, dir, learnedCentroids(s, dir))
+
+  private def pqCodebookFrom(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Long])]): DataFrame = {
     import s.implicits._
-    val cents = learnedCentroids(s, dir)
     Tables(s, dir, "embeddings")
       .select(microVec(s, $"embedding").as("mvec"))
       .withColumn("cell", learnedCellCol(s, $"mvec", cents))
@@ -9554,10 +9567,21 @@ object Pipeline {
     * joins, argmin, sum — then TakeOrderedAndProject moves 10 rows.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cb = pqCodebook(s, dir).collect()
+    val cents = learnedCentroids(s, dir)
+    annPqFrom(s, dir, pqCodebookRows(s, dir, cents), qMicro(s, dir))
+  }
+
+  /** [[pqCodebook]], collected — the cells × [[PQ_M]] metadata rows
+    * every PQ probe ships as plan constants.
+    */
+  private def pqCodebookRows(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Long])]): Array[(Int, Int, Seq[Long])] =
+    pqCodebookFrom(s, dir, cents).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    val qmicro = qMicro(s, dir)
+
+  private def annPqFrom(s: SparkSession, dir: String,
+      cb: Array[(Int, Int, Seq[Long])], qmicro: Seq[Long]): DataFrame = {
+    import s.implicits._
     val qtab = cb.map { case (cell, m, cvec) =>
       val qd = (0 until PQ_SUB).map { j =>
         val diff = qmicro(m * PQ_SUB + j) - cvec(j); diff * diff
@@ -10327,10 +10351,13 @@ object Pipeline {
     * in PlanSpec) — at 100 TB the scan lists and touches only the
     * probed cells' files, never the corpus.
     */
-  def annIvfNprobe(s: SparkSession, dir: String): DataFrame = {
+  def annIvfNprobe(s: SparkSession, dir: String): DataFrame =
+    annIvfNprobeFrom(s, dir, learnedCentroids(s, dir), qMicro(s, dir))
+
+  private def annIvfNprobeFrom(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Long])], qmicro: Seq[Long]): DataFrame = {
     import s.implicits._
-    val cents = learnedCentroids(s, dir)
-    val cells = rankedCells(cents, qMicro(s, dir)).take(IVF_NPROBE)
+    val cells = rankedCells(cents, qmicro).take(IVF_NPROBE)
     val part = ensureIvfLayout(s, dir)
     val e = s.read.parquet(part.toString)
       .select($"vec_id", $"cell".cast("int").as("cell"), $"embedding")
@@ -10390,12 +10417,15 @@ object Pipeline {
     * derive identical codes, pools, and final ranks.
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val cents = learnedCentroids(s, dir)
-    val cells = rankedCells(cents, qMicro(s, dir)).take(IVF_NPROBE)
-    val cb = pqCodebook(s, dir).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    val qmicro = qMicro(s, dir)
+    annIvfPqFrom(s, dir, cents, qMicro(s, dir), pqCodebookRows(s, dir, cents))
+  }
+
+  private def annIvfPqFrom(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Long])], qmicro: Seq[Long],
+      cb: Array[(Int, Int, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    val cells = rankedCells(cents, qmicro).take(IVF_NPROBE)
     val qtab = cb.map { case (cell, m, cvec) =>
       val qd = (0 until PQ_SUB).map { j =>
         val diff = qmicro(m * PQ_SUB + j) - cvec(j); diff * diff
@@ -10874,7 +10904,11 @@ object Pipeline {
     * doc_id. Corpus-side cost is exactly the two probes' one-scan
     * plans; everything after is constant-size.
     */
-  def hybridRank(s: SparkSession, dir: String): DataFrame = {
+  def hybridRank(s: SparkSession, dir: String): DataFrame =
+    hybridRankFrom(s, dir, learnedCentroids(s, dir))
+
+  private def hybridRankFrom(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Long])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val lex = bm25Scored(s, dir)
@@ -10885,7 +10919,6 @@ object Pipeline {
         lit(null).cast("long").as("vec_rank"))
     // the vector arm probes the LEARNED cell — annIvf's quantizer, so
     // the fusion's semantic arm is the deployed index's probe shape
-    val cents = learnedCentroids(s, dir)
     val e = Tables(s, dir, "embeddings")
       .withColumn("cell",
         learnedCellCol(s, microVec(s, $"embedding"), cents))
@@ -10967,17 +11000,29 @@ object Pipeline {
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // collect the shared index metadata ONCE and feed every arm: the
+    // quantizer, query vector and PQ codebook are plan CONSTANTS in
+    // each probe (each arm's plan is byte-identical to its standalone
+    // declared query), but before r22 every arm re-collected its own
+    // copy — ~11 serialized driver jobs and their planning gaps, which
+    // the attribution profiler read as the recall eval's dominant cost
+    // (wall 6.4 s vs 4.2 s of job time at sf0.1).
+    val cents = learnedCentroids(s, dir)
+    val qmicro = qMicro(s, dir)
+    val cb = pqCodebookRows(s, dir, cents)
     val exact = simSearch(s, dir).select($"vec_id", lit(1L).as("hit"))
-    val cand = annIvf(s, dir).select($"vec_id", lit("ivf").as("method"))
-      .unionByName(annIvfNprobe(s, dir)
+    val cand = annIvfFrom(s, dir, cents)
+      .select($"vec_id", lit("ivf").as("method"))
+      .unionByName(annIvfNprobeFrom(s, dir, cents, qmicro)
         .select($"vec_id", lit("ivf_nprobe").as("method")))
-      .unionByName(annIvfPq(s, dir)
+      .unionByName(annIvfPqFrom(s, dir, cents, qmicro, cb)
         .select($"vec_id", lit("ivfpq").as("method")))
       .unionByName(annLsh(s, dir).select($"vec_id", lit("lsh").as("method")))
       .unionByName(annLshMultiprobe(s, dir)
         .select($"vec_id", lit("lsh_multiprobe").as("method")))
-      .unionByName(annPq(s, dir).select($"vec_id", lit("pq").as("method")))
-      .unionByName(hybridRank(s, dir)
+      .unionByName(annPqFrom(s, dir, cb, qmicro)
+        .select($"vec_id", lit("pq").as("method")))
+      .unionByName(hybridRankFrom(s, dir, cents)
         .select($"doc_id".as("vec_id"), lit("hybrid").as("method")))
     cand.join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy($"method")
