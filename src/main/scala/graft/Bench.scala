@@ -857,7 +857,13 @@ object Bench {
         }
       } else name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query values at 3 decimals (r22, VERDICT item: bound the
+    // one-line JSON's length — the driver's log-tail capture truncated
+    // round 20's full-precision line, costing that round its official
+    // round-over-round comparison). Milliseconds are far below this
+    // bench's noise floor; the timed methodology is unchanged.
+    def rq(d: Double): Double = math.round(d * 1000) / 1000.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val regressed = if (!gated) Nil else results.collect {
@@ -888,7 +894,7 @@ object Bench {
       s"""{"n":${cs.size},"min":${r3(cs.head)},"p50":${r3(canaryP50)},"max":${r3(cs.last)}}"""
     val context = if (only.isEmpty) "full" else "subset"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","context":"$context","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"requeued":$requeuedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${rq(total)},"unit":"sec","context":"$context","queries":$qs,"baseline_ratio":$ratios,"regressed":$regressedJson,"retried":$retriedJson,"requeued":$requeuedJson,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: the driver captures a log tail,
     // and one truncated capture already cost a round its per-query

@@ -79,6 +79,69 @@ class StripCoverageSpec extends AnyFunSuite {
     checkParity(rows, cover = 4)
   }
 
+  test("defensive inputs: out-of-range flags and null tokens keep parity") {
+    // flags past the token range, negative, and Long.MaxValue (whose
+    // x + cover wraps) cover nothing in BOTH forms; null tokens pass
+    // through untouched positions in both forms
+    val rows: Seq[(Seq[String], Seq[Long])] = Seq(
+      (Seq("a", "b", "c"), Seq(5L)),            // start past the array
+      (Seq("a", "b", "c"), Seq(3L)),            // start == n
+      (Seq("a", "b", "c", "d"), Seq(-1L)),      // negative: covers 0..cover-1
+      (Seq("a", "b", "c"), Seq(-10L)),          // fully before the array
+      (Seq("a", "b", "c"), Seq(Long.MaxValue)), // x + cover wraps negative
+      (Seq("a", "b", "c"), Seq(Long.MinValue))) // lo clamp at 0, hi < 0
+    checkParity(rows, cover = 2)
+    checkParity(rows, cover = 4)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("w", ArrayType(StringType, containsNull = true)),
+      StructField("fl", ArrayType(LongType, containsNull = true))))
+    val nullTok = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq("a", null, "c", "d"), Seq(2L)),
+        Row(Seq(null, null), Seq.empty[Long])),
+      schema)
+    val out = nullTok.select(
+        hofKept($"w", $"fl", 2L).as("ref"),
+        kernelKept($"w", $"fl", 2).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"null-token parity: ref=${r.getSeq[String](0)} got=${r.getSeq[String](1)}"))
+  }
+
+  test("null FLAG elements: kernel skips them (documented divergence from the HOF)") {
+    // A null flag element makes the HOF's exists() three-valued:
+    // !NULL is NULL, so filter() DROPS every token no other flag
+    // covers — the whole document vanishes. The kernel skips the null
+    // element and keeps those tokens. Flags are collect_set output in
+    // every declared query (never null), so the paths only differ on
+    // corrupt input, where the kernel's skip is the intended
+    // non-fatal behavior — pinned here AS the kernel's contract
+    // rather than HOF parity (r22, ADVICE item).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("w", ArrayType(StringType, containsNull = true)),
+      StructField("fl", ArrayType(LongType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq("a", "b", "c", "d", "e"), Seq(null, java.lang.Long.valueOf(0L))),
+        Row(Seq("a", "b", "c"), Seq(null.asInstanceOf[java.lang.Long]))),
+      schema)
+    val got = df.select(kernelKept($"w", $"fl", 2).as("got")).collect()
+    // row 1: flag 0 covers a,b,c; the null element is ignored → d,e kept
+    assert(got(0).getSeq[String](0) == Seq("d", "e"))
+    // row 2: only a null element → nothing covered, all tokens kept
+    assert(got(1).getSeq[String](0) == Seq("a", "b", "c"))
+    // and the HOF reference indeed diverges (drops uncovered tokens)
+    val ref = df.select(hofKept($"w", $"fl", 2L).as("ref")).collect()
+    assert(ref(0).getSeq[String](0) == Seq.empty[String])
+    assert(ref(1).getSeq[String](0) == Seq.empty[String])
+  }
+
   test("query-level: contamStrip and spanStrip outputs keep their shapes") {
     import spark.implicits._
     // seeded corpus with forced cross-doc 5-gram copies and a
