@@ -199,6 +199,18 @@ object ScaleProbe {
     val tRepairState = secsSince(t11)
     val tCompactionRun = drive("x_compaction_run")
 
+    // the r21/r22 optimization rounds' changed operators (VERDICT r21
+    // item 5: their 100 TB claims were plan-structural only — this is
+    // the 1×/10× ladder row): the native strip kernel's two consumers,
+    // the materialize-once export stats, the seeded-components dedup
+    // clusters, the de-pinned incremental split audit, and the
+    // shared-metadata ANN recall eval
+    val tSpanStrip = drive("x_span_strip")
+    val tExportStats = drive("x_export_stats")
+    val tDedupClusters = drive("x_dedup_clusters")
+    val tIncrSplit = drive("x_incr_split_leakage")
+    val tAnnRecall = drive("x_ann_recall")
+
     val t12 = System.nanoTime()
     val mediaDir = multimodal.Multimodal.ensureMediaPlanted(spark, dir).toString
     multimodal.Multimodal.ensureFrameIndex(spark, mediaDir)
@@ -222,8 +234,8 @@ object ScaleProbe {
     val nHeuristic = SparkEntry.queries("x_heuristic_filters")(spark, dir).count()
     val nFluency = SparkEntry.queries("x_bigram_fluency")(spark, dir).count()
     val nKeepBest = SparkEntry.queries("x_keep_best")(spark, dir).count()
-    require(nSpans == nDocs && nHealth == 3,
-      s"span audit must cover the corpus ($nSpans/$nDocs), health is 3 families ($nHealth)")
+    require(nSpans == nDocs && nHealth == 5,
+      s"span audit must cover the corpus ($nSpans/$nDocs), health is 5 families ($nHealth)")
     require(nRecluster > 0, "recluster repair returned no rows")
     require(nHeuristic == nDocs && nFluency == nDocs && nKeepBest == nDocs,
       s"per-doc screens must cover the corpus ($nHeuristic/$nFluency/$nKeepBest vs $nDocs)")
@@ -260,7 +272,10 @@ object ScaleProbe {
       s""""repair_state_sec":$tRepairState,"compaction_run_sec":$tCompactionRun,""" +
       s""""media_state_sec":$tMediaState,"incr_media_sec":$tIncrMedia,""" +
       s""""media_rebuild_sec":$tMediaRebuild,""" +
-      s""""cdc_dedup_sec":$tCdcDedup,"cdc_resync_sec":$tCdcResync}""")
+      s""""cdc_dedup_sec":$tCdcDedup,"cdc_resync_sec":$tCdcResync,""" +
+      s""""span_strip_sec":$tSpanStrip,"export_stats_sec":$tExportStats,""" +
+      s""""dedup_clusters_sec":$tDedupClusters,""" +
+      s""""incr_split_sec":$tIncrSplit,"ann_recall_sec":$tAnnRecall}""")
   }
 
   /** `factor` salted copies of the source corpus (see class doc),
